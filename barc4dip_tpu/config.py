@@ -1,0 +1,61 @@
+# SPDX-License-Identifier: CECILL-2.1
+"""Global configuration for barc4dip_tpu.
+
+Precision policy
+----------------
+All device kernels compute in the dtype of their input (promoted to at least
+float32).  On CPU with ``jax_enable_x64`` this gives float64 bit-parity with
+the NumPy/SciPy formulations; on TPU the natural dtype is float32 (with
+float64 available through XLA emulation when explicitly requested).
+
+``default_float()`` is used when a function has to materialise constants
+(frequency axes, radial grids, ...) whose dtype is not implied by an input.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "default_float",
+    "is_x64_enabled",
+    "on_tpu",
+    "MIN_TILE_PX",
+    "SATURATION_VALUE",
+]
+
+# Policy constants shared across metric aggregators (reference:
+# metrics/speckles.py:192, metrics/sharpness.py:213 hardcode MIN_TILE_PX=128;
+# saturation 65535 in metrics/statistics.py:17).
+MIN_TILE_PX: int = 128
+SATURATION_VALUE: float = 65535.0
+
+
+def is_x64_enabled() -> bool:
+    return bool(jax.config.jax_enable_x64)
+
+
+def default_float() -> jnp.dtype:
+    """Widest float available under the current x64 setting."""
+    return jnp.float64 if is_x64_enabled() else jnp.float32
+
+
+def on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover - backend probing must never raise
+        return False
+
+
+def _env_flag(name: str, default: bool) -> bool:
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    return v.strip().lower() in ("1", "true", "yes", "on")
+
+
+# When True, public aggregators block until device results are ready before
+# returning (useful for benchmarking); results are pulled to host anyway.
+SYNC_RESULTS: bool = _env_flag("BARC4DIP_TPU_SYNC", True)

@@ -1,0 +1,85 @@
+# SPDX-License-Identifier: CECILL-2.1
+"""Normalized cross-correlation (template matching) on-device.
+
+Parity target: the correlation maps consumed by the reference's
+``template_matching`` (signal/tracking.py:82-188) — OpenCV
+``TM_CCOEFF_NORMED`` and skimage ``match_template(pad_input=False)`` compute
+the *same* zero-normalised cross-correlation:
+
+    corr[u,v] = sum_w (I_w - mean(I_w)) (T - mean(T))
+                / sqrt( sum_w (I_w - mean(I_w))^2 * sum (T - mean(T))^2 )
+
+NCC is invariant to affine rescaling of either input, so the reference's
+global z-scoring of the search image changes nothing mathematically; we
+z-score internally anyway so float32 stays well-conditioned on TPU.
+
+TPU-native design (replaces the OpenCV C++ kernel, reference
+signal/tracking.py:149-167): the numerator is one circular FFT correlation
+(valid region sliced out); per-window mean/energy come from integral images
+(two cumsums). O(HW log HW) total, batched over many templates by vmap with
+the image spectrum computed once.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["ncc_valid", "window_sums", "zncc_prepare_image", "ncc_valid_from_prepared"]
+
+
+def window_sums(image, h: int, w: int):
+    """Sliding-window sums of ``image`` over all (h, w) windows (valid mode).
+
+    Returns an array of shape (H-h+1, W-w+1) via a zero-padded integral image.
+    """
+    ii = jnp.cumsum(jnp.cumsum(image, axis=-2), axis=-1)
+    ii = jnp.pad(ii, ((1, 0), (1, 0)))
+    return (
+        ii[h:, w:]
+        - ii[:-h, w:]
+        - ii[h:, :-w]
+        + ii[:-h, :-w]
+    )
+
+
+def zncc_prepare_image(image, h: int, w: int, *, eps: float = 1e-9):
+    """Precompute the image-side quantities shared by every template of size
+    (h, w): spectrum, per-window mean and window variance-sum.
+
+    The image is z-scored first (nanmean/nanstd, matching the reference's
+    ``_zscore2d``) — a no-op for the NCC value, a big win for f32 conditioning.
+    Returns a dict to feed :func:`ncc_valid_from_prepared`.
+    """
+    m = jnp.nanmean(image)
+    s = jnp.nanstd(image)
+    img = (image - m) / (s + eps)
+
+    F = jnp.fft.rfft2(img)
+    s1 = window_sums(img, h, w)
+    s2 = window_sums(img * img, h, w)
+    area = float(h * w)
+    # sum over window of (I - mean_w)^2 = S2 - S1^2/A ; clamp tiny negatives.
+    var_sum = jnp.maximum(s2 - (s1 * s1) / area, 0.0)
+    return {"F": F, "s1": s1, "var_sum": var_sum, "shape": image.shape, "hw": (h, w)}
+
+
+def ncc_valid_from_prepared(prep, template, *, eps: float = 1e-9):
+    """NCC valid-mode map for one template against a prepared image."""
+    H, W = prep["shape"]
+    h, w = prep["hw"]
+    t = template - jnp.mean(template)
+    t_energy = jnp.sum(t * t)
+
+    tpl_pad = jnp.pad(t, ((0, H - h), (0, W - w)))
+    corr_full = jnp.fft.irfft2(prep["F"] * jnp.conj(jnp.fft.rfft2(tpl_pad)), s=(H, W))
+    numer = corr_full[: H - h + 1, : W - w + 1]
+
+    denom = jnp.sqrt(prep["var_sum"] * t_energy)
+    safe = denom > eps
+    return jnp.where(safe, numer / jnp.where(safe, denom, 1.0), 0.0)
+
+
+def ncc_valid(image, template, *, eps: float = 1e-9):
+    """Full NCC valid-mode map: shape (H-h+1, W-w+1)."""
+    h, w = template.shape[-2], template.shape[-1]
+    prep = zncc_prepare_image(image, int(h), int(w), eps=eps)
+    return ncc_valid_from_prepared(prep, template, eps=eps)

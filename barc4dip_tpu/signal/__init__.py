@@ -1,0 +1,32 @@
+# SPDX-License-Identifier: CECILL-2.1
+"""Signal layer: FFT/PSD, correlation, translation tracking."""
+from .corr import autocorr1d, autocorr2d, xcorr1d, xcorr2d
+from .fft import (
+    fft1d,
+    fft2d,
+    freq_axes2d,
+    freq_axis1d,
+    ifft1d,
+    ifft2d,
+    psd1d,
+    psd2d,
+)
+from .tracking import phase_correlation, template_matching, track_translation
+
+__all__ = [
+    "fft1d",
+    "ifft1d",
+    "fft2d",
+    "ifft2d",
+    "psd1d",
+    "psd2d",
+    "freq_axis1d",
+    "freq_axes2d",
+    "xcorr1d",
+    "autocorr1d",
+    "xcorr2d",
+    "autocorr2d",
+    "track_translation",
+    "template_matching",
+    "phase_correlation",
+]

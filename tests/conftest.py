@@ -1,0 +1,56 @@
+# SPDX-License-Identifier: CECILL-2.1
+"""Test configuration: CPU backend with 8 virtual devices and x64 enabled.
+
+- JAX_PLATFORMS=cpu + xla_force_host_platform_device_count=8 gives a fake
+  8-device mesh for multi-chip sharding tests (the standard fake-backend
+  trick; no TPU pod needed).
+- x64 lets golden tests compare against float64 NumPy/SciPy references at
+  tight tolerances; TPU runs use float32 (covered by dtype-specific tests).
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# The hosted "axon" TPU plugin ignores JAX_PLATFORMS from the environment;
+# the config knob is authoritative.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(42)
+
+
+def make_speckle(rng, shape=(256, 256), grain_px=6.0, dtype=np.float64):
+    """Synthetic speckle field with a known Gaussian correlation length.
+
+    Smooth complex white noise with a Gaussian kernel of width ~grain_px and
+    take |field|^2 — a fully-developed speckle pattern whose autocorrelation
+    width tracks grain_px.
+    """
+    ny, nx = shape
+    a = rng.normal(size=shape) + 1j * rng.normal(size=shape)
+    fy = np.fft.fftfreq(ny)[:, None]
+    fx = np.fft.fftfreq(nx)[None, :]
+    sigma_f = 1.0 / (2.0 * np.pi * (grain_px / 2.355))
+    H = np.exp(-(fx**2 + fy**2) / (2 * sigma_f**2))
+    field = np.fft.ifft2(np.fft.fft2(a) * H)
+    speckle = np.abs(field) ** 2
+    speckle = speckle / speckle.mean() * 1000.0
+    return speckle.astype(dtype)
+
+
+@pytest.fixture()
+def speckle(rng):
+    return make_speckle(rng)

@@ -1,0 +1,76 @@
+# SPDX-License-Identifier: CECILL-2.1
+"""Golden tests: shifted FFT / PSD conventions vs direct NumPy formulas."""
+import numpy as np
+import pytest
+
+from barc4dip_tpu.signal import fft as sfft
+
+
+def test_freq_axis1d_matches_numpy():
+    for n in (8, 9, 250, 251):
+        np.testing.assert_allclose(
+            sfft.freq_axis1d(n=n, dx=0.5),
+            np.fft.fftshift(np.fft.fftfreq(n, d=0.5)),
+        )
+
+
+def test_freq_axis1d_from_axis():
+    x = np.linspace(0.0, 10.0, 100, endpoint=False)
+    np.testing.assert_allclose(
+        sfft.freq_axis1d(n=100, x=x),
+        np.fft.fftshift(np.fft.fftfreq(100, d=0.1)),
+        rtol=1e-12,
+    )
+
+
+def test_freq_axis_rejects_both_calibrations():
+    with pytest.raises(ValueError):
+        sfft.freq_axis1d(n=10, x=np.arange(10.0), dx=2.0)
+
+
+def test_fft1d_roundtrip_and_shift(rng):
+    s = rng.normal(size=101)
+    F, fx = sfft.fft1d(s)
+    np.testing.assert_allclose(np.asarray(F), np.fft.fftshift(np.fft.fft(s)), rtol=1e-10, atol=1e-9)
+    back = sfft.ifft1d(F)
+    np.testing.assert_allclose(np.asarray(back).real, s, rtol=1e-10, atol=1e-9)
+
+
+@pytest.mark.parametrize("shape", [(64, 64), (63, 64), (65, 33)])
+def test_fft2d_matches_numpy(rng, shape):
+    img = rng.normal(size=shape)
+    F, fx, fy = sfft.fft2d(img, dx=2.0, dy=3.0)
+    np.testing.assert_allclose(np.asarray(F), np.fft.fftshift(np.fft.fft2(img)), rtol=1e-9, atol=1e-8)
+    np.testing.assert_allclose(fx, np.fft.fftshift(np.fft.fftfreq(shape[1], d=2.0)))
+    np.testing.assert_allclose(fy, np.fft.fftshift(np.fft.fftfreq(shape[0], d=3.0)))
+    back = sfft.ifft2d(F)
+    np.testing.assert_allclose(np.asarray(back).real, img, rtol=1e-9, atol=1e-8)
+
+
+@pytest.mark.parametrize("shape", [(64, 64), (63, 65), (64, 63)])
+@pytest.mark.parametrize("scale", [True, False])
+def test_psd2d_matches_numpy(rng, shape, scale):
+    img = rng.normal(size=shape)
+    P, fx, fy = sfft.psd2d(img, dx=1.5, dy=0.5, scale=scale)
+    ref = np.abs(np.fft.fftshift(np.fft.fft2(img))) ** 2
+    if scale:
+        ref = ref * (1.5 * 0.5) / (shape[0] * shape[1])
+    np.testing.assert_allclose(np.asarray(P), ref, rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.parametrize("n", [64, 65])
+@pytest.mark.parametrize("scale", [True, False])
+def test_psd1d_matches_numpy(rng, n, scale):
+    s = rng.normal(size=n)
+    P, fx = sfft.psd1d(s, dx=0.25, scale=scale)
+    ref = np.abs(np.fft.fftshift(np.fft.fft(s))) ** 2
+    if scale:
+        ref = ref * 0.25 / n
+    np.testing.assert_allclose(np.asarray(P), ref, rtol=1e-9, atol=1e-9)
+
+
+def test_psd2d_complex_input(rng):
+    img = rng.normal(size=(32, 32)) + 1j * rng.normal(size=(32, 32))
+    P, _, _ = sfft.psd2d(img, scale=False)
+    ref = np.abs(np.fft.fftshift(np.fft.fft2(img))) ** 2
+    np.testing.assert_allclose(np.asarray(P), ref, rtol=1e-9, atol=1e-8)
