@@ -59,3 +59,24 @@ def _env_flag(name: str, default: bool) -> bool:
 # When True, public aggregators block until device results are ready before
 # returning (useful for benchmarking); results are pulled to host anyway.
 SYNC_RESULTS: bool = _env_flag("BARC4DIP_TPU_SYNC", True)
+
+
+def _setup_compilation_cache() -> None:
+    """Persistent XLA compilation cache: the fused metric programs are large
+    (up to ~2 min first compile for a 2k x 2k full+tiles program) but fully
+    reusable across processes. Opt out with BARC4DIP_TPU_NO_CACHE=1."""
+    if _env_flag("BARC4DIP_TPU_NO_CACHE", False):
+        return
+    cache_dir = os.environ.get(
+        "BARC4DIP_TPU_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "barc4dip_tpu", "jax_cache"),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_setup_compilation_cache()

@@ -1,0 +1,348 @@
+# SPDX-License-Identifier: CECILL-2.1
+"""Device estimator cores for speckle and sharpness metrics.
+
+Every function here is pure, jittable and vmap-friendly: one (h, w) image in,
+a dict of scalar arrays out (plus map/axis arrays where the reference returns
+them). Degenerate cases produce NaN/Inf instead of raising — the public
+aggregators re-check full-frame outputs host-side to reproduce the
+reference's error behaviour.
+
+Parity sources: metrics/speckles.py:497-817 (grain, amplitude, bandwidth),
+metrics/sharpness.py:405-861 (tenengrad, laplacian_variance,
+spectral_entropy, inverse_autocorr_width, eigenvalues).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.masks import square_embed_slices
+from ..ops.corrcore import autocorr2d_core
+from ..ops.fftcore import psd2d_core
+from ..ops.momentscore import distribution_moments_core
+from ..ops.radialcore import radial_mean_binned_core, radial_mean_interpolated_core
+from ..ops.stencils import laplace as laplace_op
+from ..ops.stencils import sobel_x, sobel_y
+from ..ops.widths import distance_at_fraction_core, width_at_fraction_core
+from ..signal.common import lag_axis_from_step
+
+__all__ = [
+    "amplitude_core",
+    "grain_core",
+    "bandwidth_core",
+    "tenengrad_core",
+    "laplacian_variance_core",
+    "spectral_entropy_core",
+    "inverse_autocorr_width_core",
+    "eigenvalues_core",
+    "distribution_moments_core",
+]
+
+_INV_E = float(1.0 / np.e)
+
+
+def _pad_to_square_mean(img):
+    """Pad to (N, N) with the image mean as fill (grain/bandwidth convention,
+    reference metrics/speckles.py:539, :747)."""
+    H, W = img.shape[-2], img.shape[-1]
+    sy, sx, N = square_embed_slices((int(H), int(W)))
+    if N == H and N == W:
+        return img
+    fill = jnp.mean(img)
+    pad = ((sy.start, N - sy.stop), (sx.start, N - sx.stop))
+    mask = _pad_mask((int(H), int(W))).astype(img.dtype)
+    return jnp.pad(img, pad, mode="constant", constant_values=0.0) + fill * mask
+
+
+@lru_cache(maxsize=64)
+def _pad_mask_np(shape):
+    sy, sx, N = square_embed_slices(shape)
+    m = np.ones((N, N), dtype=np.float32)
+    m[sy, sx] = 0.0
+    return m
+
+
+def _pad_mask(shape):
+    return jnp.asarray(_pad_mask_np(shape))
+
+
+# ---------------------------------------------------------------------------
+# amplitude
+# ---------------------------------------------------------------------------
+
+def amplitude_core(img, *, p_low: float = 0.05, p_high: float = 99.95) -> dict:
+    """Visibility (nanstd/nanmean) and robust Michelson contrast from the
+    [p_low, p_high] nan-percentile range."""
+    mu = jnp.nanmean(img)
+    sigma = jnp.nanstd(img)
+    visibility = sigma / mu
+
+    q = jnp.nanpercentile(img, jnp.asarray([p_low, p_high]))
+    vmin, vmax = q[0], q[1]
+    denom = vmax + vmin
+    contrast = jnp.where(denom > 0, (vmax - vmin) / jnp.where(denom > 0, denom, 1.0), jnp.nan)
+    visibility = jnp.where(mu > 0, visibility, jnp.nan)
+    return {"visibility": visibility, "contrast": contrast}
+
+
+# ---------------------------------------------------------------------------
+# grain / inverse autocorrelation width (shared pipeline)
+# ---------------------------------------------------------------------------
+
+def _autocorr_widths(img, *, fraction: float, standardize: bool, radial_method: str):
+    """Shared pipeline: pad -> autocorr -> argmax -> cuts -> widths -> radial
+    1/e distance. Returns (lx, ly, leq, ac, N)."""
+    data = _pad_to_square_mean(img)
+    ac = autocorr2d_core(
+        data, remove_mean=True, standardize=standardize, normalize="peak"
+    )
+    N = ac.shape[-1]
+
+    flat_idx = jnp.argmax(ac)
+    iy = flat_idx // N
+    ix = flat_idx % N
+
+    y_cut = jnp.take(ac, ix, axis=1)
+    x_cut = jnp.take(ac, iy, axis=0)
+
+    ly, _ = width_at_fraction_core(y_cut, fraction=fraction, center_index=iy)
+    lx, _ = width_at_fraction_core(x_cut, fraction=fraction, center_index=ix)
+
+    # dr is a compile-time constant derived from the (static) radial plan.
+    from ..ops.radialcore import binned_plan, interpolated_plan
+
+    if radial_method == "binned":
+        rad, _ = radial_mean_binned_core(ac)
+        *_rest, r_np = binned_plan((int(N), int(N)), None, 1.0)
+        dr = float(r_np[1] - r_np[0])
+    elif radial_method == "interpolated":
+        rad, _ = radial_mean_interpolated_core(ac)
+        *_rest, r_np = interpolated_plan((int(N), int(N)), None, None, None)
+        dr = float(r_np[1] - r_np[0])
+    else:
+        raise ValueError("radial_method must be 'binned' or 'interpolated'.")
+
+    dist, _ = distance_at_fraction_core(rad, fraction=fraction, peak_index=0)
+    leq = 2.0 * dist * dr
+    return lx, ly, leq, ac, N
+
+
+def grain_core(
+    img,
+    *,
+    fraction: float = _INV_E,
+    radial_method: str = "interpolated",
+    with_map: bool = True,
+) -> dict:
+    """Speckle grain metrics from the autocorrelation peak.
+
+    ``with_map=False`` drops the (N, N) autocorr map and lag axes (tile mode).
+    """
+    lx, ly, leq, ac, N = _autocorr_widths(
+        img, fraction=fraction, standardize=False, radial_method=radial_method
+    )
+    r_aniso = jnp.where(ly != 0, lx / jnp.where(ly != 0, ly, 1.0), jnp.inf)
+
+    out = {"lx": lx, "ly": ly, "leq": leq, "r": r_aniso}
+    if with_map:
+        lag = jnp.asarray(lag_axis_from_step(N, 1.0), dtype=ac.dtype)
+        out["autocorr"] = ac
+        out["xlag"] = lag
+        out["ylag"] = lag
+    return out
+
+
+def inverse_autocorr_width_core(
+    img, *, fraction: float = _INV_E, radial_method: str = "interpolated"
+) -> dict:
+    """Sharpness from inverse autocorrelation widths (standardized autocorr).
+
+    Unlike the reference (metrics/sharpness.py:704-708, which routes "binned"
+    to the interpolated estimator), ``radial_method`` is honoured.
+    """
+    lx, ly, leq, _, _ = _autocorr_widths(
+        img, fraction=fraction, standardize=True, radial_method=radial_method
+    )
+    def _inv(v):
+        return jnp.where(v != 0, 1.0 / jnp.where(v != 0, v, 1.0), jnp.inf)
+
+    r_aniso = jnp.where(ly != 0, lx / jnp.where(ly != 0, ly, 1.0), jnp.inf)
+    return {"sx": _inv(lx), "sy": _inv(ly), "seq": _inv(leq), "r": r_aniso}
+
+
+# ---------------------------------------------------------------------------
+# bandwidth (spectral moments of the PSD)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=64)
+def _bandwidth_plan(N: int):
+    """Shape-constant pieces of the bandwidth metric for an (N, N) PSD:
+    inscribed-circle member indices, their fx/fy/fr values, and the
+    radius-sorted order for the encircled-energy CDF."""
+    f = np.fft.fftshift(np.fft.fftfreq(N))
+    FX, FY = np.meshgrid(f, f, indexing="xy")
+    FR = np.sqrt(FX * FX + FY * FY)
+    f_max = float(np.max(np.abs(f)))
+    mask = FR <= f_max
+
+    idx = np.nonzero(mask.ravel())[0].astype(np.int32)
+    FXm = FX.ravel()[idx]
+    FYm = FY.ravel()[idx]
+    FRm = FR.ravel()[idx]
+    order = np.argsort(FRm, kind="stable").astype(np.int32)
+    return idx, FXm, FYm, FRm, order
+
+
+def bandwidth_core(img) -> dict:
+    """RMS radial bandwidth, 95% encircled-energy radius, per-axis RMS
+    bandwidths, spectral anisotropy and participation ratio — from the
+    mean-removed, DC-zeroed PSD over the inscribed frequency circle."""
+    data = _pad_to_square_mean(img)
+    mu = jnp.nanmean(data)
+    data = data - mu
+
+    P = psd2d_core(data, step_x=1.0, step_y=1.0, scale=True)
+    N = P.shape[-1]
+    P = jnp.nan_to_num(P, nan=0.0, posinf=0.0, neginf=0.0)
+    P = P.at[N // 2, N // 2].set(0.0)
+
+    idx, FXm, FYm, FRm, order = _bandwidth_plan(int(N))
+    Pm = P.reshape(-1)[jnp.asarray(idx)]
+    fxm = jnp.asarray(FXm, dtype=P.dtype)
+    fym = jnp.asarray(FYm, dtype=P.dtype)
+    frm = jnp.asarray(FRm, dtype=P.dtype)
+
+    total = jnp.sum(Pm)
+    tsafe = jnp.where(total > 0, total, 1.0)
+
+    feq = jnp.sqrt(jnp.sum(frm * frm * Pm) / tsafe)
+    sig_fx = jnp.sqrt(jnp.sum(fxm * fxm * Pm) / tsafe)
+    sig_fy = jnp.sqrt(jnp.sum(fym * fym * Pm) / tsafe)
+    rf = jnp.where(sig_fy != 0, sig_fx / jnp.where(sig_fy != 0, sig_fy, 1.0), jnp.inf)
+
+    Ps = Pm[jnp.asarray(order)]
+    frs = frm[jnp.asarray(order)]
+    cdf = jnp.cumsum(Ps) / tsafe
+    i95 = jnp.searchsorted(cdf, 0.95, side="left")
+    i95 = jnp.minimum(i95, frs.shape[0] - 1)
+    f95 = frs[i95]
+
+    p = Pm / tsafe
+    spr_denom = jnp.sum(p * p)
+    spr = jnp.where(spr_denom > 0, 1.0 / jnp.where(spr_denom > 0, spr_denom, 1.0), jnp.nan)
+
+    bad = ~(jnp.isfinite(total) & (total > 0))
+    def _guard(v):
+        return jnp.where(bad, jnp.nan, v)
+
+    return {
+        "feq": _guard(feq),
+        "f95": _guard(f95),
+        "sig_fx": _guard(sig_fx),
+        "sig_fy": _guard(sig_fy),
+        "rf": _guard(rf),
+        "spr": _guard(spr),
+    }
+
+
+# ---------------------------------------------------------------------------
+# sharpness operators
+# ---------------------------------------------------------------------------
+
+def tenengrad_core(img, *, eps: float = 1e-12) -> dict:
+    """(GRA6) Sobel gradient energy: ex, ey, their sum, anisotropy ex/(ey+eps).
+
+    The mean runs over positions where the *input* is finite (reference
+    convention); NaNs in the stencil output propagate exactly as in NumPy.
+    """
+    finite = jnp.isfinite(img)
+    n = jnp.maximum(jnp.sum(finite), 1).astype(img.dtype)
+
+    gx = sobel_x(img)
+    gy = sobel_y(img)
+    ex = jnp.sum(jnp.where(finite, gx * gx, 0.0)) / n
+    ey = jnp.sum(jnp.where(finite, gy * gy, 0.0)) / n
+    ten = ex + ey
+    re = ex / (ey + eps)
+    return {"tenengrad": ten, "ex": ex, "ey": ey, "re": re}
+
+
+def laplacian_variance_core(img) -> dict:
+    """(LAP4) Population variance of the Laplacian over finite positions."""
+    finite = jnp.isfinite(img)
+    n = jnp.maximum(jnp.sum(finite), 1).astype(img.dtype)
+
+    lap = laplace_op(img)
+    lz = jnp.where(finite, lap, 0.0)
+    mean = jnp.sum(lz) / n
+    d = jnp.where(finite, lap - mean, 0.0)
+    var = jnp.sum(d * d) / n
+    return {"laplacian_variance": var}
+
+
+def spectral_entropy_core(
+    img, *, remove_mean: bool = True, remove_dc: bool = True, eps: float = 1e-30
+) -> dict:
+    """Normalized Shannon entropy of the PSD.
+
+    Matches the reference's *effective* behaviour: the square-pad at
+    metrics/sharpness.py:590 is dead code (immediately overwritten), so no
+    padding here either.
+    """
+    x = img
+    if remove_mean:
+        x = x - jnp.mean(x)
+
+    P = psd2d_core(x, step_x=1.0, step_y=1.0, scale=False)
+    ny, nx = P.shape[-2], P.shape[-1]
+    if remove_dc:
+        P = P.at[ny // 2, nx // 2].set(0.0)
+
+    s = jnp.sum(P)
+    ssafe = jnp.where(s > 0, s, 1.0)
+    p = P.reshape(-1) / ssafe
+
+    M = (ny * nx - 1) if remove_dc else (ny * nx)
+    p = jnp.clip(p, eps, None)
+    H = -jnp.sum(p * jnp.log(p))
+    Hn = H / np.log(float(M))
+    Hn = jnp.where(s > 0, Hn, jnp.nan)
+    return {"spectral_entropy": Hn}
+
+
+def eigenvalues_core(img, *, k: int = 5, eps: float = 1e-30) -> dict:
+    """(STA2) Sum of the top-k eigenvalues of the image covariance.
+
+    TPU-native route: instead of LAPACK SVD (reference
+    metrics/sharpness.py:839), form the (M, M) Gram matrix J J^T on the MXU
+    and take eigvalsh — the eigenvalues are exactly the squared singular
+    values, and symmetric eigendecomposition maps far better onto TPU.
+    """
+    x = img
+    energy = jnp.sqrt(jnp.sum(x * x))
+    esafe = jnp.where(energy > 0, energy, 1.0)
+    x_tilde = x / esafe
+    J = x_tilde - jnp.mean(x_tilde)
+
+    M, N = (int(s) for s in J.shape[-2:])
+    denom = float(M * N - 1)
+
+    G = jnp.matmul(J, J.T, precision="highest")
+    ev = jnp.linalg.eigvalsh(G)  # ascending
+    ev = jnp.flip(ev, axis=-1) / denom
+    ev = jnp.maximum(ev, 0.0)
+
+    n_eig = min(M, N)
+    k_use = min(int(k), n_eig)
+    val = jnp.sum(ev[:k_use])
+    e1 = ev[0] if n_eig >= 1 else jnp.zeros((), img.dtype)
+    e2 = ev[1] if n_eig >= 2 else jnp.zeros((), img.dtype)
+    re = e1 / (e2 + eps)
+
+    bad = ~(jnp.isfinite(energy) & (energy > 0))
+    def _guard(v):
+        return jnp.where(bad, jnp.nan, v)
+
+    return {"eigenvalues": _guard(val), "e1": _guard(e1), "e2": _guard(e2), "re": _guard(re)}

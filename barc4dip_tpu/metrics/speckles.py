@@ -1,0 +1,574 @@
+# SPDX-License-Identifier: CECILL-2.1
+"""Speckle field metrics (public aggregators).
+
+Parity with reference metrics/speckles.py:83-817: same groups (amplitude,
+grain, bandwidth, stats), same meta/full/tiles schema, same units tables,
+same tiling policy, same stack + tracking pipeline.
+
+TPU-native execution model: one jitted program per (shape, dtype, groups,
+tile mode) computes every full-frame metric AND every tile metric — the
+reference's up-to-324 sequential estimator invocations per image
+(metrics/speckles.py:201-250 via common.py:363-371) become a handful of
+vmapped bucket evaluations fused by XLA. Stacks batch frames on top of that
+(see speckle_stack_stats), and tracking runs as batched FFT correlation
+(tracking_batch.py) instead of 18*T sequential OpenCV calls.
+"""
+from __future__ import annotations
+
+import logging
+from functools import lru_cache
+from typing import Literal, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MIN_TILE_PX
+from ..geometry.roi import odd_size, roi_grid_3x3
+from ..utils import elapsed_time, now, progress_done, progress_update
+from .common import (
+    apply_display_origin,
+    choose_tiling_mode,
+    nan_std_grid_3x3,
+    normalize_groups,
+    pack_mean_std,
+    stack_time_series,
+    subtile_grids_to_3x3_device,
+    tiled_scalar_fields_device,
+    tiles_meta,
+)
+from .estimators import (
+    amplitude_core,
+    bandwidth_core,
+    distribution_moments_core,
+    grain_core,
+)
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "speckle_stats",
+    "speckle_stack_stats",
+    "amplitude",
+    "grain",
+    "bandwidth",
+]
+
+_SPECKLE_UNITS: dict[str, dict[str, str]] = {
+    "amplitude": {"visibility": "", "contrast": ""},
+    "stats": {
+        "mean": "a.u.",
+        "std": "a.u.",
+        "variance": "a.u.^2",
+        "skewness": "",
+        "kurtosis": "",
+        "frac_zero": "",
+        "frac_sat": "",
+        "SNRdB": "dB",
+    },
+    "grain": {
+        "lx": "px",
+        "ly": "px",
+        "leq": "px",
+        "r": "",
+        "xlag": "px",
+        "ylag": "px",
+        "autocorr": "",
+    },
+    "bandwidth": {
+        "spr": "",
+        "feq": "1/px",
+        "f95": "1/px",
+        "sig_fx": "1/px",
+        "sig_fy": "1/px",
+        "rf": "",
+    },
+    "temporal": {
+        "dx": "px",
+        "dy": "px",
+        "r": "px",
+        "std_dx": "px",
+        "std_dy": "px",
+        "std_r": "px",
+    },
+}
+
+_ALL_SPECKLE_GROUPS: set[str] = {"amplitude", "grain", "bandwidth", "stats"}
+
+_GRAIN_MIN_PX = 128
+
+
+# ---------------------------------------------------------------------------
+# fused device program
+# ---------------------------------------------------------------------------
+
+def _speckle_device_fn(groups: frozenset, mode: str, sat: float | None, eps: float):
+    """Build the fused full+tiles program for one static configuration."""
+
+    def tile_fn(tile):
+        vals: dict = {}
+        if "amplitude" in groups:
+            a = amplitude_core(tile)
+            vals["amplitude"] = a
+        if "grain" in groups:
+            vals["grain"] = grain_core(tile, with_map=False)
+        if "stats" in groups:
+            vals["stats"] = distribution_moments_core(
+                tile, saturation_value=sat, eps=eps
+            )
+        if "bandwidth" in groups:
+            vals["bandwidth"] = bandwidth_core(tile)
+        # flatten to "group/field" for the generic executor
+        return {f"{g}/{k}": v for g, d in vals.items() for k, v in d.items()}
+
+    def fn(img):
+        out: dict = {"full": {}}
+        if "amplitude" in groups:
+            out["full"]["amplitude"] = amplitude_core(img)
+        if "grain" in groups:
+            out["full"]["grain"] = grain_core(img, with_map=True)
+        if "stats" in groups:
+            out["full"]["stats"] = distribution_moments_core(
+                img, saturation_value=sat, eps=eps
+            )
+        if "bandwidth" in groups:
+            out["full"]["bandwidth"] = bandwidth_core(img)
+
+        if mode == "subtiles_9x9":
+            grids = tiled_scalar_fields_device(img, n=9, compute_fn=tile_fn)
+            out["tiles"] = subtile_grids_to_3x3_device(grids)
+        elif mode == "tiles_3x3":
+            grids = tiled_scalar_fields_device(img, n=3, compute_fn=tile_fn)
+            out["tiles"] = {k: {"mean": v} for k, v in grids.items()}
+        return fn_postprocess(out)
+
+    def fn_postprocess(out):
+        return out
+
+    return fn
+
+
+@lru_cache(maxsize=128)
+def _speckle_program(groups: tuple, mode: str, sat: float | None, eps: float):
+    return jax.jit(_speckle_device_fn(frozenset(groups), mode, sat, eps))
+
+
+def _unflatten_tiles(flat: dict, *, has_std: bool) -> dict:
+    """{"group/field": {"mean","std"}|{"mean"}} -> nested reference schema."""
+    tiles: dict = {}
+    for key, v in flat.items():
+        g, f = key.split("/", 1)
+        dst = tiles.setdefault(g, {})
+        if has_std:
+            dst[f] = pack_mean_std(np.asarray(v["mean"]), np.asarray(v["std"]))
+        else:
+            dst[f] = pack_mean_std(np.asarray(v["mean"]), nan_std_grid_3x3())
+    return tiles
+
+
+# ---------------------------------------------------------------------------
+# standalone estimators (reference metrics/speckles.py:497-817)
+# ---------------------------------------------------------------------------
+
+def amplitude(image, verbose: bool = False) -> dict:
+    """Visibility (std/mean) and robust Michelson contrast."""
+    img = np.asarray(image)
+    if img.ndim != 2:
+        raise ValueError("image must be a 2D array.")
+
+    mu = float(np.nanmean(img.astype(np.float64, copy=False)))
+    if not np.isfinite(mu) or mu <= 0.0:
+        raise ValueError("Mean intensity must be positive and finite.")
+
+    out = jax.jit(amplitude_core)(_device_float(img))
+    res = {"visibility": float(out["visibility"]), "contrast": float(out["contrast"])}
+    if not np.isfinite(res["contrast"]):
+        raise ValueError("Invalid percentile range for Michelson contrast.")
+
+    if verbose:
+        logger.info("> visibility: %.2f | contrast: %.2f", res["visibility"], res["contrast"])
+    return res
+
+
+@lru_cache(maxsize=32)
+def _grain_jit(fraction: float, radial_method: str, with_map: bool):
+    return jax.jit(
+        lambda img: grain_core(
+            img, fraction=fraction, radial_method=radial_method, with_map=with_map
+        )
+    )
+
+
+def grain(
+    image,
+    *,
+    fraction: float = 1.0 / np.e,
+    radial_method: Literal["binned", "interpolated"] = "interpolated",
+    verbose: bool = False,
+) -> dict:
+    """Speckle grain metrics from the autocorrelation peak (lx, ly, leq, r,
+    plus the peak-normalized autocorr map and lag axes)."""
+    data = np.asarray(image)
+    if data.ndim != 2:
+        raise ValueError("image must be a 2D array.")
+    if min(data.shape) < _GRAIN_MIN_PX:
+        raise ValueError("image too small for speckle grain metrics (min dimension < 128).")
+    if radial_method not in ("binned", "interpolated"):
+        raise ValueError("radial_method must be 'binned' or 'interpolated'.")
+
+    out = _grain_jit(float(fraction), str(radial_method), True)(_device_float(data))
+    metrics = {
+        "lx": float(out["lx"]),
+        "ly": float(out["ly"]),
+        "leq": float(out["leq"]),
+        "r": float(out["r"]),
+        "autocorr": np.asarray(out["autocorr"], dtype=float),
+        "xlag": np.asarray(out["xlag"], dtype=float),
+        "ylag": np.asarray(out["ylag"], dtype=float),
+    }
+    if verbose:
+        logger.info(
+            "> grain: lx=%.2f | ly=%.2f | lx/ly=%.2f | leq=%.2f ",
+            metrics["lx"],
+            metrics["ly"],
+            metrics["r"],
+            metrics["leq"],
+        )
+    return metrics
+
+
+def bandwidth(image, verbose: bool = False) -> dict[str, float]:
+    """Spatial-frequency bandwidth metrics from the 2D PSD (see
+    estimators.bandwidth_core)."""
+    img = np.asarray(image)
+    if img.ndim != 2:
+        raise ValueError("image must be a 2D array.")
+
+    out = jax.jit(bandwidth_core)(_device_float(img))
+    spectral = {k: float(v) for k, v in out.items()}
+    if not np.isfinite(spectral["feq"]):
+        raise ValueError("PSD energy is not positive/finite after mean/DC removal.")
+
+    if verbose:
+        logger.info(
+            "> bandwidth: fx=%.4f | fy=%.4f | fx/fy=%.2f | feq=%.4f | f95=%.4f | spr=%.0f",
+            spectral["sig_fx"],
+            spectral["sig_fy"],
+            spectral["rf"],
+            spectral["feq"],
+            spectral["f95"],
+            spectral["spr"],
+        )
+    return spectral
+
+
+def _device_float(arr: np.ndarray):
+    x = jnp.asarray(arr)
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        from ..config import default_float
+
+        x = x.astype(default_float())
+    return x
+
+
+# ---------------------------------------------------------------------------
+# single-image aggregator
+# ---------------------------------------------------------------------------
+
+def speckle_stats(
+    image,
+    *,
+    metrics: str | Sequence[str] = "all",
+    tiles: bool = True,
+    display_origin: Literal["upper", "lower"] = "lower",
+    saturation_value: float | None = 65535.0,
+    eps: float = 1e-6,
+    verbose: bool = True,
+) -> dict:
+    """Compute speckle metrics on a single 2D image.
+
+    Returns the reference dict schema:
+    ``{"meta": {...}, "full": {group: {...}}, "tiles": {group: {field:
+    {"mean": (3,3), "std": (3,3)}}}}``.
+    """
+    t0 = now()
+
+    if not isinstance(image, np.ndarray):
+        raise TypeError("speckle_stats expects a numpy.ndarray")
+    if image.ndim != 2:
+        raise ValueError(f"Expected 2D array, got ndim={image.ndim}")
+
+    image = apply_display_origin(image, display_origin=display_origin)
+    h, w = image.shape
+    groups = normalize_groups(
+        metrics, all_groups=_ALL_SPECKLE_GROUPS, context="speckles", param_name="metrics"
+    )
+
+    if "grain" in groups and min(h, w) < _GRAIN_MIN_PX:
+        raise ValueError("image too small for speckle grain metrics (min dimension < 128).")
+    if "amplitude" in groups:
+        mu = float(np.nanmean(np.asarray(image, dtype=np.float64)))
+        if not np.isfinite(mu) or mu <= 0.0:
+            raise ValueError("Mean intensity must be positive and finite.")
+    if "stats" in groups:
+        if image.size == 0 or not np.any(np.isfinite(image)):
+            raise ValueError("distribution_moments received no finite values.")
+
+    if verbose:
+        logger.info("\nspeckle stats for a (h x w: %.0f x %.0f) image:", h, w)
+
+    mode, tile_shape_px = choose_tiling_mode(h, w, tiles=tiles, min_tile_px=MIN_TILE_PX)
+
+    program = _speckle_program(
+        tuple(sorted(groups)),
+        mode,
+        None if saturation_value is None else float(saturation_value),
+        float(eps),
+    )
+    raw = jax.device_get(program(_device_float(np.ascontiguousarray(image))))
+
+    out: dict = {
+        "meta": {
+            "kind": "speckles",
+            "display_origin": display_origin,
+            "input_shape": (int(h), int(w)),
+            "requested_groups": sorted(groups),
+            "units": _SPECKLE_UNITS,
+        },
+        "full": {},
+    }
+
+    full = raw["full"]
+    if "amplitude" in groups:
+        out["full"]["amplitude"] = {k: float(v) for k, v in full["amplitude"].items()}
+    if "grain" in groups:
+        g = full["grain"]
+        out["full"]["grain"] = {
+            "lx": float(g["lx"]),
+            "ly": float(g["ly"]),
+            "leq": float(g["leq"]),
+            "r": float(g["r"]),
+            "autocorr": np.asarray(g["autocorr"], dtype=float),
+            "xlag": np.asarray(g["xlag"], dtype=float),
+            "ylag": np.asarray(g["ylag"], dtype=float),
+        }
+    if "stats" in groups:
+        out["full"]["stats"] = {k: float(v) for k, v in full["stats"].items()}
+    if "bandwidth" in groups:
+        out["full"]["bandwidth"] = {k: float(v) for k, v in full["bandwidth"].items()}
+
+    if verbose:
+        _log_full(out["full"])
+
+    if mode == "off":
+        if verbose:
+            elapsed_time(t0)
+        return out
+
+    out["meta"].update(tiles_meta(h, w, tile_mode=mode, tile_shape_px=tile_shape_px))
+    out["tiles"] = _unflatten_tiles(raw["tiles"], has_std=(mode == "subtiles_9x9"))
+
+    if verbose:
+        elapsed_time(t0)
+    return out
+
+
+def _log_full(full: dict) -> None:
+    if "amplitude" in full:
+        a = full["amplitude"]
+        logger.info("> visibility: %.2f | contrast: %.2f", a["visibility"], a["contrast"])
+    if "grain" in full:
+        g = full["grain"]
+        logger.info(
+            "> grain: lx=%.2f | ly=%.2f | lx/ly=%.2f | leq=%.2f ",
+            g["lx"], g["ly"], g["r"], g["leq"],
+        )
+    if "stats" in full:
+        m = full["stats"]
+        logger.info(
+            "> moments: mean=%.0f | std=%.0f | var=%.0f | skew=%.2f | kurt=%.2f | SNR=%.2f dB | zero=%.6f | sat=%.6f",
+            m["mean"], m["std"], m["variance"], m["skewness"], m["kurtosis"],
+            m["SNRdB"], m["frac_zero"], m["frac_sat"],
+        )
+    if "bandwidth" in full:
+        b = full["bandwidth"]
+        logger.info(
+            "> bandwidth: fx=%.4f | fy=%.4f | fx/fy=%.2f | feq=%.4f | f95=%.4f | spr=%.0f",
+            b["sig_fx"], b["sig_fy"], b["rf"], b["feq"], b["f95"], b["spr"],
+        )
+
+
+# ---------------------------------------------------------------------------
+# stack aggregator (per-frame metrics + translation tracking)
+# ---------------------------------------------------------------------------
+
+def speckle_stack_stats(
+    stack,
+    *,
+    metrics: str | Sequence[str] = "all",
+    tiles: bool = True,
+    display_origin: Literal["upper", "lower"] = "lower",
+    roi_grain_factor: float = 3.0,
+    roi_step_factor: float = 0.5,
+    tracking_method: str = "template",
+    tracking_backend: Literal["internal", "skimage", "opencv"] = "skimage",
+    subpixel: bool = True,
+    saturation_value: float | None = 65535.0,
+    eps: float = 1e-6,
+    verbose: bool = True,
+    parallel: bool = True,
+    n_jobs: int | None = None,
+    frame_chunk: int = 8,
+) -> dict:
+    """Per-frame speckle metrics stacked over time plus abs/inc translation
+    tracking from a central 3x3 ROI grid.
+
+    ``parallel``/``n_jobs`` are accepted for API parity; on TPU the frame
+    axis is batched on-device in chunks of ``frame_chunk`` frames (the
+    device-native analogue of the reference's joblib thread pool,
+    metrics/speckles.py:296-325).
+    """
+    from .tracking_batch import track_stack_batched
+
+    t0 = now()
+
+    if not isinstance(stack, np.ndarray):
+        raise TypeError("speckle_stack_stats expects a numpy.ndarray")
+    if stack.ndim != 3:
+        raise ValueError(
+            f"stack must be a 3D array with shape (T, H, W); got ndim={stack.ndim}"
+        )
+    T, H, W = (int(s) for s in stack.shape)
+    if T < 1:
+        raise ValueError("stack must contain at least one frame.")
+
+    serial_mode = (not parallel) or (n_jobs is not None and int(n_jobs) <= 1)
+
+    # ---- phase 1: per-frame metrics (device-batched) ----
+    per_frame: list[dict] = []
+    last = -1
+    for t in range(T):
+        if verbose and serial_mode:
+            last = progress_update("Speckle stats loop", t, T, last)
+        per_frame.append(
+            speckle_stats(
+                stack[t, :, :],
+                metrics=metrics,
+                tiles=tiles,
+                display_origin=display_origin,
+                saturation_value=saturation_value,
+                eps=eps,
+                verbose=False,
+            )
+        )
+    if verbose and serial_mode:
+        progress_done("Speckle stats loop")
+
+    out_full = stack_time_series([d["full"] for d in per_frame])
+    out_tiles = None
+    if tiles and all(isinstance(d.get("tiles"), dict) for d in per_frame):
+        out_tiles = stack_time_series([d["tiles"] for d in per_frame])
+
+    # ---- phase 2: ROI sizing from frame-0 grain ----
+    frame0 = stack[0, :, :]
+    grain0 = grain(frame0, verbose=False)
+
+    l = float(
+        np.nanmax([grain0.get("lx", np.nan), grain0.get("ly", np.nan), grain0.get("leq", np.nan)])
+    )
+    if not np.isfinite(l) or l <= 0:
+        raise ValueError("Could not infer a valid grain size from frame 0 (lx/ly/leq).")
+
+    roi_side = odd_size(int(np.ceil(roi_grain_factor * l)))
+    roi_size_yx = (roi_side, roi_side)
+    step = int(max(1, round(roi_step_factor * roi_side)))
+    step_yx = (step, step)
+
+    grid_slices, grid_labels = roi_grid_3x3((H, W), roi_size_yx, step_yx, center_yx=None)
+
+    # ---- phase 3: batched tracking ----
+    dx_abs_tiles, dy_abs_tiles, dx_inc_tiles, dy_inc_tiles = track_stack_batched(
+        stack,
+        grid_slices,
+        method=tracking_method,
+        subpixel=subpixel,
+        eps=1e-9,
+        frame_chunk=frame_chunk,
+        verbose=verbose,
+    )
+
+    # ---- phase 4: temporal aggregation ----
+    r_abs_tiles = np.sqrt(dx_abs_tiles**2 + dy_abs_tiles**2)
+    r_inc_tiles = np.sqrt(dx_inc_tiles**2 + dy_inc_tiles**2)
+
+    def _agg(a):
+        return (
+            np.nanmean(a, axis=(1, 2)).astype(np.float32),
+            np.nanstd(a, axis=(1, 2)).astype(np.float32),
+        )
+
+    dx_abs, std_dx_abs = _agg(dx_abs_tiles)
+    dy_abs, std_dy_abs = _agg(dy_abs_tiles)
+    r_abs, std_r_abs = _agg(r_abs_tiles)
+    dx_inc, std_dx_inc = _agg(dx_inc_tiles)
+    dy_inc, std_dy_inc = _agg(dy_inc_tiles)
+    r_inc, std_r_inc = _agg(r_inc_tiles)
+
+    temporal = {
+        "abs": {
+            "dx": dx_abs, "dy": dy_abs, "r": r_abs,
+            "std_dx": std_dx_abs, "std_dy": std_dy_abs, "std_r": std_r_abs,
+        },
+        "inc": {
+            "dx": dx_inc, "dy": dy_inc, "r": r_inc,
+            "std_dx": std_dx_inc, "std_dy": std_dy_inc, "std_r": std_r_inc,
+        },
+        "qc": {"roi_grid_shape": (3, 3)},
+    }
+
+    meta: dict = {
+        "kind": "speckle_stack_stats",
+        "input_shape": (H, W),
+        "stack_shape": (T, H, W),
+        "n_frames": T,
+        "display_origin": display_origin,
+        "units": _SPECKLE_UNITS,
+        "grain0": {k: grain0.get(k) for k in ("lx", "ly", "leq", "r")},
+        "tracking": {
+            "method": str(tracking_method),
+            "backend": str(tracking_backend),
+            "subpixel": bool(subpixel),
+            "peak_mode": "abs",
+            "search_area": "full_frame",
+            "normalization": {"template": "zscore_local", "search": "zscore_global"},
+            "roi_grain_factor": float(roi_grain_factor),
+            "roi_size_yx": tuple(int(v) for v in roi_size_yx),
+            "roi_step_factor": float(roi_step_factor),
+            "roi_step_yx": tuple(int(v) for v in step_yx),
+            "roi_labels": grid_labels,
+            "roi_order": "row-major",
+        },
+        "parallel": {
+            "enabled": bool(not serial_mode),
+            "device_batched": True,
+            "frame_chunk": int(frame_chunk),
+        },
+    }
+
+    out: dict = {"meta": meta, "full": out_full, "temporal": temporal}
+    if out_tiles is not None:
+        out["tiles"] = out_tiles
+
+    if verbose:
+        logger.info(
+            "> speckle_stack_stats | frames=%d | roi=%dx%d | step=%d | parallel=%s | n_jobs=%s | elapsed=%s s",
+            T,
+            roi_side,
+            roi_side,
+            step,
+            "yes" if not serial_mode else "no",
+            "1" if serial_mode else str(n_jobs),
+            int(elapsed_time(t0, verbose=False)),
+        )
+
+    return out

@@ -1,0 +1,235 @@
+# SPDX-License-Identifier: CECILL-2.1
+"""Aggregator tests: schema parity, tiling correctness (batched executor vs
+per-tile evaluation), display-origin handling, stack pipelines."""
+import numpy as np
+import pytest
+
+from barc4dip_tpu.metrics import (
+    amplitude,
+    bandwidth,
+    distribution_moments,
+    sharpness_stack_stats,
+    sharpness_stats,
+    speckle_stack_stats,
+    speckle_stats,
+    tenengrad,
+)
+from barc4dip_tpu.metrics.common import split_edges
+from tests.conftest import make_speckle
+
+
+@pytest.fixture(scope="module")
+def field():
+    rng = np.random.default_rng(21)
+    return make_speckle(rng, shape=(400, 448), grain_px=5.0)
+
+
+def test_speckle_stats_schema(field):
+    out = speckle_stats(field, verbose=False)
+    assert out["meta"]["kind"] == "speckles"
+    assert out["meta"]["input_shape"] == (400, 448)
+    assert set(out["full"].keys()) == {"amplitude", "grain", "stats", "bandwidth"}
+    assert out["meta"]["tile_mode"] == "tiles_3x3"  # 400//9 < 128, 400//3 >= 128
+    for group, fields in out["tiles"].items():
+        for f, ms in fields.items():
+            assert ms["mean"].shape == (3, 3)
+            assert ms["std"].shape == (3, 3)
+            assert np.all(np.isnan(ms["std"]))  # direct 3x3 -> NaN std
+    g = out["full"]["grain"]
+    assert g["autocorr"].shape == (448, 448)
+
+
+def test_speckle_stats_group_selection(field):
+    out = speckle_stats(field, metrics="amplitude,stats", tiles=False, verbose=False)
+    assert set(out["full"].keys()) == {"amplitude", "stats"}
+    assert "tiles" not in out
+    with pytest.raises(ValueError):
+        speckle_stats(field, metrics="bogus", verbose=False)
+    with pytest.raises(TypeError):
+        speckle_stats([[1.0, 2.0]], verbose=False)
+
+
+def test_speckle_tiles_match_per_tile_eval(field):
+    """The batched tile executor must reproduce per-tile estimator calls on
+    the exact split_edges extents (display_origin='upper' to keep orientation
+    trivial)."""
+    out = speckle_stats(field, display_origin="upper", verbose=False)
+    h, w = field.shape
+    y_edges = split_edges(h, 3)
+    x_edges = split_edges(w, 3)
+    for r in range(3):
+        for c in range(3):
+            tile = field[y_edges[r][0] : y_edges[r][1], x_edges[c][0] : x_edges[c][1]]
+            a = amplitude(tile)
+            assert out["tiles"]["amplitude"]["visibility"]["mean"][r, c] == pytest.approx(
+                a["visibility"], rel=1e-6
+            )
+            assert out["tiles"]["amplitude"]["contrast"]["mean"][r, c] == pytest.approx(
+                a["contrast"], rel=1e-6
+            )
+            b = bandwidth(tile)
+            assert out["tiles"]["bandwidth"]["feq"]["mean"][r, c] == pytest.approx(
+                b["feq"], rel=1e-6
+            )
+            m = distribution_moments(tile)
+            assert out["tiles"]["stats"]["mean"]["mean"][r, c] == pytest.approx(
+                m["mean"], rel=1e-9
+            )
+
+
+def test_display_origin_flip(field):
+    up = speckle_stats(field, display_origin="upper", verbose=False)
+    lo = speckle_stats(field, display_origin="lower", verbose=False)
+    # full-frame scalars are flip-invariant
+    assert up["full"]["amplitude"]["visibility"] == pytest.approx(
+        lo["full"]["amplitude"]["visibility"], rel=1e-9
+    )
+    # tile rows are flipped: NW row of "lower" equals SW row of "upper"
+    np.testing.assert_allclose(
+        lo["tiles"]["amplitude"]["visibility"]["mean"][0],
+        up["tiles"]["amplitude"]["visibility"]["mean"][2],
+        rtol=1e-7,
+    )
+
+
+def test_subtiles_9x9_mode():
+    rng = np.random.default_rng(22)
+    big = make_speckle(rng, shape=(1160, 1200), grain_px=6.0)
+    out = speckle_stats(big, metrics="amplitude,stats", verbose=False)
+    assert out["meta"]["tile_mode"] == "subtiles_9x9"
+    assert out["meta"]["used_subtiles"] is True
+    vis = out["tiles"]["amplitude"]["visibility"]
+    assert np.all(np.isfinite(vis["mean"]))
+    assert np.all(np.isfinite(vis["std"]))  # 9x9 aggregation gives real std
+
+    # center 3x3 block of subtiles must aggregate to the (1,1) cell
+    h, w = big.shape
+    y_edges = split_edges(h, 9)
+    x_edges = split_edges(w, 9)
+    vals = []
+    for r in range(3, 6):
+        for c in range(3, 6):
+            tile = big[y_edges[r][0] : y_edges[r][1], x_edges[c][0] : x_edges[c][1]]
+            vals.append(amplitude(tile)["visibility"])
+    assert vis["mean"][1, 1] == pytest.approx(np.mean(vals), rel=1e-6)
+    assert vis["std"][1, 1] == pytest.approx(np.std(vals), rel=1e-5, abs=1e-9)
+
+
+def test_tiling_off_warns():
+    rng = np.random.default_rng(23)
+    small = make_speckle(rng, shape=(200, 200), grain_px=5.0)
+    with pytest.warns(RuntimeWarning, match="too small for tiling"):
+        out = speckle_stats(small, verbose=False)
+    # reference omits tiling metadata entirely when tiling is off
+    assert "tile_mode" not in out["meta"]
+    assert "tiles" not in out
+
+
+def test_sharpness_stats_schema(field):
+    out = sharpness_stats(field, verbose=False)
+    assert out["meta"]["kind"] == "sharpness"
+    assert set(out["full"].keys()) == {
+        "stats",
+        "gradient",
+        "laplacian",
+        "spectral",
+        "autocorrelation",
+        "eigenvalues",
+    }
+    assert out["tiles"]["gradient"]["tenengrad"]["mean"].shape == (3, 3)
+
+
+def test_sharpness_tiles_match_per_tile_eval(field):
+    out = sharpness_stats(
+        field, metrics="gradient", display_origin="upper", verbose=False
+    )
+    h, w = field.shape
+    y_edges = split_edges(h, 3)
+    x_edges = split_edges(w, 3)
+    for r in range(3):
+        for c in range(3):
+            tile = field[y_edges[r][0] : y_edges[r][1], x_edges[c][0] : x_edges[c][1]]
+            t = tenengrad(tile)
+            assert out["tiles"]["gradient"]["tenengrad"]["mean"][r, c] == pytest.approx(
+                t["tenengrad"], rel=1e-6
+            )
+
+
+# ---------------------------------------------------------------------------
+# stacks
+# ---------------------------------------------------------------------------
+
+def _shifted_frame(field, dy, dx):
+    ny, nx = field.shape
+    fy = np.fft.fftfreq(ny)[:, None]
+    fx = np.fft.fftfreq(nx)[None, :]
+    return np.real(
+        np.fft.ifft2(np.fft.fft2(field) * np.exp(-2j * np.pi * (fy * dy + fx * dx)))
+    )
+
+
+def test_speckle_stack_stats_tracks_spiral():
+    """ex_04 semantics: known spiral motion recovered by abs/inc tracking."""
+    rng = np.random.default_rng(31)
+    base = make_speckle(rng, shape=(256, 256), grain_px=6.0)
+    T = 6
+    ts = np.arange(T)
+    dys = 0.8 * ts * np.cos(ts * 0.9)
+    dxs = 0.8 * ts * np.sin(ts * 0.9)
+    stack = np.stack([_shifted_frame(base, dy, dx) for dy, dx in zip(dys, dxs)])
+
+    out = speckle_stack_stats(
+        stack.astype(np.float64),
+        metrics="amplitude,stats",
+        tiles=False,
+        verbose=False,
+    )
+    assert out["meta"]["kind"] == "speckle_stack_stats"
+    assert out["meta"]["n_frames"] == T
+    assert out["full"]["amplitude"]["visibility"].shape == (T,)
+
+    np.testing.assert_allclose(out["temporal"]["abs"]["dy"], dys, atol=0.25)
+    np.testing.assert_allclose(out["temporal"]["abs"]["dx"], dxs, atol=0.25)
+    # incremental shifts approximate frame-to-frame deltas
+    inc_dy_expected = np.diff(np.concatenate([[0.0], dys]))
+    np.testing.assert_allclose(out["temporal"]["inc"]["dy"], inc_dy_expected, atol=0.3)
+    # tracking metadata recorded
+    tr = out["meta"]["tracking"]
+    assert tr["method"] == "template"
+    assert tr["roi_size_yx"][0] % 2 == 1
+
+
+def test_speckle_stack_stats_phase_method():
+    rng = np.random.default_rng(32)
+    base = make_speckle(rng, shape=(256, 256), grain_px=6.0)
+    stack = np.stack([base, _shifted_frame(base, 3.0, -2.0)])
+    # phase correlation needs ROIs well above the grain scale to lock on
+    # (the reference defaults stacks to template matching for this reason)
+    out = speckle_stack_stats(
+        stack,
+        metrics="stats",
+        tiles=False,
+        tracking_method="phase",
+        roi_grain_factor=12.0,
+        verbose=False,
+    )
+    assert out["temporal"]["abs"]["dy"][1] == pytest.approx(3.0, abs=0.5)
+    assert out["temporal"]["abs"]["dx"][1] == pytest.approx(-2.0, abs=0.5)
+
+
+def test_sharpness_stack_stats_focus_scan():
+    """ex_01 semantics: best-focus frame via argmax of tenengrad."""
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(33)
+    base = make_speckle(rng, shape=(256, 256), grain_px=4.0)
+    sigmas = [3.0, 1.5, 0.0, 1.0, 2.0]
+    stack = np.stack([gaussian_filter(base, s) for s in sigmas])
+
+    out = sharpness_stack_stats(stack, metrics="gradient,laplacian", tiles=False, verbose=False)
+    ten = out["full"]["gradient"]["tenengrad"]
+    assert ten.shape == (5,)
+    assert int(np.argmax(ten)) == 2
+    lap = out["full"]["laplacian"]["laplacian_variance"]
+    assert int(np.argmax(lap)) == 2
+    assert out["meta"]["kind"] == "sharpness_stack_stats"
