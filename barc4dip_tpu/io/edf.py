@@ -1,0 +1,228 @@
+# SPDX-License-Identifier: CECILL-2.1
+"""EDF (ESRF Data Format) reader — legacy format, read-only.
+
+Clean-room implementation of the EDF container (behavioural parity with the
+reference's vendored PyMca reader, io/uti_EdfFile.py): a file is a sequence
+of frames, each an ASCII header block delimited by '{' ... '}\\n' padded to a
+multiple of 1024 bytes, followed by raw binary data whose shape/dtype/
+byte-order come from the Dim_1/Dim_2/DataType/ByteOrder/Size keys.
+Gzip/bzip2-compressed files (.edf.gz/.edf.bz2) are supported transparently.
+"""
+from __future__ import annotations
+
+import bz2
+import gzip
+from collections.abc import Sequence
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["read_edf", "EdfFile"]
+
+# EDF DataType -> numpy dtype (without byte order)
+_EDF_DTYPES: dict[str, str] = {
+    "signedbyte": "i1",
+    "unsignedbyte": "u1",
+    "signedshort": "i2",
+    "unsignedshort": "u2",
+    "signedinteger": "i4",
+    "unsignedinteger": "u4",
+    "signedlong": "i4",
+    "unsignedlong": "u4",
+    "signed64": "i8",
+    "unsigned64": "u8",
+    "floatvalue": "f4",
+    "float": "f4",
+    "doublevalue": "f8",
+    "double": "f8",
+}
+
+_HEADER_BLOCK = 1024
+
+
+def _open_raw(path: str | Path):
+    p = str(path)
+    if p.endswith(".gz"):
+        return gzip.open(p, "rb")
+    if p.endswith(".bz2"):
+        return bz2.BZ2File(p, "rb")
+    return open(p, "rb")
+
+
+class EdfFile:
+    """Minimal multi-frame EDF container reader.
+
+    ``EdfFile(path).GetData(index)`` mirrors the reference reader's API.
+    """
+
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+        self._frames: list[tuple[dict, int]] = []  # (header, data_offset)
+        with _open_raw(self.path) as f:
+            self._scan(f)
+
+    # -- public API ---------------------------------------------------------
+
+    @property
+    def NumImages(self) -> int:  # noqa: N802 - legacy API name
+        return len(self._frames)
+
+    def GetNumImages(self) -> int:  # noqa: N802
+        return len(self._frames)
+
+    def GetHeader(self, index: int) -> dict:  # noqa: N802
+        self._check_index(index)
+        return dict(self._frames[index][0])
+
+    def GetData(self, index: int) -> np.ndarray:  # noqa: N802
+        self._check_index(index)
+        header, offset = self._frames[index]
+        shape, dtype, nbytes = self._frame_geometry(header)
+        with _open_raw(self.path) as f:
+            f.seek(offset)
+            raw = f.read(nbytes)
+        if len(raw) < nbytes:
+            raise OSError(
+                f"Truncated EDF data block in '{self.path}' (frame {index})."
+            )
+        arr = np.frombuffer(raw, dtype=dtype).reshape(shape)
+        return arr
+
+    # -- internals ----------------------------------------------------------
+
+    def _check_index(self, index: int) -> None:
+        if not 0 <= index < len(self._frames):
+            raise IndexError(
+                f"Frame index {index} out of range (file has {len(self._frames)})."
+            )
+
+    def _scan(self, f) -> None:
+        while True:
+            start = f.read(1)
+            if not start:
+                return
+            # tolerate leading whitespace/newlines between frames
+            while start in (b"\n", b"\r", b" ", b"\t"):
+                start = f.read(1)
+                if not start:
+                    return
+            if start != b"{":
+                raise OSError(f"Malformed EDF header in '{self.path}' (expected '{{').")
+
+            chunks = [start]
+            while True:
+                block = f.read(_HEADER_BLOCK)
+                if not block:
+                    raise OSError(f"Unterminated EDF header in '{self.path}'.")
+                chunks.append(block)
+                joined = b"".join(chunks)
+                end = joined.find(b"}")
+                if end != -1:
+                    break
+
+            # header is padded so that (header size) % 1024 == 0; the data
+            # starts right after the newline following '}'
+            total = len(b"".join(chunks))
+            consumed_past_brace = total - (end + 1)
+            header_text = joined[1:end].decode("latin-1")
+
+            # skip padding to the 1024-byte boundary after '}'
+            header_len = end + 1
+            pad = (-header_len) % _HEADER_BLOCK
+            to_skip = pad - consumed_past_brace
+            if to_skip > 0:
+                f.read(to_skip)
+            elif to_skip < 0:
+                f.seek(to_skip, 1)
+
+            header = self._parse_header(header_text)
+            data_offset = f.tell()
+            self._frames.append((header, data_offset))
+
+            _, _, nbytes = self._frame_geometry(header)
+            f.seek(nbytes, 1)
+
+    @staticmethod
+    def _parse_header(text: str) -> dict:
+        header: dict = {}
+        for line in text.split(";"):
+            if "=" not in line:
+                continue
+            key, _, value = line.partition("=")
+            header[key.strip()] = value.strip()
+        return header
+
+    def _frame_geometry(self, header: dict) -> tuple[tuple[int, ...], np.dtype, int]:
+        try:
+            dim1 = int(header["Dim_1"])  # fast axis (columns)
+            dim2 = int(header["Dim_2"])  # slow axis (rows)
+        except KeyError as exc:
+            raise OSError(f"EDF header missing Dim_1/Dim_2 in '{self.path}'.") from exc
+
+        data_type = header.get("DataType", "UnsignedShort").strip().lower()
+        base = _EDF_DTYPES.get(data_type)
+        if base is None:
+            raise OSError(f"Unsupported EDF DataType '{data_type}' in '{self.path}'.")
+
+        byte_order = header.get("ByteOrder", "LowByteFirst").strip().lower()
+        endian = "<" if byte_order == "lowbytefirst" else ">"
+        dtype = np.dtype(endian + base)
+
+        nbytes = dim1 * dim2 * dtype.itemsize
+        declared = header.get("Size")
+        if declared is not None:
+            try:
+                declared_i = int(declared)
+                if declared_i >= nbytes:
+                    nbytes = max(nbytes, 0)
+            except ValueError:
+                pass
+        return (dim2, dim1), dtype, nbytes
+
+
+def read_edf(
+    image_path: str | Sequence[str],
+    *,
+    index: int = 0,
+    dtype: np.dtype | str = np.float32,
+) -> np.ndarray:
+    """Read one EDF image (2D) or a sequence of EDF files stacked along
+    axis 0, cast to ``dtype`` (default float32)."""
+    if index < 0:
+        raise ValueError("index must be >= 0")
+
+    def _read_one(p: str) -> np.ndarray:
+        if not isinstance(p, str):
+            raise TypeError("All elements of image_path must be strings")
+        fp = Path(p)
+        if not fp.exists():
+            raise FileNotFoundError(f"EDF file not found: '{p}'")
+        arr = EdfFile(fp).GetData(index)
+        return np.asarray(arr, dtype=dtype)
+
+    if isinstance(image_path, str):
+        return _read_one(image_path)
+
+    if isinstance(image_path, Sequence):
+        if len(image_path) == 0:
+            raise ValueError("image_path sequence is empty")
+
+        frames: list[np.ndarray] = []
+        ref_shape: tuple[int, ...] | None = None
+        for p in image_path:
+            arr = _read_one(p)
+            if arr.ndim != 2:
+                raise ValueError(
+                    f"Expected a 2D EDF image, got shape {arr.shape} for '{p}'"
+                )
+            if ref_shape is None:
+                ref_shape = arr.shape
+            elif arr.shape != ref_shape:
+                raise ValueError(
+                    f"Inconsistent image shapes in stack: expected {ref_shape}, "
+                    f"got {arr.shape} for '{p}'"
+                )
+            frames.append(arr)
+        return np.stack(frames, axis=0)
+
+    raise TypeError("image_path must be a str or a sequence of str")

@@ -13,8 +13,7 @@ spectral_entropy, inverse_autocorr_width, eigenvalues).
 """
 from __future__ import annotations
 
-from functools import lru_cache
-
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,27 +44,21 @@ _INV_E = float(1.0 / np.e)
 
 def _pad_to_square_mean(img):
     """Pad to (N, N) with the image mean as fill (grain/bandwidth convention,
-    reference metrics/speckles.py:539, :747)."""
-    H, W = img.shape[-2], img.shape[-1]
-    sy, sx, N = square_embed_slices((int(H), int(W)))
+    reference metrics/speckles.py:539, :747). The fill region is selected by
+    an iota-generated mask (no large HLO constants)."""
+    H, W = (int(s) for s in (img.shape[-2], img.shape[-1]))
+    sy, sx, N = square_embed_slices((H, W))
     if N == H and N == W:
         return img
     fill = jnp.mean(img)
     pad = ((sy.start, N - sy.stop), (sx.start, N - sx.stop))
-    mask = _pad_mask((int(H), int(W))).astype(img.dtype)
-    return jnp.pad(img, pad, mode="constant", constant_values=0.0) + fill * mask
-
-
-@lru_cache(maxsize=64)
-def _pad_mask_np(shape):
-    sy, sx, N = square_embed_slices(shape)
-    m = np.ones((N, N), dtype=np.float32)
-    m[sy, sx] = 0.0
-    return m
-
-
-def _pad_mask(shape):
-    return jnp.asarray(_pad_mask_np(shape))
+    padded = jnp.pad(img, pad, mode="constant", constant_values=0.0)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    inside = (
+        (yy >= sy.start) & (yy < sy.stop) & (xx >= sx.start) & (xx < sx.stop)
+    )
+    return jnp.where(inside, padded, fill)
 
 
 # ---------------------------------------------------------------------------
@@ -110,16 +103,16 @@ def _autocorr_widths(img, *, fraction: float, standardize: bool, radial_method: 
     ly, _ = width_at_fraction_core(y_cut, fraction=fraction, center_index=iy)
     lx, _ = width_at_fraction_core(x_cut, fraction=fraction, center_index=ix)
 
-    # dr is a compile-time constant derived from the (static) radial plan.
-    from ..ops.radialcore import binned_plan, interpolated_plan
+    # dr is a compile-time constant derived from the (static) radial geometry.
+    from ..ops.radialcore import binned_geometry, interpolated_geometry
 
     if radial_method == "binned":
         rad, _ = radial_mean_binned_core(ac)
-        *_rest, r_np = binned_plan((int(N), int(N)), None, 1.0)
+        *_rest, r_np = binned_geometry((int(N), int(N)), None, 1.0)
         dr = float(r_np[1] - r_np[0])
     elif radial_method == "interpolated":
         rad, _ = radial_mean_interpolated_core(ac)
-        *_rest, r_np = interpolated_plan((int(N), int(N)), None, None, None)
+        *_rest, r_np = interpolated_geometry((int(N), int(N)), None, None, None)
         dr = float(r_np[1] - r_np[0])
     else:
         raise ValueError("radial_method must be 'binned' or 'interpolated'.")
@@ -176,43 +169,37 @@ def inverse_autocorr_width_core(
 # bandwidth (spectral moments of the PSD)
 # ---------------------------------------------------------------------------
 
-@lru_cache(maxsize=64)
-def _bandwidth_plan(N: int):
-    """Shape-constant pieces of the bandwidth metric for an (N, N) PSD:
-    inscribed-circle member indices, their fx/fy/fr values, and the
-    radius-sorted order for the encircled-energy CDF."""
-    f = np.fft.fftshift(np.fft.fftfreq(N))
-    FX, FY = np.meshgrid(f, f, indexing="xy")
-    FR = np.sqrt(FX * FX + FY * FY)
-    f_max = float(np.max(np.abs(f)))
-    mask = FR <= f_max
-
-    idx = np.nonzero(mask.ravel())[0].astype(np.int32)
-    FXm = FX.ravel()[idx]
-    FYm = FY.ravel()[idx]
-    FRm = FR.ravel()[idx]
-    order = np.argsort(FRm, kind="stable").astype(np.int32)
-    return idx, FXm, FYm, FRm, order
-
-
 def bandwidth_core(img) -> dict:
     """RMS radial bandwidth, 95% encircled-energy radius, per-axis RMS
     bandwidths, spectral anisotropy and participation ratio — from the
-    mean-removed, DC-zeroed PSD over the inscribed frequency circle."""
+    mean-removed, DC-zeroed PSD over the inscribed frequency circle.
+
+    Frequency grids are generated on-device from iota (no HLO constants);
+    pixels outside the inscribed circle get zero weight and sort to the end
+    of the encircled-energy CDF with key +inf.
+    """
     data = _pad_to_square_mean(img)
     mu = jnp.nanmean(data)
     data = data - mu
 
     P = psd2d_core(data, step_x=1.0, step_y=1.0, scale=True)
-    N = P.shape[-1]
+    N = int(P.shape[-1])
     P = jnp.nan_to_num(P, nan=0.0, posinf=0.0, neginf=0.0)
     P = P.at[N // 2, N // 2].set(0.0)
 
-    idx, FXm, FYm, FRm, order = _bandwidth_plan(int(N))
-    Pm = P.reshape(-1)[jnp.asarray(idx)]
-    fxm = jnp.asarray(FXm, dtype=P.dtype)
-    fym = jnp.asarray(FYm, dtype=P.dtype)
-    frm = jnp.asarray(FRm, dtype=P.dtype)
+    # shifted fftfreq: (arange(N) - N//2) / N
+    dt = P.dtype
+    fx1 = (jnp.arange(N, dtype=dt) - (N // 2)) / N
+    FX = jnp.broadcast_to(fx1[None, :], (N, N))
+    FY = jnp.broadcast_to(fx1[:, None], (N, N))
+    FR = jnp.sqrt(FX * FX + FY * FY)
+    f_max = float(max(N // 2, N - 1 - N // 2)) / N  # max|shifted freq|
+    inside = FR <= f_max
+
+    Pm = jnp.where(inside, P, 0.0).reshape(-1)
+    fxm = FX.reshape(-1)
+    fym = FY.reshape(-1)
+    frm = FR.reshape(-1)
 
     total = jnp.sum(Pm)
     tsafe = jnp.where(total > 0, total, 1.0)
@@ -222,11 +209,12 @@ def bandwidth_core(img) -> dict:
     sig_fy = jnp.sqrt(jnp.sum(fym * fym * Pm) / tsafe)
     rf = jnp.where(sig_fy != 0, sig_fx / jnp.where(sig_fy != 0, sig_fy, 1.0), jnp.inf)
 
-    Ps = Pm[jnp.asarray(order)]
-    frs = frm[jnp.asarray(order)]
+    sort_keys = jnp.where(inside.reshape(-1), frm, jnp.inf)
+    frs, Ps = jax.lax.sort((sort_keys, Pm), num_keys=1, is_stable=True)
     cdf = jnp.cumsum(Ps) / tsafe
+    n_inside = jnp.sum(inside)
     i95 = jnp.searchsorted(cdf, 0.95, side="left")
-    i95 = jnp.minimum(i95, frs.shape[0] - 1)
+    i95 = jnp.minimum(i95, n_inside - 1)
     f95 = frs[i95]
 
     p = Pm / tsafe

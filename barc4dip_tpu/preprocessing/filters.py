@@ -1,0 +1,295 @@
+# SPDX-License-Identifier: CECILL-2.1
+"""PSF deconvolution (Wiener / Richardson-Lucy / unsupervised Wiener).
+
+Capability parity with reference preprocessing/filters.py:17-289, with the
+skimage.restoration kernels re-implemented natively on-device:
+
+- "wiener": closed-form Wiener-Hunt filter with Laplacian regularisation,
+  ``x = F^-1[ conj(H) Y / (|H|^2 + balance |L|^2) ]`` (one FFT round-trip).
+- "rl": Richardson-Lucy as a ``lax.fori_loop`` of two FFT convolutions per
+  iteration (fused; no per-iteration host sync).
+- "uw": unsupervised Wiener — the regularisation weight is estimated from
+  the data by variational-Bayes fixed-point iteration over the noise and
+  prior precisions (deterministic analogue of skimage's Gibbs sampler).
+
+Frame handling matches the reference: reflect-pad by the PSF half-size,
+normalise by max|frame| (clip=True clips to [-1, 1] like skimage), rescale,
+crop. Stacks are vmapped on-device in chunks.
+"""
+from __future__ import annotations
+
+import logging
+from functools import lru_cache, partial
+from typing import Literal, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import elapsed_time, now
+
+logger = logging.getLogger(__name__)
+_DeconvMethod = Literal["wiener", "rl", "uw"]
+
+__all__ = ["deconvolve_psf"]
+
+
+# ---------------------------------------------------------------------------
+# PSF construction (host)
+# ---------------------------------------------------------------------------
+
+def _parse_sigma(sigma) -> tuple[float, float]:
+    if isinstance(sigma, (int, float, np.floating)):
+        sy = sx = float(sigma)
+    else:
+        s = list(sigma)
+        if len(s) != 2:
+            raise ValueError("sigma must be a float or a length-2 sequence (sy, sx).")
+        sy, sx = float(s[0]), float(s[1])
+    if not (np.isfinite(sy) and np.isfinite(sx)):
+        raise ValueError("sigma values must be finite.")
+    if sy <= 0 or sx <= 0:
+        raise ValueError("sigma values must be > 0.")
+    return sy, sx
+
+
+def _odd(n: int) -> int:
+    n = int(n)
+    return n if n % 2 == 1 else n + 1
+
+
+def _gaussian_psf(sy: float, sx: float, *, min_size: int = 5) -> np.ndarray:
+    """Normalized Gaussian kernel, size odd(max(min_size, ceil(6*sigma)))."""
+    ky = _odd(max(min_size, int(np.ceil(6.0 * sy))))
+    kx = _odd(max(min_size, int(np.ceil(6.0 * sx))))
+
+    y = np.arange(ky, dtype=np.float64) - (ky - 1) / 2.0
+    x = np.arange(kx, dtype=np.float64) - (kx - 1) / 2.0
+    yy, xx = np.meshgrid(y, x, indexing="ij")
+    psf = np.exp(-0.5 * ((yy / sy) ** 2 + (xx / sx) ** 2))
+    s = float(psf.sum())
+    if not np.isfinite(s) or s <= 0:
+        raise ValueError("Failed to build a valid Gaussian PSF (sum<=0).")
+    return (psf / s).astype(np.float32)
+
+
+@lru_cache(maxsize=32)
+def _transfer_functions(shape: tuple[int, int], psf_key: bytes, psf_shape: tuple[int, int]):
+    """(H, L) transfer functions for a PSF on a padded shape: the PSF is
+    zero-embedded with its center rolled to the origin (circular convolution
+    convention), L is the discrete Laplacian [[0,-1,0],[-1,4,-1],[0,-1,0]]."""
+    psf = np.frombuffer(psf_key, dtype=np.float32).reshape(psf_shape)
+    ny, nx = shape
+
+    ir = np.zeros(shape, dtype=np.float64)
+    kh, kw = psf.shape
+    ir[:kh, :kw] = psf
+    ir = np.roll(ir, (-(kh // 2), -(kw // 2)), axis=(0, 1))
+    H = np.fft.rfft2(ir)
+
+    lap = np.zeros(shape, dtype=np.float64)
+    lap[:3, :3] = np.array([[0.0, -1.0, 0.0], [-1.0, 4.0, -1.0], [0.0, -1.0, 0.0]])
+    lap = np.roll(lap, (-1, -1), axis=(0, 1))
+    L = np.fft.rfft2(lap)
+    return H, L
+
+
+# ---------------------------------------------------------------------------
+# device kernels (operate on the padded, normalised frame)
+# ---------------------------------------------------------------------------
+
+def _wiener_core(work, H, L, balance, clip: bool):
+    Y = jnp.fft.rfft2(work)
+    num = jnp.conj(H) * Y
+    den = jnp.abs(H) ** 2 + balance * jnp.abs(L) ** 2
+    x = jnp.fft.irfft2(num / den, s=work.shape[-2:])
+    if clip:
+        x = jnp.clip(x, -1.0, 1.0)
+    return x
+
+
+def _fft_conv_same(x, otf):
+    """Circular convolution via a precomputed OTF (reflect padding upstream
+    makes the wrap-around benign, as in the reference's pad strategy)."""
+    return jnp.fft.irfft2(jnp.fft.rfft2(x) * otf, s=x.shape[-2:])
+
+
+def _rl_core(work, H, num_iter: int, clip: bool, filter_epsilon):
+    Hc = jnp.conj(H)
+
+    def body(_, x):
+        denom = _fft_conv_same(x, H)
+        if filter_epsilon is not None:
+            rel = jnp.where(denom < filter_epsilon, 0.0, work / jnp.where(denom == 0, 1.0, denom))
+        else:
+            rel = work / denom
+        return x * _fft_conv_same(rel, Hc)
+
+    x0 = jnp.full_like(work, 0.5)
+    x = jax.lax.fori_loop(0, num_iter, body, x0)
+    if clip:
+        x = jnp.clip(x, -1.0, 1.0)
+    return x
+
+
+def _uw_core(work, H, L, clip: bool, n_iter: int = 30):
+    """Unsupervised Wiener: VB fixed-point on (noise precision gn, prior
+    precision gx); returns the posterior-mean image."""
+    Y = jnp.fft.rfft2(work)
+    aH2 = jnp.abs(H) ** 2
+    aL2 = jnp.abs(L) ** 2
+    ny, nx = work.shape[-2:]
+    npix = ny * nx
+
+    # rfft half-spectrum multiplicity for Parseval-style sums
+    mult = jnp.full(aH2.shape, 2.0)
+    mult = mult.at[..., 0].set(1.0)
+    if nx % 2 == 0:
+        mult = mult.at[..., -1].set(1.0)
+
+    def spec_sum(a):
+        return jnp.sum(mult * a) / npix
+
+    def body(_, carry):
+        gn, gx = carry
+        P = gn * aH2 + gx * aL2
+        Xhat = gn * jnp.conj(H) * Y / P
+        # residual power and posterior variance corrections
+        resid = spec_sum(jnp.abs(Y - H * Xhat) ** 2) + spec_sum(aH2 / P)
+        prior = spec_sum(aL2 * jnp.abs(Xhat) ** 2) + spec_sum(aL2 / P)
+        gn_new = npix / jnp.maximum(resid, 1e-12)
+        gx_new = npix / jnp.maximum(prior, 1e-12)
+        return gn_new, gx_new
+
+    gn0 = jnp.asarray(1.0 / jnp.maximum(jnp.var(work), 1e-12), dtype=work.dtype)
+    gx0 = jnp.asarray(1.0, dtype=work.dtype)
+    gn, gx = jax.lax.fori_loop(0, n_iter, body, (gn0, gx0))
+
+    P = gn * aH2 + gx * aL2
+    x = jnp.fft.irfft2(gn * jnp.conj(H) * Y / P, s=work.shape[-2:])
+    if clip:
+        x = jnp.clip(x, -1.0, 1.0)
+    return x
+
+
+@lru_cache(maxsize=64)
+def _deconv_program(
+    frame_shape: tuple[int, int],
+    psf_key: bytes,
+    psf_shape: tuple[int, int],
+    method: str,
+    clip: bool,
+    num_iter: int,
+    has_filter_eps: bool,
+):
+    py, px = psf_shape[0] // 2, psf_shape[1] // 2
+    padded_shape = (frame_shape[0] + 2 * py, frame_shape[1] + 2 * px)
+    H_np, L_np = _transfer_functions(padded_shape, psf_key, psf_shape)
+
+    def one(frame, balance, filter_eps):
+        H = jnp.asarray(H_np, dtype=jnp.complex64)
+        L = jnp.asarray(L_np, dtype=jnp.complex64)
+        padded = jnp.pad(frame, ((py, py), (px, px)), mode="reflect")
+        scale = jnp.nanmax(jnp.abs(padded))
+        safe = jnp.where((scale > 0) & jnp.isfinite(scale), scale, 1.0)
+        work = (padded / safe).astype(jnp.float32)
+
+        if method == "wiener":
+            restored = _wiener_core(work, H, L, balance, clip)
+        elif method == "rl":
+            restored = _rl_core(
+                work, H, num_iter, clip, filter_eps if has_filter_eps else None
+            )
+        else:
+            restored = _uw_core(work, H, L, clip)
+
+        restored = restored * safe
+        zero_input = ~((scale > 0) & jnp.isfinite(scale))
+        restored = jnp.where(zero_input, 0.0, restored)
+        return restored[py : py + frame_shape[0], px : px + frame_shape[1]]
+
+    return jax.jit(jax.vmap(one, in_axes=(0, None, None)))
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def deconvolve_psf(
+    images: np.ndarray,
+    *,
+    sigma: float | Sequence[float],
+    method: _DeconvMethod = "wiener",
+    clip: bool = True,
+    pad_mode: Literal["reflect"] = "reflect",
+    balance: float | None = None,
+    num_iter: int = 50,
+    filter_epsilon: float | None = None,
+    reg=None,
+    user_params: dict | None = None,
+    is_real: bool = True,
+    parallel: bool = True,
+    n_jobs: int | None = None,
+    verbose: bool = False,
+    frame_chunk: int = 8,
+) -> np.ndarray:
+    """Deconvolve a Gaussian detector PSF from a 2D image or (T, H, W) stack.
+
+    ``reg``/``user_params``/``is_real`` and ``parallel``/``n_jobs`` are
+    accepted for API parity (the regularizer is the standard Laplacian; stack
+    frames batch on-device).
+    """
+    if not isinstance(images, np.ndarray):
+        raise TypeError("deconvolve_psf expects a numpy.ndarray")
+    if images.ndim not in {2, 3}:
+        raise ValueError(
+            f"images must be 2D (H, W) or 3D (T, H, W); got ndim={images.ndim}"
+        )
+
+    sy, sx = _parse_sigma(sigma)
+    psf = _gaussian_psf(sy, sx, min_size=5)
+
+    if method not in {"wiener", "rl", "uw"}:
+        raise ValueError(f"Unsupported method: {method!r}. Use 'wiener', 'rl', or 'uw'.")
+    if pad_mode != "reflect":
+        raise ValueError("Only pad_mode='reflect' is supported (by design).")
+    if method == "rl" and num_iter < 1:
+        raise ValueError("num_iter must be >= 1 for method='rl'.")
+    if balance is None and method == "wiener":
+        balance = 0.01
+
+    t0 = now()
+    img = np.asarray(images, dtype=np.float32)
+    is_stack = img.ndim == 3
+    frames = img if is_stack else img[None]
+    T = frames.shape[0]
+
+    program = _deconv_program(
+        tuple(int(s) for s in frames.shape[1:]),
+        psf.tobytes(),
+        tuple(psf.shape),
+        str(method),
+        bool(clip),
+        int(num_iter),
+        filter_epsilon is not None,
+    )
+    bal = jnp.float32(0.0 if balance is None else balance)
+    feps = jnp.float32(0.0 if filter_epsilon is None else filter_epsilon)
+
+    chunks = []
+    B = max(1, int(frame_chunk))
+    for c0 in range(0, T, B):
+        chunk = frames[c0 : c0 + B]
+        chunks.append(np.asarray(program(jnp.asarray(chunk), bal, feps)))
+    out = np.concatenate(chunks, axis=0).astype(np.float32, copy=False)
+
+    if not is_stack:
+        out = out[0]
+
+    if verbose:
+        logger.info(
+            "> deconvolve_psf | frames=%d | method=%s | sigma=(%.3f, %.3f) px | kernel=%dx%d | device_batched=yes | elapsed=%.3fs",
+            T, method, sy, sx, int(psf.shape[0]), int(psf.shape[1]),
+            elapsed_time(t0, verbose=False),
+        )
+    return out

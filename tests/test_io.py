@@ -1,0 +1,153 @@
+# SPDX-License-Identifier: CECILL-2.1
+"""I/O tests: TIFF/HDF5 round-trips, EDF parser on synthetic files,
+dispatcher behaviour."""
+import gzip
+
+import numpy as np
+import pytest
+
+from barc4dip_tpu.io import (
+    EdfFile,
+    read_edf,
+    read_h5,
+    read_image,
+    save_h5,
+    save_tiff,
+    write_image,
+)
+
+
+def _make_edf_bytes(frames: list[np.ndarray]) -> bytes:
+    """Build a multi-frame EDF file per the format spec (1024-byte-aligned
+    ASCII headers + raw little-endian data)."""
+    out = b""
+    for arr in frames:
+        dtype_name = {
+            np.dtype("uint16"): "UnsignedShort",
+            np.dtype("float32"): "FloatValue",
+            np.dtype("int32"): "SignedInteger",
+        }[arr.dtype]
+        data = arr.astype(arr.dtype.newbyteorder("<")).tobytes()
+        body = (
+            f"\nHeaderID = EH:000001:000000:000000 ;\n"
+            f"ByteOrder = LowByteFirst ;\n"
+            f"DataType = {dtype_name} ;\n"
+            f"Dim_1 = {arr.shape[1]} ;\n"
+            f"Dim_2 = {arr.shape[0]} ;\n"
+            f"Size = {len(data)} ;\n"
+        )
+        header = "{" + body
+        # pad so that len(header) + 2 (for '}\n') is a multiple of 1024
+        pad = (-(len(header) + 2)) % 1024
+        header = header + " " * pad + "}\n"
+        out += header.encode("latin-1") + data
+    return out
+
+
+def test_edf_single_frame(tmp_path):
+    arr = (np.arange(12, dtype=np.uint16) * 7).reshape(3, 4)
+    path = tmp_path / "one.edf"
+    path.write_bytes(_make_edf_bytes([arr]))
+
+    f = EdfFile(path)
+    assert f.NumImages == 1
+    np.testing.assert_array_equal(f.GetData(0), arr)
+
+    loaded = read_edf(str(path))
+    assert loaded.dtype == np.float32
+    np.testing.assert_allclose(loaded, arr)
+
+
+def test_edf_multi_frame_and_float(tmp_path):
+    a = np.random.default_rng(0).normal(size=(5, 6)).astype(np.float32)
+    b = (a * 2).astype(np.float32)
+    path = tmp_path / "two.edf"
+    path.write_bytes(_make_edf_bytes([a, b]))
+
+    f = EdfFile(path)
+    assert f.GetNumImages() == 2
+    np.testing.assert_allclose(f.GetData(1), b)
+    hdr = f.GetHeader(0)
+    assert hdr["DataType"] == "FloatValue"
+
+
+def test_edf_gzip(tmp_path):
+    arr = np.arange(20, dtype=np.uint16).reshape(4, 5)
+    path = tmp_path / "z.edf.gz"
+    path.write_bytes(gzip.compress(_make_edf_bytes([arr])))
+    np.testing.assert_allclose(read_edf(str(path)), arr)
+    # dispatcher recognises .edf.gz too
+    np.testing.assert_allclose(read_image(str(path)), arr)
+
+
+def test_edf_sequence_stack(tmp_path):
+    arrs = [np.full((3, 3), i, dtype=np.uint16) for i in range(3)]
+    paths = []
+    for i, a in enumerate(arrs):
+        p = tmp_path / f"f{i}.edf"
+        p.write_bytes(_make_edf_bytes([a]))
+        paths.append(str(p))
+    stack = read_edf(paths)
+    assert stack.shape == (3, 3, 3)
+    np.testing.assert_allclose(stack[2], 2.0)
+
+
+def test_tiff_roundtrip_2d(tmp_path):
+    img = (np.random.default_rng(1).integers(0, 60000, size=(32, 40))).astype(np.uint16)
+    out = tmp_path / "img.tif"
+    save_tiff(img, out)
+    loaded = read_image(str(out))
+    np.testing.assert_array_equal(loaded, img)
+
+
+def test_tiff_stack_one_file_per_frame(tmp_path):
+    stack = np.random.default_rng(2).integers(0, 60000, size=(3, 16, 16)).astype(np.uint16)
+    save_tiff(stack, tmp_path / "s.tif")
+    files = sorted(p.name for p in tmp_path.glob("s_*.tif"))
+    assert files == ["s_0000.tif", "s_0001.tif", "s_0002.tif"]
+    # frames differ (the reference bug wrote the whole array to every file)
+    loaded = read_image([str(tmp_path / f) for f in files])
+    np.testing.assert_array_equal(loaded, stack)
+
+
+def test_h5_roundtrip_and_frame_select(tmp_path):
+    stack = np.random.default_rng(3).normal(size=(4, 8, 8)).astype(np.float32)
+    out = tmp_path / "d.h5"
+    save_h5(stack, out)
+
+    full = read_h5(str(out))
+    np.testing.assert_allclose(full, stack)
+    np.testing.assert_allclose(read_h5(str(out), image_number=2), stack[2])
+    np.testing.assert_allclose(read_h5(str(out), image_number=-1), stack[3])
+    with pytest.raises(ValueError):
+        read_h5(str(out), image_number=10)
+    with pytest.raises(OSError):
+        save_h5(stack, out)  # refuse overwrite
+
+
+def test_h5_sequence_concat(tmp_path):
+    a = np.zeros((2, 4, 4), np.float32)
+    b = np.ones((3, 4, 4), np.float32)
+    pa, pb = tmp_path / "a.h5", tmp_path / "b.h5"
+    save_h5(a, pa)
+    save_h5(b, pb)
+    stacked = read_h5([str(pa), str(pb)])
+    assert stacked.shape == (5, 4, 4)
+
+
+def test_read_image_mean_collapse(tmp_path):
+    stack = np.stack([np.zeros((4, 4)), np.ones((4, 4)) * 2]).astype(np.float32)
+    out = tmp_path / "m.h5"
+    save_h5(stack, out)
+    m = read_image(str(out), mean=True)
+    np.testing.assert_allclose(m, 1.0)
+
+
+def test_write_image_dispatch(tmp_path):
+    img = np.ones((8, 8), dtype=np.uint16)
+    with pytest.raises(ValueError, match="EDF is not supported"):
+        write_image(img, tmp_path / "x.edf")
+    with pytest.raises(ValueError, match="Unsupported"):
+        read_image(str(tmp_path / "x.png"))
+    write_image(img, tmp_path / "ok.h5", verbose=False)
+    assert (tmp_path / "ok.h5").exists()

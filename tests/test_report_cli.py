@@ -1,0 +1,140 @@
+# SPDX-License-Identifier: CECILL-2.1
+"""Report + CLI end-to-end tests (Config A/B conformance path)."""
+import numpy as np
+import pytest
+
+from barc4dip_tpu.io import save_h5, save_tiff
+from barc4dip_tpu.metrics import sharpness_stats, speckle_stats
+from barc4dip_tpu.report.cli import main
+from barc4dip_tpu.report.markdown import logbook_report
+from tests.conftest import make_speckle
+
+
+@pytest.fixture(scope="module")
+def field():
+    rng = np.random.default_rng(41)
+    return make_speckle(rng, shape=(400, 400), grain_px=5.0)
+
+
+def test_logbook_speckles_sections(field):
+    stats = speckle_stats(field, verbose=False)
+    text = logbook_report(stats)
+    assert text.startswith("# Speckle summary\n")
+    assert "## Metadata" in text
+    assert "- Image shape: 400 x 400 px" in text
+    assert "- Image orientation: lower (detector-aligned, origin at bottom-left)" in text
+    assert "- Tiles: tiles_3x3" in text
+    assert "## Amplitude (full image)" in text
+    assert "> visibility:" in text
+    assert "## Grain (full image)" in text
+    assert "## Moments (full image)" in text
+    assert "## Bandwidth (full image)" in text
+    assert "Visibility (tiles)" in text
+    # 3x3 matrices: mean±std cells
+    assert "±" in text
+    # complete adds extra tile blocks
+    text_c = logbook_report(stats, complete=True)
+    assert "leq (tiles)" in text_c and "leq (tiles)" not in text
+    # notes add explanations
+    text_n = logbook_report(stats, notes=True)
+    assert "Notes:" in text_n
+    assert "Tile labels:" in text_n
+
+
+def test_logbook_sharpness_sections(field):
+    stats = sharpness_stats(field, verbose=False)
+    text = logbook_report(stats, complete=True)
+    assert text.startswith("# Sharpness summary\n")
+    assert "## Tenengrad (full image)" in text
+    assert "## Laplacian (full image)" in text
+    assert "## Spectral entropy (full image)" in text
+    assert "## Inverse autocorrelation width (full image)" in text
+    assert "## Eigenvalues (full image)" in text
+    # variance must be a number, not 'nan' (reference quirk fixed)
+    line = next(l for l in text.splitlines() if l.startswith("> moments:"))
+    assert "var=nan" not in line
+
+
+def test_logbook_report_validation(field):
+    with pytest.raises(TypeError):
+        logbook_report("not a dict")
+    with pytest.raises(ValueError):
+        logbook_report({"full": {}})
+    with pytest.raises(ValueError):
+        logbook_report({"meta": {"kind": "bogus"}, "full": {}})
+
+
+def test_logbook_write_to_file(field, tmp_path):
+    stats = speckle_stats(field, metrics="amplitude", tiles=False, verbose=False)
+    out = tmp_path / "report.md"
+    text = logbook_report(stats, report_path=out)
+    assert out.read_text(encoding="utf-8") == text
+    with pytest.raises(FileNotFoundError):
+        logbook_report(stats, report_path=tmp_path / "missing" / "r.md")
+
+
+def test_cli_end_to_end_tiff(field, tmp_path, capsys):
+    save_tiff(field.astype(np.float32) / field.max(), tmp_path / "speckle.tif")
+    rc = main(["-s", str(tmp_path / "speckle.tif"), "-o", str(tmp_path / "rep.md")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.startswith("# Speckle summary")
+    # default groups: amplitude, grain, stats — no bandwidth
+    assert "## Amplitude (full image)" in out
+    assert "## Grain (full image)" in out
+    assert "## Moments (full image)" in out
+    assert "## Bandwidth (full image)" not in out
+    assert (tmp_path / "rep.md").exists()
+
+
+def test_cli_all_groups_and_no_tiles(field, tmp_path, capsys):
+    save_tiff(field.astype(np.float32) / field.max(), tmp_path / "speckle.tif")
+    rc = main(["-s", str(tmp_path / "speckle.tif"), "--all", "--no_tiles"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "## Bandwidth (full image)" in out
+    assert "Visibility (tiles)" not in out
+
+
+def test_cli_h5_with_flat_dark(tmp_path, capsys):
+    rng = np.random.default_rng(42)
+    base = make_speckle(rng, shape=(256, 256), grain_px=5.0).astype(np.float32)
+    stack = np.stack([base, base * 1.1])
+    flat = rng.normal(2000.0, 50.0, size=(256, 256)).astype(np.float32)
+    save_h5(stack, tmp_path / "s.h5")
+    save_tiff(flat, tmp_path / "flat.tif")
+
+    rc = main(
+        [
+            "-s", str(tmp_path / "s.h5"),
+            "-n", "1",
+            "-f", str(tmp_path / "flat.tif"),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.startswith("# Speckle summary")
+    assert "- Image shape: 256 x 256 px" in out
+
+
+def test_logbook_stack_kind():
+    """Stack dicts get a summary too (extension beyond the reference)."""
+    stats = {
+        "meta": {
+            "kind": "speckle_stack_stats",
+            "stack_shape": (5, 64, 64),
+            "display_origin": "lower",
+            "tracking": {"method": "template", "backend": "skimage",
+                         "subpixel": True, "roi_size_yx": (31, 31),
+                         "roi_step_yx": (16, 16)},
+        },
+        "full": {},
+        "temporal": {
+            "abs": {"dx": np.arange(5.0), "dy": np.zeros(5), "r": np.arange(5.0)},
+            "inc": {"dx": np.ones(5), "dy": np.ones(5), "r": np.full(5, np.sqrt(2))},
+        },
+    }
+    text = logbook_report(stats)
+    assert "# Speckle stack summary" in text
+    assert "## Tracking" in text
+    assert "## Absolute displacement" in text
