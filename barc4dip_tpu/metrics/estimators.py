@@ -67,12 +67,14 @@ def _pad_to_square_mean(img):
 
 def amplitude_core(img, *, p_low: float = 0.05, p_high: float = 99.95) -> dict:
     """Visibility (nanstd/nanmean) and robust Michelson contrast from the
-    [p_low, p_high] nan-percentile range."""
+    [p_low, p_high] nan-percentile range (sort-free exact percentiles)."""
+    from ..ops.quantile import nanpercentiles_exact
+
     mu = jnp.nanmean(img)
     sigma = jnp.nanstd(img)
     visibility = sigma / mu
 
-    q = jnp.nanpercentile(img, jnp.asarray([p_low, p_high]))
+    q = nanpercentiles_exact(img, (p_low, p_high))
     vmin, vmax = q[0], q[1]
     denom = vmax + vmin
     contrast = jnp.where(denom > 0, (vmax - vmin) / jnp.where(denom > 0, denom, 1.0), jnp.nan)
@@ -209,13 +211,24 @@ def bandwidth_core(img) -> dict:
     sig_fy = jnp.sqrt(jnp.sum(fym * fym * Pm) / tsafe)
     rf = jnp.where(sig_fy != 0, sig_fx / jnp.where(sig_fy != 0, sig_fy, 1.0), jnp.inf)
 
-    sort_keys = jnp.where(inside.reshape(-1), frm, jnp.inf)
-    frs, Ps = jax.lax.sort((sort_keys, Pm), num_keys=1, is_stable=True)
-    cdf = jnp.cumsum(Ps) / tsafe
-    n_inside = jnp.sum(inside)
-    i95 = jnp.searchsorted(cdf, 0.95, side="left")
-    i95 = jnp.minimum(i95, n_inside - 1)
-    f95 = frs[i95]
+    # f95 via exact integer-radius classes: shifted frequencies are
+    # (i - N//2)/N with integer i, so FR groups exactly by the integer
+    # s = ix^2 + iy^2; a segment-sum histogram over s + cumsum reproduces the
+    # reference's sorted-CDF crossing radius without any sort (the crossing
+    # radius is the smallest class radius whose inclusive CDF reaches 0.95).
+    ixi = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1) - (N // 2)
+    iyi = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) - (N // 2)
+    s_int = ixi * ixi + iyi * iyi
+    smax = (N // 2) ** 2  # FR <= f_max  <=>  s <= (N//2)^2 exactly
+    ids = jnp.where(s_int <= smax, s_int, smax + 1).reshape(-1)
+
+    from jax import ops as jops
+
+    hist = jops.segment_sum(Pm, ids, num_segments=smax + 2)[: smax + 1]
+    cdf = jnp.cumsum(hist) / tsafe
+    s95 = jnp.searchsorted(cdf, 0.95, side="left")
+    s95 = jnp.minimum(s95, smax)
+    f95 = jnp.sqrt(s95.astype(P.dtype)) / N
 
     p = Pm / tsafe
     spr_denom = jnp.sum(p * p)

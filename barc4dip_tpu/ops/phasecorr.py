@@ -54,10 +54,13 @@ def argmax2d(a):
 def peak_quality(corr, i, j, *, eps: float = 1e-9):
     """(peak_value, snr) with snr = |peak| / (median|corr| + eps).
 
-    Matches reference _corr_peak_quality (signal/tracking.py:314-321).
+    Matches reference _corr_peak_quality (signal/tracking.py:314-321); the
+    median uses the sort-free exact selection (ops/quantile.py).
     """
+    from .quantile import median_exact
+
     peak = corr[i, j]
-    bg = jnp.median(jnp.abs(corr))
+    bg = median_exact(jnp.abs(corr))
     return peak, jnp.abs(peak) / (bg + eps)
 
 

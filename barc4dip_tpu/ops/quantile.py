@@ -1,0 +1,115 @@
+# SPDX-License-Identifier: CECILL-2.1
+"""Exact order statistics without sorting.
+
+Sorting lowers to an expensive-to-compile kernel on TPU (~20-30s of compile
+time per sort in a program). Percentiles and medians only need a handful of
+order statistics, so we find them by binary search on the *bit pattern*: the
+IEEE-754 total order maps monotonically onto unsigned integers, and 32/64
+counting passes (cheap fused VPU reductions) pin down the exact k-th smallest
+value. Results match ``np.nanpercentile(..., method="linear")`` bit-for-bit
+modulo the final interpolation arithmetic.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["nanquantiles_exact", "nanpercentiles_exact", "nanmedian_exact", "median_exact"]
+
+
+def _sortable_bits(x):
+    """Map floats to unsigned ints preserving numeric order (NaNs excluded
+    by callers via masks)."""
+    if x.dtype == jnp.float64:
+        u = jax.lax.bitcast_convert_type(x, jnp.uint64)
+        sign = jnp.uint64(1) << jnp.uint64(63)
+        full = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    else:
+        u = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+        sign = jnp.uint32(1) << jnp.uint32(31)
+        full = jnp.uint32(0xFFFFFFFF)
+    return jnp.where((u & sign) != 0, full - u, u | sign)
+
+
+def _bits_to_float(u, dtype):
+    if dtype == jnp.float64:
+        sign = jnp.uint64(1) << jnp.uint64(63)
+        full = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+        raw = jnp.where((u & sign) != 0, u ^ sign, full - u)
+        return jax.lax.bitcast_convert_type(raw, jnp.float64)
+    sign = jnp.uint32(1) << jnp.uint32(31)
+    full = jnp.uint32(0xFFFFFFFF)
+    raw = jnp.where((u & sign) != 0, u ^ sign, full - u)
+    return jax.lax.bitcast_convert_type(raw, jnp.float32)
+
+
+def _order_stats_bits(u, finite, ks, nbits: int):
+    """Smallest bit value v_k with count(finite & u <= v_k) >= k+1, for each
+    rank in ``ks`` (traced ints, shape (R,)). Returns (R,) bit values."""
+    utype = u.dtype
+    zero = jnp.zeros((), utype)
+
+    def body(i, state):
+        lo, hi = state  # invariants: f(hi) >= k+1, f(lo - 1) < k+1 (lo > 0)
+        mid = lo + (hi - lo) // 2
+        # counting pass shared across ranks: (npix, 1) <= (1, R)
+        cnt = jnp.sum(
+            (finite[:, None]) & (u[:, None] <= mid[None, :]), axis=0
+        )
+        ge = cnt >= (ks + 1)
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, mid + 1)
+        return lo, hi
+
+    R = ks.shape[0]
+    lo0 = jnp.full((R,), zero, utype)
+    hi0 = jnp.full((R,), ~zero, utype)
+    lo, hi = jax.lax.fori_loop(0, nbits + 1, body, (lo0, hi0))
+    return hi
+
+
+def nanquantiles_exact(x, qs: tuple[float, ...]):
+    """Exact nan-aware quantiles (q in [0, 1]) with linear interpolation.
+
+    Returns an array of shape (len(qs),) in x's dtype. All-NaN input yields
+    NaNs.
+    """
+    x = x.reshape(-1)
+    dtype = x.dtype
+    nbits = 64 if dtype == jnp.float64 else 32
+
+    finite = jnp.isfinite(x)
+    n = jnp.sum(finite)
+    nf = jnp.maximum(n, 1)
+
+    u = _sortable_bits(jnp.where(finite, x, 0.0))
+
+    qarr = jnp.asarray(qs, dtype=jnp.float64 if dtype == jnp.float64 else jnp.float32)
+    rank = qarr * (nf - 1).astype(qarr.dtype)
+    lo_k = jnp.floor(rank).astype(jnp.int64 if nbits == 64 else jnp.int32)
+    hi_k = jnp.ceil(rank).astype(lo_k.dtype)
+    frac = (rank - jnp.floor(rank)).astype(dtype)
+
+    ks = jnp.concatenate([lo_k, hi_k])
+    vals_bits = _order_stats_bits(u, finite, ks, nbits)
+    vals = _bits_to_float(vals_bits, dtype)
+    R = len(qs)
+    v_lo, v_hi = vals[:R], vals[R:]
+
+    out = v_lo + frac * (v_hi - v_lo)
+    return jnp.where(n > 0, out, jnp.nan).astype(dtype)
+
+
+def nanpercentiles_exact(x, ps: tuple[float, ...]):
+    """Exact nan-aware percentiles (p in [0, 100])."""
+    return nanquantiles_exact(x, tuple(p / 100.0 for p in ps))
+
+
+def nanmedian_exact(x):
+    """Exact nan-aware median (scalar)."""
+    return nanquantiles_exact(x, (0.5,))[0]
+
+
+def median_exact(x):
+    """Exact median of an array assumed free of NaNs (scalar)."""
+    return nanmedian_exact(x)

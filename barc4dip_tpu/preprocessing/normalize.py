@@ -23,12 +23,14 @@ __all__ = ["flat_field_correction"]
 
 @partial(jax.jit, static_argnames=("scale", "bad_pixel_removal", "has_eps"))
 def _ffc_device(img, flat2d, dark2d, eps_in, *, scale, bad_pixel_removal, has_eps):
+    from ..ops.quantile import median_exact, nanmedian_exact
+
     den = flat2d - dark2d
 
     if has_eps:
         eps = eps_in
     else:
-        med = jnp.median(den)
+        med = median_exact(den)
         eps = jnp.where(med > 0, 1e-6 * med, 1e-6)
 
     bad = den <= eps
@@ -43,7 +45,7 @@ def _ffc_device(img, flat2d, dark2d, eps_in, *, scale, bad_pixel_removal, has_ep
         if scale == "flat_mean":
             s = jnp.sum(jnp.where(valid, den, 0.0)) / nvalid
         else:  # flat_median over valid pixels: mask invalid to NaN
-            s = jnp.nanmedian(jnp.where(valid, den, jnp.nan))
+            s = nanmedian_exact(jnp.where(valid, den, jnp.nan))
         out = out * s
 
     out = jnp.where(bad, 0.0, out)

@@ -43,25 +43,24 @@ def filtered_minmax_range(image, size: int = 3) -> tuple[float, float]:
     return vmin, vmax
 
 
-@jax.jit
-def _nanpct(x, p_low, p_high):
-    return (
-        jnp.nanpercentile(x.astype(jnp.float32) if x.dtype == jnp.float16 else x, p_low),
-        jnp.nanpercentile(x, p_high),
-    )
+@partial(jax.jit, static_argnames=("p_low", "p_high"))
+def _nanpct(x, *, p_low, p_high):
+    from ..ops.quantile import nanpercentiles_exact
+
+    return nanpercentiles_exact(x, (p_low, p_high))
 
 
 def percentile_minmax_range(
     image, p_low: float = 0.05, p_high: float = 99.95
 ) -> tuple[float, float]:
-    """Global nan-aware percentile range across all pixels."""
+    """Global nan-aware percentile range across all pixels (sort-free)."""
     arr = jnp.asarray(image)
     if not jnp.issubdtype(arr.dtype, jnp.floating):
         from ..config import default_float
 
         arr = arr.astype(default_float())
-    vmin, vmax = _nanpct(arr, jnp.asarray(p_low), jnp.asarray(p_high))
-    return float(vmin), float(vmax)
+    q = _nanpct(arr, p_low=float(p_low), p_high=float(p_high))
+    return float(q[0]), float(q[1])
 
 
 def filtered_minmax_range_streaming(image, size: int = 3) -> tuple[float, float]:
