@@ -244,6 +244,49 @@ def tiled_scalar_fields(
 
 
 # ---------------------------------------------------------------------------
+# Chunked stack execution
+# ---------------------------------------------------------------------------
+
+def run_stack_program(
+    stack: np.ndarray, program, *, frame_chunk: int = 4, dtype=None, mesh=None
+):
+    """Run a vmapped per-frame metric program over a (T, H, W) stack in
+    fixed-size chunks (one compiled shape; tail padded and discarded).
+
+    With ``mesh`` (a 1-D device mesh), each chunk's frame axis is sharded
+    across the mesh — frames process data-parallel across chips with no
+    cross-device communication (GSPMD propagates the batch sharding).
+
+    Returns the program's output pytree with a leading T axis, as NumPy.
+    """
+    T = int(stack.shape[0])
+    B = max(1, min(int(frame_chunk), T))
+    if dtype is None:
+        dtype = np.float64 if stack.dtype == np.float64 else np.float32
+
+    put = jnp.asarray
+    if mesh is not None:
+        from ..parallel.mesh import frames_sharding
+
+        n_dev = mesh.size
+        B = max(1, -(-B // n_dev)) * n_dev  # round chunk up to mesh multiple
+        sharding = frames_sharding(mesh)
+        put = lambda a: jax.device_put(jnp.asarray(a), sharding)  # noqa: E731
+
+    pieces = []
+    for c0 in range(0, T, B):
+        c1 = min(c0 + B, T)
+        chunk = np.asarray(stack[c0:c1], dtype=dtype)
+        n = c1 - c0
+        if n < B:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], B - n, axis=0)], axis=0)
+        raw = jax.device_get(program(put(chunk)))
+        pieces.append(jax.tree_util.tree_map(lambda a: np.asarray(a)[:n], raw))
+
+    return jax.tree_util.tree_map(lambda *xs: np.concatenate(xs, axis=0), *pieces)
+
+
+# ---------------------------------------------------------------------------
 # Time series stacking and group selection (host-side)
 # ---------------------------------------------------------------------------
 

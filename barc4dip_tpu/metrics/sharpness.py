@@ -120,6 +120,35 @@ def _sharpness_program(groups: tuple, mode: str, sat: float | None, eps: float):
     return jax.jit(_sharpness_device_fn(frozenset(groups), mode, sat, eps))
 
 
+@lru_cache(maxsize=128)
+def _sharpness_stack_program(groups: tuple, mode: str, sat: float | None, eps: float):
+    """vmapped per-frame program: (B, H, W) -> pytree with leading B axis."""
+    return jax.jit(jax.vmap(_sharpness_device_fn(frozenset(groups), mode, sat, eps)))
+
+
+def _assemble_stack_output(raw: dict, mode: str) -> tuple[dict, dict | None]:
+    full_raw = raw["full"]
+    out_full = {
+        g: {k: np.asarray(v) for k, v in d.items()} for g, d in full_raw.items()
+    }
+
+    out_tiles = None
+    if mode != "off" and "tiles" in raw:
+        out_tiles = {}
+        T = next(iter(out_full[next(iter(out_full))].values())).shape[0]
+        for key, v in raw["tiles"].items():
+            g, f = key.split("/", 1)
+            dst = out_tiles.setdefault(g, {})
+            if mode == "subtiles_9x9":
+                dst[f] = {"mean": np.asarray(v["mean"]), "std": np.asarray(v["std"])}
+            else:
+                dst[f] = {
+                    "mean": np.asarray(v["mean"]),
+                    "std": np.full((T, 3, 3), np.nan),
+                }
+    return out_full, out_tiles
+
+
 # ---------------------------------------------------------------------------
 # standalone estimators
 # ---------------------------------------------------------------------------
@@ -411,6 +440,8 @@ def sharpness_stack_stats(
     verbose: bool = True,
     parallel: bool = True,
     n_jobs: int | None = None,
+    frame_chunk: int = 8,
+    mesh=None,
 ) -> dict:
     """Per-frame sharpness metrics stacked along a leading time axis.
 
@@ -435,29 +466,30 @@ def sharpness_stack_stats(
     serial_mode = (not parallel) or (n_jobs is not None and int(n_jobs) <= 1)
     tile_mode, tile_shape_px = choose_tiling_mode(H, W, tiles=tiles)
 
-    per_frame: list[dict] = []
-    last = -1
-    for t in range(T):
-        if verbose:
-            last = progress_update("Sharpness stats loop", t, T, last)
-        per_frame.append(
-            sharpness_stats(
-                stack[t, :, :],
-                metrics=metrics,
-                tiles=tiles,
-                display_origin=display_origin,
-                saturation_value=saturation_value,
-                eps=eps,
-                verbose=False,
-            )
+    if "autocorrelation" in groups and min(H, W) < _IAW_MIN_PX:
+        raise ValueError(
+            f"image too small for inverse autocorrelation width "
+            f"(min dimension < {_IAW_MIN_PX})."
         )
+
+    # per-frame metrics, frames batched on-device in chunks
+    from .common import run_stack_program
+
+    oriented = stack[:, ::-1, :] if display_origin == "lower" else stack
+    program = _sharpness_stack_program(
+        tuple(sorted(groups)),
+        tile_mode,
+        None if saturation_value is None else float(saturation_value),
+        float(eps),
+    )
+    if verbose:
+        progress_update("Sharpness stats loop", 0, T, -1)
+    raw = run_stack_program(
+        np.ascontiguousarray(oriented), program, frame_chunk=frame_chunk, mesh=mesh
+    )
+    out_full, out_tiles = _assemble_stack_output(raw, tile_mode)
     if verbose:
         progress_done("Sharpness stats loop")
-
-    out_full = stack_time_series([d["full"] for d in per_frame])
-    out_tiles = None
-    if tiles and all(isinstance(d.get("tiles"), dict) for d in per_frame):
-        out_tiles = stack_time_series([d["tiles"] for d in per_frame])
 
     meta: dict = {
         "kind": "sharpness_stack_stats",

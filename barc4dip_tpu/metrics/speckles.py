@@ -153,6 +153,37 @@ def _speckle_program(groups: tuple, mode: str, sat: float | None, eps: float):
     return jax.jit(_speckle_device_fn(frozenset(groups), mode, sat, eps))
 
 
+@lru_cache(maxsize=128)
+def _speckle_stack_program(groups: tuple, mode: str, sat: float | None, eps: float):
+    """vmapped per-frame program: (B, H, W) -> pytree with leading B axis."""
+    return jax.jit(jax.vmap(_speckle_device_fn(frozenset(groups), mode, sat, eps)))
+
+
+def _assemble_stack_output(raw: dict, groups: set, mode: str) -> tuple[dict, dict | None]:
+    """Convert a stacked raw pytree into the reference (full, tiles) schema."""
+    full_raw = raw["full"]
+    out_full: dict = {}
+    for g in ("amplitude", "grain", "stats", "bandwidth"):
+        if g in full_raw:
+            out_full[g] = {k: np.asarray(v) for k, v in full_raw[g].items()}
+
+    out_tiles = None
+    if mode != "off" and "tiles" in raw:
+        out_tiles = {}
+        T = next(iter(full_raw[next(iter(full_raw))].values())).shape[0]
+        for key, v in raw["tiles"].items():
+            g, f = key.split("/", 1)
+            dst = out_tiles.setdefault(g, {})
+            if mode == "subtiles_9x9":
+                dst[f] = {"mean": np.asarray(v["mean"]), "std": np.asarray(v["std"])}
+            else:
+                dst[f] = {
+                    "mean": np.asarray(v["mean"]),
+                    "std": np.full((T, 3, 3), np.nan),
+                }
+    return out_full, out_tiles
+
+
 def _unflatten_tiles(flat: dict, *, has_std: bool) -> dict:
     """{"group/field": {"mean","std"}|{"mean"}} -> nested reference schema."""
     tiles: dict = {}
@@ -419,6 +450,7 @@ def speckle_stack_stats(
     parallel: bool = True,
     n_jobs: int | None = None,
     frame_chunk: int = 8,
+    mesh=None,
 ) -> dict:
     """Per-frame speckle metrics stacked over time plus abs/inc translation
     tracking from a central 3x3 ROI grid.
@@ -444,30 +476,31 @@ def speckle_stack_stats(
 
     serial_mode = (not parallel) or (n_jobs is not None and int(n_jobs) <= 1)
 
-    # ---- phase 1: per-frame metrics (device-batched) ----
-    per_frame: list[dict] = []
-    last = -1
-    for t in range(T):
-        if verbose and serial_mode:
-            last = progress_update("Speckle stats loop", t, T, last)
-        per_frame.append(
-            speckle_stats(
-                stack[t, :, :],
-                metrics=metrics,
-                tiles=tiles,
-                display_origin=display_origin,
-                saturation_value=saturation_value,
-                eps=eps,
-                verbose=False,
-            )
-        )
-    if verbose and serial_mode:
-        progress_done("Speckle stats loop")
+    groups = normalize_groups(
+        metrics, all_groups=_ALL_SPECKLE_GROUPS, context="speckles", param_name="metrics"
+    )
+    if "grain" in groups and min(H, W) < _GRAIN_MIN_PX:
+        raise ValueError("image too small for speckle grain metrics (min dimension < 128).")
 
-    out_full = stack_time_series([d["full"] for d in per_frame])
-    out_tiles = None
-    if tiles and all(isinstance(d.get("tiles"), dict) for d in per_frame):
-        out_tiles = stack_time_series([d["tiles"] for d in per_frame])
+    # ---- phase 1: per-frame metrics, frames batched on-device in chunks ----
+    from .common import run_stack_program
+
+    oriented = stack[:, ::-1, :] if display_origin == "lower" else stack
+    mode, _tile_shape = choose_tiling_mode(H, W, tiles=tiles, min_tile_px=MIN_TILE_PX)
+    program = _speckle_stack_program(
+        tuple(sorted(groups)),
+        mode,
+        None if saturation_value is None else float(saturation_value),
+        float(eps),
+    )
+    if verbose:
+        progress_update("Speckle stats loop", 0, T, -1)
+    raw = run_stack_program(
+        np.ascontiguousarray(oriented), program, frame_chunk=frame_chunk, mesh=mesh
+    )
+    out_full, out_tiles = _assemble_stack_output(raw, groups, mode)
+    if verbose:
+        progress_done("Speckle stats loop")
 
     # ---- phase 2: ROI sizing from frame-0 grain ----
     frame0 = stack[0, :, :]
@@ -495,6 +528,7 @@ def speckle_stack_stats(
         eps=1e-9,
         frame_chunk=frame_chunk,
         verbose=verbose,
+        mesh=mesh,
     )
 
     # ---- phase 4: temporal aggregation ----

@@ -203,11 +203,17 @@ def track_stack_batched(
     eps: float = 1e-9,
     frame_chunk: int = 8,
     verbose: bool = False,
+    mesh=None,
 ):
     """Track all frames of a (T, H, W) stack against the 3x3 ROI grid.
 
     Returns (dx_abs, dy_abs, dx_inc, dy_inc), each (T, 3, 3) float32.
     Absolute shifts use frame 0 templates; incremental shifts use frame t-1.
+
+    With ``mesh``, chunk frame axes are sharded across the device mesh; the
+    frame-0 template bank is replicated. The t-1 dependency is resolved
+    host-side (each shard receives its own prev frames), so no device-side
+    halo exchange is needed.
     """
     T, H, W = (int(v) for v in stack.shape)
     starts, centers, s = _grid_geometry(grid_slices)
@@ -220,16 +226,29 @@ def track_stack_batched(
     dtype = np.float32 if stack.dtype != np.float64 else np.float64
     B = max(1, min(int(frame_chunk), T))
 
+    put_frames = jnp.asarray
+    put_repl = jnp.asarray
+    if mesh is not None:
+        from ..parallel.mesh import frames_sharding, replicated_sharding
+
+        n_dev = mesh.size
+        B = max(1, -(-B // n_dev)) * n_dev
+        fsh = frames_sharding(mesh)
+        rsh = replicated_sharding(mesh)
+        put_frames = lambda a: jax.device_put(jnp.asarray(a), fsh)  # noqa: E731
+        put_repl = lambda a: jax.device_put(jnp.asarray(a), rsh)  # noqa: E731
+
     frame0 = jnp.asarray(stack[0], dtype=dtype)
     eps_j = jnp.asarray(eps, dtype=dtype)
 
     if method == "template":
-        tpl0 = _template_tpl0_program(s, starts_key)(frame0)
+        tpl_arg = _template_tpl0_program(s, starts_key)(frame0)
         chunk_fn = _template_chunk_program(H, W, s, B, bool(subpixel), starts_key)
-        tpl_arg = tpl0
     else:
         tpl_arg = _phase_tpl0_program(H, W, s, starts_key)(frame0, eps_j)
         chunk_fn = _phase_chunk_program(H, W, s, B, bool(subpixel), starts_key)
+    if mesh is not None:
+        tpl_arg = put_repl(tpl_arg)
 
     dy_abs = np.empty((T, 9), np.float32)
     dx_abs = np.empty((T, 9), np.float32)
@@ -253,7 +272,8 @@ def track_stack_batched(
             prevs = np.concatenate([prevs, np.repeat(prevs[-1:], padn, axis=0)], axis=0)
 
         res = chunk_fn(
-            jnp.asarray(imgs, dtype=dtype), jnp.asarray(prevs, dtype=dtype),
+            put_frames(np.asarray(imgs, dtype=dtype)),
+            put_frames(np.asarray(prevs, dtype=dtype)),
             tpl_arg, eps_j,
         )
         dy_a, dx_a, dy_i, dx_i = (np.asarray(r, np.float32)[:n] for r in res)

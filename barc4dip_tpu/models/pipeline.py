@@ -1,0 +1,140 @@
+# SPDX-License-Identifier: CECILL-2.1
+"""End-to-end analysis pipelines (the framework's "model" layer).
+
+The flagship pipeline is the full speckle-stack workload (reference
+Config D / ex_04): flat-field correction -> per-frame speckle metrics
+(full + tiles) -> abs/inc translation tracking -> temporal statistics.
+On TPU it runs as chunked fused programs with optional frame-axis mesh
+sharding; ``full_step_fn`` exposes the whole per-chunk computation as one
+jittable function for compile checks and multi-chip dry runs.
+"""
+from __future__ import annotations
+
+from typing import Literal, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..metrics.estimators import (
+    amplitude_core,
+    distribution_moments_core,
+    grain_core,
+)
+from ..metrics.speckles import speckle_stack_stats
+from ..metrics.tracking_batch import _extract_tiles
+from ..ops import ncc as ncc_ops
+from ..ops import phasecorr as pc_ops
+from ..preprocessing.normalize import flat_field_correction
+
+__all__ = ["SpeckleStackPipeline", "full_step_fn"]
+
+
+class SpeckleStackPipeline:
+    """Flat-field + speckle-stack analysis as a single configured pipeline.
+
+    Parameters mirror :func:`speckle_stack_stats`; ``mesh`` shards the frame
+    axis across devices.
+    """
+
+    def __init__(
+        self,
+        *,
+        metrics: str | Sequence[str] = "all",
+        tiles: bool = True,
+        tracking_method: str = "template",
+        tracking_backend: str = "skimage",
+        subpixel: bool = True,
+        frame_chunk: int = 8,
+        mesh=None,
+        display_origin: Literal["upper", "lower"] = "lower",
+    ):
+        self.metrics = metrics
+        self.tiles = tiles
+        self.tracking_method = tracking_method
+        self.tracking_backend = tracking_backend
+        self.subpixel = subpixel
+        self.frame_chunk = frame_chunk
+        self.mesh = mesh
+        self.display_origin = display_origin
+
+    def __call__(
+        self,
+        stack: np.ndarray,
+        *,
+        flats: np.ndarray | None = None,
+        darks: np.ndarray | None = None,
+        verbose: bool = False,
+    ) -> dict:
+        if flats is not None or darks is not None:
+            stack = flat_field_correction(stack, flats=flats, darks=darks)
+        return speckle_stack_stats(
+            np.asarray(stack),
+            metrics=self.metrics,
+            tiles=self.tiles,
+            tracking_method=self.tracking_method,
+            tracking_backend=self.tracking_backend,
+            subpixel=self.subpixel,
+            frame_chunk=self.frame_chunk,
+            mesh=self.mesh,
+            display_origin=self.display_origin,
+            verbose=verbose,
+        )
+
+
+def full_step_fn(roi_side: int, roi_starts: np.ndarray):
+    """Build the fused per-chunk step of the flagship pipeline as ONE pure
+    jittable function:
+
+        (frames (B,H,W), prevs (B,H,W), flat (H,W), dark (H,W),
+         tpl0 (9,s,s)) ->
+        {metrics..., dy_abs/dx_abs/dy_inc/dx_inc (B, 9)}
+
+    This is the unit the driver compile-checks and dry-runs over a device
+    mesh: flat-field (elementwise), speckle metrics (FFT autocorr + moments)
+    and batched NCC tracking, fused end-to-end.
+    """
+    s = int(roi_side)
+    starts = np.asarray(roi_starts, np.int32).reshape(-1, 2)
+    centers_y = (starts[:, 0] + (s - 1) / 2.0).astype(np.float32)
+    centers_x = (starts[:, 1] + (s - 1) / 2.0).astype(np.float32)
+
+    def one_frame(img, prev, flat, dark, tpl0):
+        den = flat - dark
+        den = jnp.where(den <= 0, 1.0, den)
+        corrected = (img - dark) / den
+        prev_c = (prev - dark) / den
+
+        metrics = {
+            "amplitude": amplitude_core(corrected),
+            "grain": grain_core(corrected, with_map=False),
+            "stats": distribution_moments_core(corrected),
+        }
+
+        prep = ncc_ops.zncc_prepare_image(corrected, s, s)
+
+        def run_tpl(tpl):
+            corr = ncc_ops.ncc_valid_from_prepared(prep, tpl)
+            i, j = pc_ops.argmax2d(corr)
+            di, dj = pc_ops.subpixel_taylor(corr, i, j)
+            return i.astype(corr.dtype) + di, j.astype(corr.dtype) + dj
+
+        tpl_inc = _extract_tiles(prev_c, starts, s)
+        py_a, px_a = jax.vmap(run_tpl)(tpl0)
+        py_i, px_i = jax.vmap(run_tpl)(tpl_inc)
+
+        half = (s - 1) / 2.0
+        cy = jnp.asarray(centers_y, dtype=corrected.dtype)
+        cx = jnp.asarray(centers_x, dtype=corrected.dtype)
+        metrics["dy_abs"] = py_a + half - cy
+        metrics["dx_abs"] = px_a + half - cx
+        metrics["dy_inc"] = py_i + half - cy
+        metrics["dx_inc"] = px_i + half - cx
+        return metrics
+
+    def step(frames, prevs, flat, dark, tpl0):
+        return jax.vmap(
+            lambda im, pr: one_frame(im, pr, flat, dark, tpl0)
+        )(frames, prevs)
+
+    return step

@@ -1,0 +1,61 @@
+# SPDX-License-Identifier: CECILL-2.1
+"""Device-mesh data parallelism over the frame axis.
+
+The reference's only parallelism is a joblib thread pool over stack frames
+(reference metrics/speckles.py:296-325, SURVEY §2.10). The TPU-native
+equivalent is a 1-D ``jax.sharding.Mesh`` over the frame axis: per-frame
+metric and tracking programs are embarrassingly parallel, so sharding the
+batch axis distributes them across chips with zero collectives on the hot
+path (temporal reductions happen on tiny host arrays afterwards).
+
+Multi-host stacks would extend the same mesh across DCN via
+``jax.distributed.initialize``; single-host multi-chip works out of the box.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+__all__ = [
+    "frame_mesh",
+    "frames_sharding",
+    "replicated_sharding",
+    "shard_frames",
+    "pad_to_multiple",
+]
+
+FRAME_AXIS = "frames"
+
+
+def frame_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (or the given) devices, axis name "frames"."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (FRAME_AXIS,))
+
+
+def frames_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (frame) axis across the mesh."""
+    return NamedSharding(mesh, PartitionSpec(FRAME_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, PartitionSpec())
+
+
+def pad_to_multiple(arr: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:
+    """Pad the leading axis to a multiple (repeating the last frame);
+    returns (padded, original_length)."""
+    n = arr.shape[0]
+    pad = (-n) % multiple
+    if pad:
+        arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)], axis=0)
+    return arr, n
+
+
+def shard_frames(arr, mesh: Mesh):
+    """Place a (T, ...) array on the mesh, frame axis sharded."""
+    return jax.device_put(arr, frames_sharding(mesh))
