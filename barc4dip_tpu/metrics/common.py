@@ -273,15 +273,26 @@ def run_stack_program(
         sharding = frames_sharding(mesh)
         put = lambda a: jax.device_put(jnp.asarray(a), sharding)  # noqa: E731
 
+    # One-behind pipeline: dispatch chunk k+1 (async) before pulling chunk k,
+    # overlapping device compute with host transfers (device_get is the
+    # dominant cost on tunneled backends). Keeps at most 2 chunk outputs live.
     pieces = []
+    pending = None  # (device_output, n_valid)
     for c0 in range(0, T, B):
         c1 = min(c0 + B, T)
         chunk = np.asarray(stack[c0:c1], dtype=dtype)
         n = c1 - c0
         if n < B:
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], B - n, axis=0)], axis=0)
-        raw = jax.device_get(program(put(chunk)))
-        pieces.append(jax.tree_util.tree_map(lambda a: np.asarray(a)[:n], raw))
+        out = program(put(chunk))
+        if pending is not None:
+            raw, pn = pending
+            raw = jax.device_get(raw)
+            pieces.append(jax.tree_util.tree_map(lambda a: np.asarray(a)[:pn], raw))
+        pending = (out, n)
+    raw, pn = pending
+    raw = jax.device_get(raw)
+    pieces.append(jax.tree_util.tree_map(lambda a: np.asarray(a)[:pn], raw))
 
     return jax.tree_util.tree_map(lambda *xs: np.concatenate(xs, axis=0), *pieces)
 

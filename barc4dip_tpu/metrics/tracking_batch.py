@@ -75,15 +75,20 @@ def _template_chunk_program(
             px = px + dj
         return py, px
 
-    def one_frame(img, prev, tpl0, eps):
+    def one_frame(img, prev, tpl0_preps, eps):
         prep = ncc_ops.zncc_prepare_image(img, s, s, eps=eps)
+
+        def run_prep(tp):
+            corr = ncc_ops.ncc_valid_from_preps(prep, tp, eps=eps)
+            return peak_of(corr)
 
         def run_tpl(tpl):
             corr = ncc_ops.ncc_valid_from_prepared(prep, tpl, eps=eps)
             return peak_of(corr)
 
         tpl_inc = _extract_tiles(prev, starts, s)
-        py_a, px_a = jax.vmap(run_tpl)(tpl0)
+        # frame-0 template spectra are precomputed once per stack
+        py_a, px_a = jax.vmap(run_prep)(tpl0_preps)
         py_i, px_i = jax.vmap(run_tpl)(tpl_inc)
 
         half = (s - 1) / 2.0
@@ -180,12 +185,13 @@ def _phase_tpl0_program(H: int, W: int, s: int, starts_key: tuple):
 
 
 @lru_cache(maxsize=32)
-def _template_tpl0_program(s: int, starts_key: tuple):
+def _template_tpl0_program(H: int, W: int, s: int, starts_key: tuple):
     starts = np.asarray(starts_key, np.int32).reshape(-1, 2)
 
     @jax.jit
     def prep(frame0):
-        return _extract_tiles(frame0, starts, s)
+        tiles = _extract_tiles(frame0, starts, s)
+        return jax.vmap(lambda t: ncc_ops.prep_template(t, H, W))(tiles)
 
     return prep
 
@@ -242,19 +248,29 @@ def track_stack_batched(
     eps_j = jnp.asarray(eps, dtype=dtype)
 
     if method == "template":
-        tpl_arg = _template_tpl0_program(s, starts_key)(frame0)
+        tpl_arg = _template_tpl0_program(H, W, s, starts_key)(frame0)
         chunk_fn = _template_chunk_program(H, W, s, B, bool(subpixel), starts_key)
     else:
         tpl_arg = _phase_tpl0_program(H, W, s, starts_key)(frame0, eps_j)
         chunk_fn = _phase_chunk_program(H, W, s, B, bool(subpixel), starts_key)
     if mesh is not None:
-        tpl_arg = put_repl(tpl_arg)
+        tpl_arg = jax.tree_util.tree_map(put_repl, tpl_arg)
 
     dy_abs = np.empty((T, 9), np.float32)
     dx_abs = np.empty((T, 9), np.float32)
     dy_inc = np.empty((T, 9), np.float32)
     dx_inc = np.empty((T, 9), np.float32)
 
+    def _store(res, c0: int, c1: int) -> None:
+        n = c1 - c0
+        dy_a, dx_a, dy_i, dx_i = (np.asarray(r, np.float32)[:n] for r in jax.device_get(res))
+        dy_abs[c0:c1] = dy_a
+        dx_abs[c0:c1] = dx_a
+        dy_inc[c0:c1] = dy_i
+        dx_inc[c0:c1] = dx_i
+
+    # one-behind pipeline: overlap chunk compute with host transfers
+    pending = None
     last = -1
     for c0 in range(0, T, B):
         if verbose:
@@ -276,11 +292,10 @@ def track_stack_batched(
             put_frames(np.asarray(prevs, dtype=dtype)),
             tpl_arg, eps_j,
         )
-        dy_a, dx_a, dy_i, dx_i = (np.asarray(r, np.float32)[:n] for r in res)
-        dy_abs[c0:c1] = dy_a
-        dx_abs[c0:c1] = dx_a
-        dy_inc[c0:c1] = dy_i
-        dx_inc[c0:c1] = dx_i
+        if pending is not None:
+            _store(*pending)
+        pending = (res, c0, c1)
+    _store(*pending)
     if verbose:
         progress_done("Speckle stability loop")
 

@@ -62,20 +62,34 @@ def zncc_prepare_image(image, h: int, w: int, *, eps: float = 1e-9):
     return {"F": F, "s1": s1, "var_sum": var_sum, "shape": image.shape, "hw": (h, w)}
 
 
-def ncc_valid_from_prepared(prep, template, *, eps: float = 1e-9):
-    """NCC valid-mode map for one template against a prepared image."""
-    H, W = prep["shape"]
-    h, w = prep["hw"]
+def prep_template(template, H: int, W: int):
+    """Precompute a template's padded spectrum + energy for repeated use
+    against many prepared images (e.g. the fixed frame-0 template bank in
+    stack tracking)."""
+    h, w = template.shape[-2], template.shape[-1]
     t = template - jnp.mean(template)
-    t_energy = jnp.sum(t * t)
-
     tpl_pad = jnp.pad(t, ((0, H - h), (0, W - w)))
-    corr_full = jnp.fft.irfft2(prep["F"] * jnp.conj(jnp.fft.rfft2(tpl_pad)), s=(H, W))
-    numer = corr_full[: H - h + 1, : W - w + 1]
+    # (h, w) ride on the image prep; only array leaves here so the dict
+    # vmaps cleanly as a template bank
+    return {"Ft": jnp.fft.rfft2(tpl_pad), "energy": jnp.sum(t * t)}
 
-    denom = jnp.sqrt(prep["var_sum"] * t_energy)
+
+def ncc_valid_from_preps(img_prep, tpl_prep, *, eps: float = 1e-9):
+    """NCC valid map from a prepared image and a prepared template."""
+    H, W = img_prep["shape"]
+    h, w = img_prep["hw"]
+    corr_full = jnp.fft.irfft2(img_prep["F"] * jnp.conj(tpl_prep["Ft"]), s=(H, W))
+    numer = corr_full[: H - h + 1, : W - w + 1]
+    denom = jnp.sqrt(img_prep["var_sum"] * tpl_prep["energy"])
     safe = denom > eps
     return jnp.where(safe, numer / jnp.where(safe, denom, 1.0), 0.0)
+
+
+def ncc_valid_from_prepared(prep, template, *, eps: float = 1e-9):
+    """NCC valid-mode map for one (raw) template against a prepared image."""
+    H, W = prep["shape"]
+    tpl_prep = prep_template(template, int(H), int(W))
+    return ncc_valid_from_preps(prep, tpl_prep, eps=eps)
 
 
 def ncc_valid(image, template, *, eps: float = 1e-9):

@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+# SPDX-License-Identifier: CECILL-2.1
+"""North-star benchmark: full speckle-stack pipeline throughput per chip.
+
+Config D (SURVEY §6): ``speckle_stack_stats`` over a synthetic detector
+stack — per-frame speckle metrics (all groups, full + tiles) plus abs/inc
+translation tracking. The same call is measured on the CPU reference
+(mounted at /root/reference, tracking backend "opencv") to produce
+``vs_baseline``; the CPU number is cached in .bench_baseline.json because it
+is orders of magnitude slower.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "MP/s/chip", "vs_baseline": N}
+
+Environment knobs: BENCH_T (TPU frames, default 16), BENCH_SIZE (frame side,
+default 2048), BENCH_CPU_T (baseline frames, default 2),
+BENCH_FORCE_BASELINE=1 re-measures the CPU baseline.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+BASELINE_CACHE = REPO / ".bench_baseline.json"
+
+
+def make_stack(T: int, side: int, grain_px: float = 8.0) -> np.ndarray:
+    """Synthetic speckle stack with spiral motion (ex_04-style workload)."""
+    rng = np.random.default_rng(1234)
+    a = rng.normal(size=(side, side)) + 1j * rng.normal(size=(side, side))
+    f = np.fft.fftfreq(side)
+    fx, fy = f[None, :], f[:, None]
+    sigma_f = 1.0 / (2.0 * np.pi * (grain_px / 2.355))
+    H = np.exp(-(fx**2 + fy**2) / (2 * sigma_f**2))
+    base_F = np.fft.fft2(a) * H
+
+    ts = np.arange(T)
+    dys = 0.35 * ts * np.cos(ts * 0.7)
+    dxs = 0.35 * ts * np.sin(ts * 0.7)
+
+    frames = np.empty((T, side, side), np.float32)
+    for t in range(T):
+        phase = np.exp(-2j * np.pi * (fy * dys[t] + fx * dxs[t]))
+        field = np.abs(np.fft.ifft2(base_F * phase)) ** 2
+        frames[t] = (field / field.mean() * 8000.0).astype(np.float32)
+    return frames
+
+
+def run_pipeline_tpu(stack: np.ndarray, frame_chunk: int) -> float:
+    """Run the full pipeline; returns elapsed seconds (post-warmup)."""
+    import barc4dip_tpu as dip
+
+    kwargs = dict(
+        metrics="all",
+        tiles=True,
+        tracking_method="template",
+        tracking_backend="opencv",
+        verbose=False,
+        frame_chunk=frame_chunk,
+    )
+
+    # Warmup on a chunk-sized slice: compiles every program involved (the
+    # tracking ROI derives from frame-0 grain, so shapes match the real run).
+    warm_T = min(stack.shape[0], max(2, frame_chunk))
+    dip.speckle_stack_stats(stack[:warm_T], **kwargs)
+
+    t0 = time.perf_counter()
+    dip.speckle_stack_stats(stack, **kwargs)
+    return time.perf_counter() - t0
+
+
+def measure_cpu_baseline(side: int, cpu_T: int) -> float:
+    """Per-frame seconds of the reference pipeline on CPU."""
+    sys.path.insert(0, "/root/reference/src")
+    import barc4dip as ref
+
+    stack = make_stack(cpu_T, side)
+    t0 = time.perf_counter()
+    ref.speckle_stack_stats(
+        stack.astype(np.float64),
+        metrics="all",
+        tiles=True,
+        tracking_backend="opencv",
+        verbose=False,
+        parallel=True,
+        n_jobs=-1,
+    )
+    elapsed = time.perf_counter() - t0
+    return elapsed / cpu_T
+
+
+def get_cpu_baseline(side: int, cpu_T: int) -> float | None:
+    key = f"{side}x{side}"
+    force = os.environ.get("BENCH_FORCE_BASELINE") == "1"
+    if BASELINE_CACHE.exists() and not force:
+        try:
+            cache = json.loads(BASELINE_CACHE.read_text())
+            if key in cache:
+                return float(cache[key]["sec_per_frame"])
+        except Exception:
+            pass
+    try:
+        sec_per_frame = measure_cpu_baseline(side, cpu_T)
+    except Exception as exc:  # baseline is best-effort
+        print(f"# baseline measurement failed: {exc!r}", file=sys.stderr)
+        return None
+    cache = {}
+    if BASELINE_CACHE.exists():
+        try:
+            cache = json.loads(BASELINE_CACHE.read_text())
+        except Exception:
+            cache = {}
+    cache[key] = {
+        "sec_per_frame": sec_per_frame,
+        "frames_measured": cpu_T,
+        "backend": "cpu reference (joblib threads, opencv tracking)",
+    }
+    BASELINE_CACHE.write_text(json.dumps(cache, indent=2))
+    return sec_per_frame
+
+
+def main() -> int:
+    T = int(os.environ.get("BENCH_T", 16))
+    side = int(os.environ.get("BENCH_SIZE", 2048))
+    cpu_T = int(os.environ.get("BENCH_CPU_T", 2))
+    frame_chunk = int(os.environ.get("BENCH_CHUNK", 4))
+
+    stack = make_stack(T, side)
+
+    elapsed = run_pipeline_tpu(stack, frame_chunk)
+    mpix_total = T * side * side / 1e6
+    tpu_mpix_s = mpix_total / elapsed
+
+    cpu_sec_per_frame = get_cpu_baseline(side, cpu_T)
+    if cpu_sec_per_frame and cpu_sec_per_frame > 0:
+        cpu_mpix_s = (side * side / 1e6) / cpu_sec_per_frame
+        vs_baseline = tpu_mpix_s / cpu_mpix_s
+    else:
+        vs_baseline = float("nan")
+
+    print(
+        json.dumps(
+            {
+                "metric": "speckle_stack_pipeline_throughput",
+                "value": round(tpu_mpix_s, 3),
+                "unit": "MP/s/chip",
+                "vs_baseline": round(vs_baseline, 3)
+                if np.isfinite(vs_baseline)
+                else None,
+                "detail": {
+                    "frames": T,
+                    "frame": f"{side}x{side}",
+                    "tpu_elapsed_s": round(elapsed, 3),
+                    "tpu_ms_per_frame": round(1e3 * elapsed / T, 1),
+                    "cpu_ref_s_per_frame": round(cpu_sec_per_frame, 3)
+                    if cpu_sec_per_frame
+                    else None,
+                    "pipeline": "speckle_stack_stats: all metric groups + tiles + abs/inc tracking",
+                },
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,394 @@
+// SPDX-License-Identifier: CECILL-2.1
+//
+// dipio — native I/O runtime for barc4dip_tpu.
+//
+// Components:
+//   * EDF container codec: header scan (1024-byte-aligned ASCII blocks) and
+//     zero-copy frame reads via pread into caller-provided buffers.
+//   * Async stack prefetcher: a thread pool reads a list of EDF files ahead
+//     of the consumer into a bounded ring of slots, so disk/codec latency
+//     overlaps with host->device transfer and device compute.
+//
+// Plain C ABI (ctypes-friendly); no external dependencies.
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <fcntl.h>
+#include <strings.h>
+#include <sys/stat.h>
+#include <sys/types.h>
+#include <unistd.h>
+
+namespace {
+
+thread_local std::string g_last_error;
+
+void set_error(const std::string& msg) { g_last_error = msg; }
+
+// ---------------------------------------------------------------------------
+// EDF parsing
+// ---------------------------------------------------------------------------
+
+constexpr size_t kHeaderBlock = 1024;
+
+// dtype codes shared with the Python wrapper
+enum DType : int {
+  DT_I1 = 0, DT_U1, DT_I2, DT_U2, DT_I4, DT_U4, DT_I8, DT_U8, DT_F4, DT_F8,
+};
+
+int dtype_size(int code) {
+  switch (code) {
+    case DT_I1: case DT_U1: return 1;
+    case DT_I2: case DT_U2: return 2;
+    case DT_I4: case DT_U4: case DT_F4: return 4;
+    default: return 8;
+  }
+}
+
+bool parse_dtype(const std::string& name, int* code) {
+  std::string s;
+  s.reserve(name.size());
+  for (char c : name) s.push_back(static_cast<char>(::tolower(c)));
+  if (s == "signedbyte") *code = DT_I1;
+  else if (s == "unsignedbyte") *code = DT_U1;
+  else if (s == "signedshort") *code = DT_I2;
+  else if (s == "unsignedshort") *code = DT_U2;
+  else if (s == "signedinteger" || s == "signedlong") *code = DT_I4;
+  else if (s == "unsignedinteger" || s == "unsignedlong") *code = DT_U4;
+  else if (s == "signed64") *code = DT_I8;
+  else if (s == "unsigned64") *code = DT_U8;
+  else if (s == "floatvalue" || s == "float") *code = DT_F4;
+  else if (s == "doublevalue" || s == "double") *code = DT_F8;
+  else return false;
+  return true;
+}
+
+struct FrameInfo {
+  int64_t data_offset = 0;
+  int64_t dim1 = 0;  // fast axis (columns)
+  int64_t dim2 = 0;  // slow axis (rows)
+  int dtype = DT_U2;
+  bool little_endian = true;
+  int64_t nbytes = 0;
+};
+
+struct EdfFile {
+  int fd = -1;
+  std::vector<FrameInfo> frames;
+};
+
+std::string header_value(const std::string& header, const std::string& key) {
+  // headers are "Key = value ;" pairs separated by ';'
+  size_t pos = 0;
+  while (pos < header.size()) {
+    size_t end = header.find(';', pos);
+    if (end == std::string::npos) end = header.size();
+    std::string item = header.substr(pos, end - pos);
+    size_t eq = item.find('=');
+    if (eq != std::string::npos) {
+      std::string k = item.substr(0, eq);
+      // trim
+      k.erase(0, k.find_first_not_of(" \t\r\n"));
+      k.erase(k.find_last_not_of(" \t\r\n") + 1);
+      if (k == key) {
+        std::string v = item.substr(eq + 1);
+        v.erase(0, v.find_first_not_of(" \t\r\n"));
+        v.erase(v.find_last_not_of(" \t\r\n") + 1);
+        return v;
+      }
+    }
+    pos = end + 1;
+  }
+  return {};
+}
+
+bool scan_edf(EdfFile* f, const char* path) {
+  f->fd = ::open(path, O_RDONLY);
+  if (f->fd < 0) {
+    set_error(std::string("cannot open '") + path + "'");
+    return false;
+  }
+
+  int64_t pos = 0;
+  struct stat st;
+  if (::fstat(f->fd, &st) != 0) {
+    set_error("fstat failed");
+    return false;
+  }
+  const int64_t fsize = st.st_size;
+
+  while (pos < fsize) {
+    // skip whitespace between frames
+    char c = 0;
+    while (pos < fsize) {
+      if (::pread(f->fd, &c, 1, pos) != 1) return true;
+      if (c == '{') break;
+      if (c == '\n' || c == '\r' || c == ' ' || c == '\t') { pos++; continue; }
+      set_error("malformed EDF header (expected '{')");
+      return false;
+    }
+    if (pos >= fsize) break;
+
+    // read blocks until '}' found
+    std::string header;
+    int64_t scan = pos + 1;
+    int64_t brace_end = -1;
+    while (brace_end < 0) {
+      char buf[kHeaderBlock];
+      ssize_t got = ::pread(f->fd, buf, kHeaderBlock, scan);
+      if (got <= 0) {
+        set_error("unterminated EDF header");
+        return false;
+      }
+      for (ssize_t i = 0; i < got; ++i) {
+        if (buf[i] == '}') {
+          header.append(buf, buf + i);
+          brace_end = scan + i;
+          break;
+        }
+      }
+      if (brace_end < 0) {
+        header.append(buf, buf + got);
+        scan += got;
+      }
+    }
+
+    // header (incl. '{' and up to '}') is padded to a 1024-byte boundary
+    int64_t header_len = brace_end - pos + 1;
+    int64_t padded = ((header_len + 1 + kHeaderBlock - 1) / kHeaderBlock) * kHeaderBlock;
+    // +1 accounts for the newline after '}' included in the padding rule
+    // used by writers (header chunk ends with "}\n" at the boundary)
+    int64_t data_offset = pos + padded;
+    if (data_offset > fsize) data_offset = brace_end + 2;
+
+    FrameInfo info;
+    info.data_offset = data_offset;
+    try {
+      info.dim1 = std::stoll(header_value(header, "Dim_1"));
+      info.dim2 = std::stoll(header_value(header, "Dim_2"));
+    } catch (...) {
+      set_error("EDF header missing Dim_1/Dim_2");
+      return false;
+    }
+    std::string dt = header_value(header, "DataType");
+    if (dt.empty()) dt = "UnsignedShort";
+    if (!parse_dtype(dt, &info.dtype)) {
+      set_error("unsupported EDF DataType '" + dt + "'");
+      return false;
+    }
+    std::string bo = header_value(header, "ByteOrder");
+    info.little_endian = bo.empty() ||
+        strcasecmp(bo.c_str(), "LowByteFirst") == 0;
+    info.nbytes = info.dim1 * info.dim2 * dtype_size(info.dtype);
+
+    f->frames.push_back(info);
+    pos = data_offset + info.nbytes;
+  }
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// Async prefetcher
+// ---------------------------------------------------------------------------
+
+struct Slot {
+  std::vector<uint8_t> data;
+  int64_t dim1 = 0, dim2 = 0;
+  int dtype = 0;
+  int status = 0;  // 0 = empty, 1 = loading, 2 = ready, -1 = error
+  std::string error;
+};
+
+struct Prefetcher {
+  std::vector<std::string> paths;
+  std::vector<Slot> slots;          // one per file, filled ahead-of-need
+  size_t window = 4;                // how far ahead workers may run
+  std::atomic<size_t> next_job{0};
+  size_t next_consume = 0;
+  std::mutex mu;
+  std::condition_variable cv_ready;  // consumer waits for slot ready
+  std::condition_variable cv_space;  // workers wait for window space
+  std::vector<std::thread> workers;
+  std::atomic<bool> stop{false};
+
+  ~Prefetcher() {
+    stop = true;
+    cv_space.notify_all();
+    for (auto& t : workers) {
+      if (t.joinable()) t.join();
+    }
+  }
+
+  void worker() {
+    for (;;) {
+      size_t job = next_job.fetch_add(1);
+      if (job >= paths.size() || stop) return;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_space.wait(lk, [&] { return stop || job < next_consume + window; });
+        if (stop) return;
+        slots[job].status = 1;
+      }
+
+      EdfFile f;
+      bool ok = scan_edf(&f, paths[job].c_str());
+      std::string err;
+      Slot local;
+      if (ok && !f.frames.empty()) {
+        const FrameInfo& info = f.frames[0];
+        local.data.resize(info.nbytes);
+        ssize_t got = ::pread(f.fd, local.data.data(), info.nbytes, info.data_offset);
+        if (got != info.nbytes) {
+          ok = false;
+          err = "truncated EDF data block";
+        } else {
+          local.dim1 = info.dim1;
+          local.dim2 = info.dim2;
+          local.dtype = info.dtype;
+        }
+      } else if (ok) {
+        ok = false;
+        err = "EDF file has no frames";
+      } else {
+        err = g_last_error;
+      }
+      if (f.fd >= 0) ::close(f.fd);
+
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        Slot& s = slots[job];
+        s.data = std::move(local.data);
+        s.dim1 = local.dim1;
+        s.dim2 = local.dim2;
+        s.dtype = local.dtype;
+        s.status = ok ? 2 : -1;
+        s.error = err;
+      }
+      cv_ready.notify_all();
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+const char* dipio_last_error() { return g_last_error.c_str(); }
+
+// ---- EDF codec ----
+
+void* dipio_edf_open(const char* path) {
+  auto* f = new EdfFile();
+  if (!scan_edf(f, path)) {
+    if (f->fd >= 0) ::close(f->fd);
+    delete f;
+    return nullptr;
+  }
+  return f;
+}
+
+int dipio_edf_num_frames(void* handle) {
+  return static_cast<int>(static_cast<EdfFile*>(handle)->frames.size());
+}
+
+int dipio_edf_frame_info(void* handle, int idx, int64_t* dim1, int64_t* dim2,
+                         int* dtype, int* little_endian, int64_t* nbytes) {
+  auto* f = static_cast<EdfFile*>(handle);
+  if (idx < 0 || idx >= static_cast<int>(f->frames.size())) {
+    set_error("frame index out of range");
+    return -1;
+  }
+  const FrameInfo& info = f->frames[idx];
+  *dim1 = info.dim1;
+  *dim2 = info.dim2;
+  *dtype = info.dtype;
+  *little_endian = info.little_endian ? 1 : 0;
+  *nbytes = info.nbytes;
+  return 0;
+}
+
+int dipio_edf_read_frame(void* handle, int idx, void* out, int64_t cap) {
+  auto* f = static_cast<EdfFile*>(handle);
+  if (idx < 0 || idx >= static_cast<int>(f->frames.size())) {
+    set_error("frame index out of range");
+    return -1;
+  }
+  const FrameInfo& info = f->frames[idx];
+  if (cap < info.nbytes) {
+    set_error("output buffer too small");
+    return -1;
+  }
+  ssize_t got = ::pread(f->fd, out, info.nbytes, info.data_offset);
+  if (got != info.nbytes) {
+    set_error("truncated EDF data block");
+    return -1;
+  }
+  return 0;
+}
+
+void dipio_edf_close(void* handle) {
+  auto* f = static_cast<EdfFile*>(handle);
+  if (f->fd >= 0) ::close(f->fd);
+  delete f;
+}
+
+// ---- async prefetcher (first frame of each file in a path list) ----
+
+void* dipio_prefetch_open(const char** paths, int n_paths, int n_threads,
+                          int window) {
+  auto* p = new Prefetcher();
+  p->paths.assign(paths, paths + n_paths);
+  p->slots.resize(n_paths);
+  p->window = window > 0 ? static_cast<size_t>(window) : 4;
+  int threads = n_threads > 0 ? n_threads : 2;
+  for (int i = 0; i < threads; ++i) {
+    p->workers.emplace_back([p] { p->worker(); });
+  }
+  return p;
+}
+
+// Blocks until the next in-order frame is ready; returns its geometry and
+// copies the payload. Returns 0 on success, 1 when the sequence is
+// exhausted, -1 on error.
+int dipio_prefetch_next(void* handle, void* out, int64_t cap, int64_t* dim1,
+                        int64_t* dim2, int* dtype) {
+  auto* p = static_cast<Prefetcher*>(handle);
+  if (p->next_consume >= p->paths.size()) return 1;
+
+  size_t idx = p->next_consume;
+  std::unique_lock<std::mutex> lk(p->mu);
+  p->cv_ready.wait(lk, [&] { return p->slots[idx].status == 2 || p->slots[idx].status == -1; });
+  Slot& s = p->slots[idx];
+  if (s.status == -1) {
+    set_error(s.error);
+    return -1;
+  }
+  if (cap < static_cast<int64_t>(s.data.size())) {
+    set_error("output buffer too small");
+    return -1;
+  }
+  std::memcpy(out, s.data.data(), s.data.size());
+  *dim1 = s.dim1;
+  *dim2 = s.dim2;
+  *dtype = s.dtype;
+  s.data.clear();
+  s.data.shrink_to_fit();
+  p->next_consume++;
+  lk.unlock();
+  p->cv_space.notify_all();
+  return 0;
+}
+
+void dipio_prefetch_close(void* handle) {
+  delete static_cast<Prefetcher*>(handle);
+}
+
+}  // extern "C"
