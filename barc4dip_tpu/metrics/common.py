@@ -248,7 +248,8 @@ def tiled_scalar_fields(
 # ---------------------------------------------------------------------------
 
 def run_stack_program(
-    stack: np.ndarray, program, *, frame_chunk: int = 4, dtype=None, mesh=None
+    stack: np.ndarray, program, *, frame_chunk: int = 4, dtype=None, mesh=None,
+    checkpoint=None,
 ):
     """Run a vmapped per-frame metric program over a (T, H, W) stack in
     fixed-size chunks (one compiled shape; tail padded and discarded).
@@ -276,23 +277,36 @@ def run_stack_program(
     # One-behind pipeline: dispatch chunk k+1 (async) before pulling chunk k,
     # overlapping device compute with host transfers (device_get is the
     # dominant cost on tunneled backends). Keeps at most 2 chunk outputs live.
-    pieces = []
-    pending = None  # (device_output, n_valid)
+    # With a ChunkStore, completed chunks are persisted and skipped on resume.
+    pieces: list = []
+    pending = None  # (device_output, n_valid, chunk_start, piece_index)
+
+    def _collect(raw, pn, c0, slot):
+        raw = jax.device_get(raw)
+        piece = jax.tree_util.tree_map(lambda a: np.asarray(a)[:pn], raw)
+        if checkpoint is not None:
+            checkpoint.save(c0, piece)
+        pieces[slot] = piece
+
     for c0 in range(0, T, B):
         c1 = min(c0 + B, T)
-        chunk = np.asarray(stack[c0:c1], dtype=dtype)
         n = c1 - c0
+        pieces.append(None)
+        slot = len(pieces) - 1
+
+        if checkpoint is not None and checkpoint.has(c0):
+            pieces[slot] = checkpoint.load(c0)
+            continue
+
+        chunk = np.asarray(stack[c0:c1], dtype=dtype)
         if n < B:
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], B - n, axis=0)], axis=0)
         out = program(put(chunk))
         if pending is not None:
-            raw, pn = pending
-            raw = jax.device_get(raw)
-            pieces.append(jax.tree_util.tree_map(lambda a: np.asarray(a)[:pn], raw))
-        pending = (out, n)
-    raw, pn = pending
-    raw = jax.device_get(raw)
-    pieces.append(jax.tree_util.tree_map(lambda a: np.asarray(a)[:pn], raw))
+            _collect(*pending)
+        pending = (out, n, c0, slot)
+    if pending is not None:
+        _collect(*pending)
 
     return jax.tree_util.tree_map(lambda *xs: np.concatenate(xs, axis=0), *pieces)
 

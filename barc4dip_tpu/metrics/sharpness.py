@@ -442,6 +442,7 @@ def sharpness_stack_stats(
     n_jobs: int | None = None,
     frame_chunk: int = 8,
     mesh=None,
+    checkpoint_dir=None,
 ) -> dict:
     """Per-frame sharpness metrics stacked along a leading time axis.
 
@@ -482,10 +483,22 @@ def sharpness_stack_stats(
         None if saturation_value is None else float(saturation_value),
         float(eps),
     )
+    ckpt = None
+    if checkpoint_dir is not None:
+        from ..utils.checkpoint import ChunkStore
+
+        config = {
+            "kind": "sharpness_stack", "shape": (T, H, W), "groups": sorted(groups),
+            "mode": tile_mode, "sat": saturation_value, "eps": eps,
+            "origin": display_origin, "chunk": frame_chunk,
+        }
+        ckpt = ChunkStore(checkpoint_dir, "sharpness_metrics", config)
+
     if verbose:
         progress_update("Sharpness stats loop", 0, T, -1)
     raw = run_stack_program(
-        np.ascontiguousarray(oriented), program, frame_chunk=frame_chunk, mesh=mesh
+        np.ascontiguousarray(oriented), program, frame_chunk=frame_chunk, mesh=mesh,
+        checkpoint=ckpt,
     )
     out_full, out_tiles = _assemble_stack_output(raw, tile_mode)
     if verbose:

@@ -140,9 +140,6 @@ def _speckle_device_fn(groups: frozenset, mode: str, sat: float | None, eps: flo
         elif mode == "tiles_3x3":
             grids = tiled_scalar_fields_device(img, n=3, compute_fn=tile_fn)
             out["tiles"] = {k: {"mean": v} for k, v in grids.items()}
-        return fn_postprocess(out)
-
-    def fn_postprocess(out):
         return out
 
     return fn
@@ -451,6 +448,7 @@ def speckle_stack_stats(
     n_jobs: int | None = None,
     frame_chunk: int = 8,
     mesh=None,
+    checkpoint_dir=None,
 ) -> dict:
     """Per-frame speckle metrics stacked over time plus abs/inc translation
     tracking from a central 3x3 ROI grid.
@@ -493,10 +491,24 @@ def speckle_stack_stats(
         None if saturation_value is None else float(saturation_value),
         float(eps),
     )
+    ckpt_metrics = None
+    ckpt_tracking_dir = None
+    if checkpoint_dir is not None:
+        from ..utils.checkpoint import ChunkStore
+
+        config = {
+            "kind": "speckle_stack", "shape": (T, H, W), "groups": sorted(groups),
+            "mode": mode, "sat": saturation_value, "eps": eps,
+            "origin": display_origin, "chunk": frame_chunk,
+        }
+        ckpt_metrics = ChunkStore(checkpoint_dir, "speckle_metrics", config)
+        ckpt_tracking_dir = checkpoint_dir
+
     if verbose:
         progress_update("Speckle stats loop", 0, T, -1)
     raw = run_stack_program(
-        np.ascontiguousarray(oriented), program, frame_chunk=frame_chunk, mesh=mesh
+        np.ascontiguousarray(oriented), program, frame_chunk=frame_chunk, mesh=mesh,
+        checkpoint=ckpt_metrics,
     )
     out_full, out_tiles = _assemble_stack_output(raw, groups, mode)
     if verbose:
@@ -529,6 +541,7 @@ def speckle_stack_stats(
         frame_chunk=frame_chunk,
         verbose=verbose,
         mesh=mesh,
+        checkpoint_dir=ckpt_tracking_dir,
     )
 
     # ---- phase 4: temporal aggregation ----

@@ -210,6 +210,7 @@ def track_stack_batched(
     frame_chunk: int = 8,
     verbose: bool = False,
     mesh=None,
+    checkpoint_dir=None,
 ):
     """Track all frames of a (T, H, W) stack against the 3x3 ROI grid.
 
@@ -261,9 +262,22 @@ def track_stack_batched(
     dy_inc = np.empty((T, 9), np.float32)
     dx_inc = np.empty((T, 9), np.float32)
 
+    ckpt = None
+    if checkpoint_dir is not None:
+        from ..utils.checkpoint import ChunkStore
+
+        config = {
+            "kind": "tracking", "shape": (T, H, W), "method": method,
+            "roi": s, "starts": starts_key, "subpixel": bool(subpixel),
+            "chunk": B,
+        }
+        ckpt = ChunkStore(checkpoint_dir, "tracking", config)
+
     def _store(res, c0: int, c1: int) -> None:
         n = c1 - c0
         dy_a, dx_a, dy_i, dx_i = (np.asarray(r, np.float32)[:n] for r in jax.device_get(res))
+        if ckpt is not None:
+            ckpt.save(c0, {"dy_a": dy_a, "dx_a": dx_a, "dy_i": dy_i, "dx_i": dx_i})
         dy_abs[c0:c1] = dy_a
         dx_abs[c0:c1] = dx_a
         dy_inc[c0:c1] = dy_i
@@ -277,6 +291,14 @@ def track_stack_batched(
             last = progress_update("Speckle stability loop", c0, T, last)
         c1 = min(c0 + B, T)
         n = c1 - c0
+
+        if ckpt is not None and ckpt.has(c0):
+            saved = ckpt.load(c0)
+            dy_abs[c0:c1] = saved["dy_a"]
+            dx_abs[c0:c1] = saved["dx_a"]
+            dy_inc[c0:c1] = saved["dy_i"]
+            dx_inc[c0:c1] = saved["dx_i"]
+            continue
 
         imgs = stack[c0:c1]
         prevs = stack[max(c0 - 1, 0) : c1 - 1]
@@ -295,7 +317,8 @@ def track_stack_batched(
         if pending is not None:
             _store(*pending)
         pending = (res, c0, c1)
-    _store(*pending)
+    if pending is not None:
+        _store(*pending)
     if verbose:
         progress_done("Speckle stability loop")
 

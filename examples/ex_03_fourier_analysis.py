@@ -1,0 +1,51 @@
+# SPDX-License-Identifier: CECILL-2.1
+"""ex_03 — FFT / PSD / autocorrelation analysis of a speckle field
+(reference ex_03 workflow): spectra, radial means, spectral plots.
+
+Run: python examples/ex_03_fourier_analysis.py [out_dir]
+"""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+import barc4dip_tpu as dip
+
+
+def main(out_dir=None):
+    rng = np.random.default_rng(2)
+    side, pixel_um = 1024, 0.65
+    a = rng.normal(size=(side, side)) + 1j * rng.normal(size=(side, side))
+    f = np.fft.fftfreq(side)
+    H = np.exp(-(f[None, :] ** 2 + f[:, None] ** 2) / (2 * (1 / (2 * np.pi * 8 / 2.355)) ** 2))
+    field = np.abs(np.fft.ifft2(np.fft.fft2(a) * H)) ** 2
+    field = (field / field.mean() * 1000).astype(np.float32)
+
+    # physically calibrated spectra (cycles/um)
+    P, fx, fy = dip.signal.psd2d(field, dx=pixel_um, dy=pixel_um, scale=True)
+    ac, xlag, ylag = dip.signal.autocorr2d(field, dx=pixel_um, dy=pixel_um)
+
+    rad_b, r_b = dip.maths.radial_mean_binned(np.asarray(ac))
+    rad_i, r_i = dip.maths.radial_mean_interpolated(np.asarray(ac))
+
+    w, hit = dip.maths.width_at_fraction(np.asarray(ac)[side // 2, :], fraction=1 / np.e)
+    print(f"autocorr 1/e full width: {w * pixel_um:.2f} um ({w:.2f} px), hit_edge={hit}")
+    d, _ = dip.maths.distance_at_fraction_from_peak(np.asarray(rad_i), fraction=1 / np.e)
+    print(f"radial 1/e radius: {d:.2f} px -> leq = {2 * d * (r_i[1] - r_i[0]):.2f} px")
+
+    if out_dir:
+        from barc4dip_tpu.plotting import plt_spectrum1d, plt_spectrum2d, savefig
+
+        figs = plt_spectrum2d(np.asarray(P), x=fx, y=fy, log_intensity=True,
+                              mask_center=True, xlabel="fx (1/um)", ylabel="fy (1/um)")
+        savefig(figs["intensity"], f"{out_dir}/ex03_psd.png")
+        fig = plt_spectrum1d(np.asarray(rad_i), np.asarray(r_i), logy=True,
+                             cumulative=True, xlabel="r (px)", ylabel="autocorr")
+        savefig(fig, f"{out_dir}/ex03_radial.png")
+        print(f"wrote plots to {out_dir}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else None)
