@@ -2,8 +2,6 @@
 """Center square crops (parity with reference geometry/crop.py:9)."""
 from __future__ import annotations
 
-import numpy as np
-
 __all__ = ["crop_to_square_center"]
 
 

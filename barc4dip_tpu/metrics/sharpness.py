@@ -24,7 +24,6 @@ from .common import (
     apply_display_origin,
     choose_tiling_mode,
     normalize_groups,
-    stack_time_series,
     subtile_grids_to_3x3_device,
     tiled_scalar_fields_device,
     tiles_meta,

@@ -25,24 +25,17 @@ import numpy as np
 
 from ..config import MIN_TILE_PX
 from ..geometry.roi import odd_size, roi_grid_3x3
-from ..utils import elapsed_time, now, progress_done, progress_update
+from ..utils import elapsed_time, now
 from .common import (
     apply_display_origin,
     choose_tiling_mode,
     nan_std_grid_3x3,
     normalize_groups,
     pack_mean_std,
-    stack_time_series,
-    subtile_grids_to_3x3_device,
-    tiled_scalar_fields_device,
     tiles_meta,
 )
-from .estimators import (
-    amplitude_core,
-    bandwidth_core,
-    distribution_moments_core,
-    grain_core,
-)
+from .estimators import amplitude_core, bandwidth_core, grain_core
+from .speckles_device import speckle_device_fn as _speckle_device_fn
 
 logger = logging.getLogger(__name__)
 
@@ -101,49 +94,6 @@ _GRAIN_MIN_PX = 128
 # ---------------------------------------------------------------------------
 # fused device program
 # ---------------------------------------------------------------------------
-
-def _speckle_device_fn(groups: frozenset, mode: str, sat: float | None, eps: float):
-    """Build the fused full+tiles program for one static configuration."""
-
-    def tile_fn(tile):
-        vals: dict = {}
-        if "amplitude" in groups:
-            a = amplitude_core(tile)
-            vals["amplitude"] = a
-        if "grain" in groups:
-            vals["grain"] = grain_core(tile, with_map=False)
-        if "stats" in groups:
-            vals["stats"] = distribution_moments_core(
-                tile, saturation_value=sat, eps=eps
-            )
-        if "bandwidth" in groups:
-            vals["bandwidth"] = bandwidth_core(tile)
-        # flatten to "group/field" for the generic executor
-        return {f"{g}/{k}": v for g, d in vals.items() for k, v in d.items()}
-
-    def fn(img):
-        out: dict = {"full": {}}
-        if "amplitude" in groups:
-            out["full"]["amplitude"] = amplitude_core(img)
-        if "grain" in groups:
-            out["full"]["grain"] = grain_core(img, with_map=True)
-        if "stats" in groups:
-            out["full"]["stats"] = distribution_moments_core(
-                img, saturation_value=sat, eps=eps
-            )
-        if "bandwidth" in groups:
-            out["full"]["bandwidth"] = bandwidth_core(img)
-
-        if mode == "subtiles_9x9":
-            grids = tiled_scalar_fields_device(img, n=9, compute_fn=tile_fn)
-            out["tiles"] = subtile_grids_to_3x3_device(grids)
-        elif mode == "tiles_3x3":
-            grids = tiled_scalar_fields_device(img, n=3, compute_fn=tile_fn)
-            out["tiles"] = {k: {"mean": v} for k, v in grids.items()}
-        return out
-
-    return fn
-
 
 @lru_cache(maxsize=128)
 def _speckle_program(groups: tuple, mode: str, sat: float | None, eps: float):
@@ -456,9 +406,11 @@ def speckle_stack_stats(
     ``parallel``/``n_jobs`` are accepted for API parity; on TPU the frame
     axis is batched on-device in chunks of ``frame_chunk`` frames (the
     device-native analogue of the reference's joblib thread pool,
-    metrics/speckles.py:296-325).
+    metrics/speckles.py:296-325). Metrics and tracking run as ONE fused
+    program per chunk: each chunk uploads once in its original dtype and the
+    incremental-tracking tail stays device-resident (metrics/stack_fused.py).
     """
-    from .tracking_batch import track_stack_batched
+    from .stack_fused import run_fused_speckle_stack
 
     t0 = now()
 
@@ -480,41 +432,14 @@ def speckle_stack_stats(
     if "grain" in groups and min(H, W) < _GRAIN_MIN_PX:
         raise ValueError("image too small for speckle grain metrics (min dimension < 128).")
 
-    # ---- phase 1: per-frame metrics, frames batched on-device in chunks ----
-    from .common import run_stack_program
+    method_norm = str(tracking_method).strip().lower()
+    if method_norm not in ("template", "phase"):
+        raise ValueError(f"Unsupported tracking method for stacks: {tracking_method!r}")
 
-    oriented = stack[:, ::-1, :] if display_origin == "lower" else stack
     mode, _tile_shape = choose_tiling_mode(H, W, tiles=tiles, min_tile_px=MIN_TILE_PX)
-    program = _speckle_stack_program(
-        tuple(sorted(groups)),
-        mode,
-        None if saturation_value is None else float(saturation_value),
-        float(eps),
-    )
-    ckpt_metrics = None
-    ckpt_tracking_dir = None
-    if checkpoint_dir is not None:
-        from ..utils.checkpoint import ChunkStore
 
-        config = {
-            "kind": "speckle_stack", "shape": (T, H, W), "groups": sorted(groups),
-            "mode": mode, "sat": saturation_value, "eps": eps,
-            "origin": display_origin, "chunk": frame_chunk,
-        }
-        ckpt_metrics = ChunkStore(checkpoint_dir, "speckle_metrics", config)
-        ckpt_tracking_dir = checkpoint_dir
-
-    if verbose:
-        progress_update("Speckle stats loop", 0, T, -1)
-    raw = run_stack_program(
-        np.ascontiguousarray(oriented), program, frame_chunk=frame_chunk, mesh=mesh,
-        checkpoint=ckpt_metrics,
-    )
-    out_full, out_tiles = _assemble_stack_output(raw, groups, mode)
-    if verbose:
-        progress_done("Speckle stats loop")
-
-    # ---- phase 2: ROI sizing from frame-0 grain ----
+    # ---- ROI sizing from frame-0 grain (reference phase 2, hoisted: the
+    # fused chunk program needs the static ROI geometry up front) ----
     frame0 = stack[0, :, :]
     grain0 = grain(frame0, verbose=False)
 
@@ -531,18 +456,38 @@ def speckle_stack_stats(
 
     grid_slices, grid_labels = roi_grid_3x3((H, W), roi_size_yx, step_yx, center_yx=None)
 
-    # ---- phase 3: batched tracking ----
-    dx_abs_tiles, dy_abs_tiles, dx_inc_tiles, dy_inc_tiles = track_stack_batched(
+    ckpt = None
+    if checkpoint_dir is not None:
+        from ..utils.checkpoint import ChunkStore
+
+        config = {
+            "kind": "speckle_stack_fused", "shape": (T, H, W),
+            "groups": sorted(groups), "mode": mode, "sat": saturation_value,
+            "eps": eps, "origin": display_origin, "chunk": frame_chunk,
+            "roi": roi_side, "step": step, "method": tracking_method,
+            "subpixel": bool(subpixel),
+        }
+        ckpt = ChunkStore(checkpoint_dir, "speckle_fused", config)
+
+    # ---- fused metrics + tracking over device-resident chunks ----
+    raw_metrics, track = run_fused_speckle_stack(
         stack,
         grid_slices,
-        method=tracking_method,
-        subpixel=subpixel,
-        eps=1e-9,
+        groups=groups,
+        mode=mode,
+        sat=None if saturation_value is None else float(saturation_value),
+        eps=float(eps),
+        flip=(display_origin == "lower"),
+        method=str(tracking_method).strip().lower(),
+        subpixel=bool(subpixel),
+        track_eps=1e-9,
         frame_chunk=frame_chunk,
-        verbose=verbose,
         mesh=mesh,
-        checkpoint_dir=ckpt_tracking_dir,
+        checkpoint=ckpt,
+        verbose=verbose,
     )
+    out_full, out_tiles = _assemble_stack_output(raw_metrics, groups, mode)
+    dx_abs_tiles, dy_abs_tiles, dx_inc_tiles, dy_inc_tiles = track
 
     # ---- phase 4: temporal aggregation ----
     r_abs_tiles = np.sqrt(dx_abs_tiles**2 + dy_abs_tiles**2)

@@ -1,0 +1,309 @@
+# SPDX-License-Identifier: CECILL-2.1
+"""Fused stack pipeline: per-frame metrics + tracking in ONE chunk program.
+
+Transfer-optimal execution of ``speckle_stack_stats`` (the SURVEY §7 goal of
+"the whole per-frame pipeline as one fused program with no host round-trips
+per frame"):
+
+- each chunk of raw frames is uploaded ONCE in its original dtype (uint16
+  detector frames stay uint16 on the wire — half the bytes) and cast/flipped
+  on device;
+- per-frame metrics (full + tiles) and abs/inc tracking evaluate in the same
+  XLA program against that single copy;
+- the chunk's last frame stays device-resident as the next chunk's
+  incremental-tracking tail (no host round-trip for the t-1 dependency);
+- chunk k+1 dispatches before chunk k's results are pulled (one-behind).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import ncc as ncc_ops
+from ..ops import phasecorr as pc_ops
+from ..utils import progress_done, progress_update
+from .speckles_device import speckle_device_fn
+from .tracking_batch import _extract_tiles, _grid_geometry
+
+__all__ = ["run_fused_speckle_stack"]
+
+
+def _to_compute(x):
+    if x.dtype in (jnp.float32, jnp.float64):
+        return x
+    return x.astype(jnp.float32)
+
+
+def _make_track_frame_fn(H, W, s, starts, subpixel, method):
+    centers_y = (starts[:, 0] + (s - 1) / 2.0).astype(np.float64)
+    centers_x = (starts[:, 1] + (s - 1) / 2.0).astype(np.float64)
+
+    def taylor(corr, i, j):
+        if subpixel:
+            return pc_ops.subpixel_taylor(corr, i, j, convention="newton")
+        zero = jnp.zeros((), corr.dtype)
+        return zero, zero
+
+    if method == "template":
+        def frame_fn(img, prev, tpl_arg, eps):
+            prep = ncc_ops.zncc_prepare_image(img, s, s, eps=eps)
+
+            def peak_of(corr):
+                i, j = pc_ops.argmax2d(corr)
+                di, dj = taylor(corr, i, j)
+                return i.astype(corr.dtype) + di, j.astype(corr.dtype) + dj
+
+            def run_prep(tp):
+                return peak_of(ncc_ops.ncc_valid_from_preps(prep, tp, eps=eps))
+
+            def run_tpl(tpl):
+                return peak_of(ncc_ops.ncc_valid_from_prepared(prep, tpl, eps=eps))
+
+            tpl_inc = _extract_tiles(prev, starts, s)
+            py_a, px_a = jax.vmap(run_prep)(tpl_arg)
+            py_i, px_i = jax.vmap(run_tpl)(tpl_inc)
+
+            half = (s - 1) / 2.0
+            cy = jnp.asarray(centers_y, dtype=img.dtype)
+            cx = jnp.asarray(centers_x, dtype=img.dtype)
+            return (
+                py_a + half - cy, px_a + half - cx,
+                py_i + half - cy, px_i + half - cx,
+            )
+
+        return frame_fn
+
+    # phase correlation
+    def frame_fn(img, prev, tpl_arg, eps):
+        img_z = pc_ops.zscore2d(img, eps=eps)
+        Fi = jnp.fft.rfft2(img_z)
+
+        def peak_shift(Ft):
+            prod = Fi * jnp.conj(Ft)
+            cps = prod / (jnp.abs(prod) + eps)
+            corr = jnp.fft.irfft2(cps, s=(H, W))
+            mag = jnp.abs(jnp.fft.fftshift(corr, axes=(-2, -1)))
+            i, j = pc_ops.argmax2d(mag)
+            di, dj = taylor(mag, i, j)
+            dy = (i - H // 2).astype(mag.dtype) + di
+            dx = (j - W // 2).astype(mag.dtype) + dj
+            return dy, dx
+
+        tiles_prev = _extract_tiles(prev, starts, s)
+        tiles_prev_z = jax.vmap(lambda t: pc_ops.zscore2d(t, eps=eps))(tiles_prev)
+        emb = jnp.stack(
+            [
+                jnp.pad(
+                    tiles_prev_z[k].astype(jnp.float32).astype(img.dtype),
+                    ((y0, H - y0 - s), (x0, W - x0 - s)),
+                )
+                for k, (y0, x0) in enumerate(starts)
+            ]
+        )
+        Ft_inc = jnp.fft.rfft2(emb)
+
+        dy_a, dx_a = jax.vmap(peak_shift)(tpl_arg)
+        dy_i, dx_i = jax.vmap(peak_shift)(Ft_inc)
+        return dy_a, dx_a, dy_i, dx_i
+
+    return frame_fn
+
+
+@lru_cache(maxsize=64)
+def _fused_chunk_program(
+    groups: tuple,
+    mode: str,
+    sat: float | None,
+    eps: float,
+    flip: bool,
+    method: str,
+    subpixel: bool,
+    H: int,
+    W: int,
+    s: int,
+    starts_key: tuple,
+):
+    starts = np.asarray(starts_key, np.int32).reshape(-1, 2)
+    metric_fn = speckle_device_fn(frozenset(groups), mode, sat, eps)
+    track_fn = _make_track_frame_fn(H, W, s, starts, subpixel, method)
+
+    @jax.jit
+    def chunk(chunk_raw, prev_tail, tpl_arg, track_eps):
+        frames = _to_compute(chunk_raw)
+        oriented = frames[:, ::-1, :] if flip else frames
+
+        metrics = jax.vmap(metric_fn)(oriented)
+
+        prevs = jnp.concatenate([prev_tail[None], frames[:-1]], axis=0)
+        dy_a, dx_a, dy_i, dx_i = jax.vmap(
+            lambda im, pr: track_fn(im, pr, tpl_arg, track_eps)
+        )(frames, prevs)
+
+        return {
+            "metrics": metrics,
+            "track": {"dy_a": dy_a, "dx_a": dx_a, "dy_i": dy_i, "dx_i": dx_i},
+        }, frames[-1]
+
+    return chunk
+
+
+@lru_cache(maxsize=64)
+def _tpl0_program(H: int, W: int, s: int, starts_key: tuple, method: str):
+    starts = np.asarray(starts_key, np.int32).reshape(-1, 2)
+
+    if method == "template":
+        @jax.jit
+        def prep(frame0):
+            frame0 = _to_compute(frame0)
+            tiles = _extract_tiles(frame0, starts, s)
+            return jax.vmap(lambda t: ncc_ops.prep_template(t, H, W))(tiles)
+    else:
+        @jax.jit
+        def prep(frame0, eps):
+            frame0 = _to_compute(frame0)
+            tiles = _extract_tiles(frame0, starts, s)
+            tiles_z = jax.vmap(lambda t: pc_ops.zscore2d(t, eps=eps))(tiles)
+            emb = jnp.stack(
+                [
+                    jnp.pad(
+                        tiles_z[k].astype(jnp.float32).astype(frame0.dtype),
+                        ((y0, H - y0 - s), (x0, W - x0 - s)),
+                    )
+                    for k, (y0, x0) in enumerate(starts)
+                ]
+            )
+            return jnp.fft.rfft2(emb)
+
+    return prep
+
+
+def run_fused_speckle_stack(
+    stack: np.ndarray,
+    grid_slices,
+    *,
+    groups: set,
+    mode: str,
+    sat: float | None,
+    eps: float,
+    flip: bool,
+    method: str = "template",
+    subpixel: bool = True,
+    track_eps: float = 1e-9,
+    frame_chunk: int = 8,
+    mesh=None,
+    checkpoint=None,
+    verbose: bool = False,
+):
+    """Run the fused metrics+tracking pipeline over a (T, H, W) stack.
+
+    Returns (metrics_pytree_with_T_axis, (dx_abs, dy_abs, dx_inc, dy_inc)
+    each (T, 3, 3) float32).
+    """
+    T, H, W = (int(v) for v in stack.shape)
+    starts, _centers, s = _grid_geometry(grid_slices)
+    starts_key = tuple(int(v) for v in starts.ravel())
+
+    compute_dtype = np.float64 if stack.dtype == np.float64 else np.float32
+    B = max(1, min(int(frame_chunk), T))
+
+    put_frames = jnp.asarray
+    put_repl = jnp.asarray
+    if mesh is not None:
+        from ..parallel.mesh import frames_sharding, replicated_sharding
+
+        B = max(1, -(-B // mesh.size)) * mesh.size
+        fsh = frames_sharding(mesh)
+        rsh = replicated_sharding(mesh)
+        put_frames = lambda a: jax.device_put(jnp.asarray(a), fsh)  # noqa: E731
+        put_repl = lambda a: jax.device_put(jnp.asarray(a), rsh)  # noqa: E731
+
+    eps_t = jnp.asarray(track_eps, dtype=compute_dtype)
+    frame0 = jnp.asarray(stack[0])
+    if method == "template":
+        tpl_arg = _tpl0_program(H, W, s, starts_key, method)(frame0)
+    else:
+        tpl_arg = _tpl0_program(H, W, s, starts_key, method)(frame0, eps_t)
+    if mesh is not None:
+        tpl_arg = jax.tree_util.tree_map(put_repl, tpl_arg)
+
+    program = _fused_chunk_program(
+        tuple(sorted(groups)), mode, sat, eps, bool(flip), method, bool(subpixel),
+        H, W, s, starts_key,
+    )
+
+    dy_abs = np.empty((T, 9), np.float32)
+    dx_abs = np.empty((T, 9), np.float32)
+    dy_inc = np.empty((T, 9), np.float32)
+    dx_inc = np.empty((T, 9), np.float32)
+    metric_pieces: list = []
+
+    def _collect(out_dev, c0, c1, slot):
+        raw = jax.device_get(out_dev)
+        n = c1 - c0
+        piece = jax.tree_util.tree_map(lambda a: np.asarray(a)[:n], raw)
+        if checkpoint is not None:
+            checkpoint.save(c0, piece)
+        metric_pieces[slot] = piece["metrics"]
+        tr = piece["track"]
+        dy_abs[c0:c1] = tr["dy_a"]
+        dx_abs[c0:c1] = tr["dx_a"]
+        dy_inc[c0:c1] = tr["dy_i"]
+        dx_inc[c0:c1] = tr["dx_i"]
+
+    pending = None
+    prev_tail = None
+    last = -1
+    for c0 in range(0, T, B):
+        if verbose:
+            last = progress_update("Speckle stack loop", c0, T, last)
+        c1 = min(c0 + B, T)
+        n = c1 - c0
+        metric_pieces.append(None)
+        slot = len(metric_pieces) - 1
+
+        if checkpoint is not None and checkpoint.has(c0):
+            piece = checkpoint.load(c0)
+            metric_pieces[slot] = piece["metrics"]
+            tr = piece["track"]
+            dy_abs[c0:c1] = tr["dy_a"]
+            dx_abs[c0:c1] = tr["dx_a"]
+            dy_inc[c0:c1] = tr["dy_i"]
+            dx_inc[c0:c1] = tr["dx_i"]
+            prev_tail = None  # force re-derivation from host for next chunk
+            continue
+
+        chunk = stack[c0:c1]
+        if n < B:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], B - n, axis=0)], axis=0)
+
+        if prev_tail is None:
+            # chunk 0: prev of frame c0 is frame max(c0-1, 0)
+            prev_tail = put_repl(
+                np.asarray(stack[max(c0 - 1, 0)], dtype=compute_dtype)
+            )
+
+        out_dev, tail = program(put_frames(chunk), prev_tail, tpl_arg, eps_t)
+        if pending is not None:
+            _collect(*pending)
+        pending = (out_dev, c0, c1, slot)
+        # the padded tail repeats the last real frame, so frames[-1] is
+        # correct even for the padded final chunk
+        prev_tail = tail if n == B else None
+
+    if pending is not None:
+        _collect(*pending)
+    if verbose:
+        progress_done("Speckle stack loop")
+
+    metrics_tree = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs, axis=0), *metric_pieces
+    )
+    return metrics_tree, (
+        dx_abs.reshape(T, 3, 3),
+        dy_abs.reshape(T, 3, 3),
+        dx_inc.reshape(T, 3, 3),
+        dy_inc.reshape(T, 3, 3),
+    )

@@ -12,7 +12,7 @@ on-device with no host round-trips inside a chunk.
 """
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,6 @@ Multi-host stacks would extend the same mesh across DCN via
 """
 from __future__ import annotations
 
-from functools import lru_cache
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec

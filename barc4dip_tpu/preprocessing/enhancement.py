@@ -9,7 +9,7 @@ preprocessing/enhancement.py:14-27).
 """
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp

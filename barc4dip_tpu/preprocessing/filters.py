@@ -19,7 +19,7 @@ crop. Stacks are vmapped on-device in chunks.
 from __future__ import annotations
 
 import logging
-from functools import lru_cache, partial
+from functools import lru_cache
 from typing import Literal, Sequence
 
 import jax

@@ -12,7 +12,7 @@ reads the nonexistent key 'var' and always prints "nan".
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from datetime import datetime
 from pathlib import Path
 from typing import Callable

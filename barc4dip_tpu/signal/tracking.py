@@ -31,7 +31,6 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..geometry.roi import roi_slices
 from ..ops import ncc as ncc_ops

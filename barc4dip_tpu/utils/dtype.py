@@ -7,8 +7,6 @@ heuristic (mean > counts_threshold => clip; else contrast-stretch to
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
