@@ -120,9 +120,26 @@ def _sharpness_program(groups: tuple, mode: str, sat: float | None, eps: float):
 
 
 @lru_cache(maxsize=128)
-def _sharpness_stack_program(groups: tuple, mode: str, sat: float | None, eps: float):
-    """vmapped per-frame program: (B, H, W) -> pytree with leading B axis."""
-    return jax.jit(jax.vmap(_sharpness_device_fn(frozenset(groups), mode, sat, eps)))
+def _sharpness_stack_program(
+    groups: tuple, mode: str, sat: float | None, eps: float, flip: bool = False
+):
+    """vmapped per-frame program: (B, H, W) -> pytree with leading B axis.
+
+    Casts integer frames to float32 and applies the display-origin flip
+    on-device, so chunks upload in their original dtype (half the bytes for
+    uint16 detector frames)."""
+    import jax.numpy as jnp
+
+    fn = _sharpness_device_fn(frozenset(groups), mode, sat, eps)
+
+    def frame(img):
+        if img.dtype not in (jnp.float32, jnp.float64):
+            img = img.astype(jnp.float32)
+        if flip:
+            img = img[::-1, :]
+        return fn(img)
+
+    return jax.jit(jax.vmap(frame))
 
 
 def _assemble_stack_output(raw: dict, mode: str) -> tuple[dict, dict | None]:
@@ -472,15 +489,16 @@ def sharpness_stack_stats(
             f"(min dimension < {_IAW_MIN_PX})."
         )
 
-    # per-frame metrics, frames batched on-device in chunks
+    # per-frame metrics, frames batched on-device in chunks (cast + origin
+    # flip happen on-device; chunks upload in the stack's own dtype)
     from .common import run_stack_program
 
-    oriented = stack[:, ::-1, :] if display_origin == "lower" else stack
     program = _sharpness_stack_program(
         tuple(sorted(groups)),
         tile_mode,
         None if saturation_value is None else float(saturation_value),
         float(eps),
+        display_origin == "lower",
     )
     ckpt = None
     if checkpoint_dir is not None:
@@ -496,8 +514,8 @@ def sharpness_stack_stats(
     if verbose:
         progress_update("Sharpness stats loop", 0, T, -1)
     raw = run_stack_program(
-        np.ascontiguousarray(oriented), program, frame_chunk=frame_chunk, mesh=mesh,
-        checkpoint=ckpt,
+        stack, program, frame_chunk=frame_chunk, mesh=mesh,
+        checkpoint=ckpt, dtype=stack.dtype,
     )
     out_full, out_tiles = _assemble_stack_output(raw, tile_mode)
     if verbose:

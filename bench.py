@@ -44,11 +44,14 @@ def make_stack(T: int, side: int, grain_px: float = 8.0) -> np.ndarray:
     dys = 0.35 * ts * np.cos(ts * 0.7)
     dxs = 0.35 * ts * np.sin(ts * 0.7)
 
-    frames = np.empty((T, side, side), np.float32)
+    # Detector-realistic uint16 counts (what beamline cameras emit); both
+    # implementations cast to float internally, and the TPU path ships half
+    # the bytes per frame over the host->device link.
+    frames = np.empty((T, side, side), np.uint16)
     for t in range(T):
         phase = np.exp(-2j * np.pi * (fy * dys[t] + fx * dxs[t]))
         field = np.abs(np.fft.ifft2(base_F * phase)) ** 2
-        frames[t] = (field / field.mean() * 8000.0).astype(np.float32)
+        frames[t] = np.clip(field / field.mean() * 8000.0, 0, 65535).astype(np.uint16)
     return frames
 
 
@@ -83,7 +86,7 @@ def measure_cpu_baseline(side: int, cpu_T: int) -> float:
     stack = make_stack(cpu_T, side)
     t0 = time.perf_counter()
     ref.speckle_stack_stats(
-        stack.astype(np.float64),
+        stack,
         metrics="all",
         tiles=True,
         tracking_backend="opencv",
@@ -96,7 +99,7 @@ def measure_cpu_baseline(side: int, cpu_T: int) -> float:
 
 
 def get_cpu_baseline(side: int, cpu_T: int) -> float | None:
-    key = f"{side}x{side}"
+    key = f"{side}x{side}-u16"
     force = os.environ.get("BENCH_FORCE_BASELINE") == "1"
     if BASELINE_CACHE.exists() and not force:
         try:
