@@ -17,12 +17,23 @@ __all__ = ["median_filter2d"]
 
 
 def median_filter2d(x, size: int = 3):
-    """Median filter over the last two axes with an odd square window."""
+    """Median filter over the last two axes with an odd square window.
+
+    On TPU backends the 2D 3x3 float case routes through the Pallas
+    sorting-network kernel (ops/pallas_median.py) — one HBM pass instead of
+    a materialised 9-window stack + sort.
+    """
     k = int(size)
     if k < 1 or k % 2 == 0:
         raise ValueError("size must be a positive odd integer.")
     if k == 1:
         return x
+
+    if k == 3 and x.ndim == 2 and x.dtype in (jnp.float32, jnp.bfloat16):
+        from .pallas_median import median3x3_pallas, pallas_supported
+
+        if pallas_supported():
+            return median3x3_pallas(x)
 
     h = k // 2
     pad = [(0, 0)] * (x.ndim - 2) + [(h, h), (h, h)]
