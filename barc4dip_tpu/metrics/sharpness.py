@@ -116,7 +116,16 @@ def _sharpness_device_fn(groups: frozenset, mode: str, sat: float | None, eps: f
 
 @lru_cache(maxsize=128)
 def _sharpness_program(groups: tuple, mode: str, sat: float | None, eps: float):
-    return jax.jit(_sharpness_device_fn(frozenset(groups), mode, sat, eps))
+    import jax.numpy as jnp
+
+    fn = _sharpness_device_fn(frozenset(groups), mode, sat, eps)
+
+    def cast_fn(img):
+        if img.dtype not in (jnp.float32, jnp.float64):
+            img = img.astype(jnp.float32)
+        return fn(img)
+
+    return jax.jit(cast_fn)
 
 
 @lru_cache(maxsize=128)
@@ -362,7 +371,7 @@ def sharpness_stats(
         None if saturation_value is None else float(saturation_value),
         float(eps),
     )
-    raw = jax.device_get(program(_device_float(np.ascontiguousarray(image))))
+    raw = jax.device_get(program(np.ascontiguousarray(image)))
 
     out: dict = {
         "meta": {

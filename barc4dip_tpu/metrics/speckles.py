@@ -97,7 +97,14 @@ _GRAIN_MIN_PX = 128
 
 @lru_cache(maxsize=128)
 def _speckle_program(groups: tuple, mode: str, sat: float | None, eps: float):
-    return jax.jit(_speckle_device_fn(frozenset(groups), mode, sat, eps))
+    fn = _speckle_device_fn(frozenset(groups), mode, sat, eps)
+
+    def cast_fn(img):
+        if img.dtype not in (jnp.float32, jnp.float64):
+            img = img.astype(jnp.float32)
+        return fn(img)
+
+    return jax.jit(cast_fn)
 
 
 @lru_cache(maxsize=128)
@@ -303,7 +310,9 @@ def speckle_stats(
         None if saturation_value is None else float(saturation_value),
         float(eps),
     )
-    raw = jax.device_get(program(_device_float(np.ascontiguousarray(image))))
+    # upload in the image's own dtype (uint16 detector frames ship half the
+    # bytes); the program casts on device
+    raw = jax.device_get(program(jnp.asarray(np.ascontiguousarray(image))))
 
     out: dict = {
         "meta": {

@@ -27,7 +27,48 @@ from ..ops import ncc as ncc_ops
 from ..ops import phasecorr as pc_ops
 from ..preprocessing.normalize import flat_field_correction
 
-__all__ = ["SpeckleStackPipeline", "full_step_fn"]
+__all__ = ["SpeckleStackPipeline", "SharpnessScanPipeline", "full_step_fn"]
+
+
+class SharpnessScanPipeline:
+    """Focus-scan workflow (reference ex_01): run sharpness metrics over a
+    scan stack and pick the best-focus frame by a chosen focus operator."""
+
+    def __init__(
+        self,
+        *,
+        metrics: str | Sequence[str] = "gradient,laplacian",
+        focus_metric: tuple[str, str] = ("gradient", "tenengrad"),
+        tiles: bool = False,
+        frame_chunk: int = 8,
+        mesh=None,
+    ):
+        self.metrics = metrics
+        self.focus_metric = focus_metric
+        self.tiles = tiles
+        self.frame_chunk = frame_chunk
+        self.mesh = mesh
+
+    def __call__(self, stack: np.ndarray, *, verbose: bool = False) -> dict:
+        from ..metrics.sharpness import sharpness_stack_stats
+
+        out = sharpness_stack_stats(
+            np.asarray(stack),
+            metrics=self.metrics,
+            tiles=self.tiles,
+            frame_chunk=self.frame_chunk,
+            mesh=self.mesh,
+            verbose=verbose,
+        )
+        group, key = self.focus_metric
+        series = np.asarray(out["full"][group][key], dtype=float)
+        out["meta"]["focus"] = {
+            "metric": f"{group}.{key}",
+            "best_frame": int(np.nanargmax(series)),
+            "series_min": float(np.nanmin(series)),
+            "series_max": float(np.nanmax(series)),
+        }
+        return out
 
 
 class SpeckleStackPipeline:

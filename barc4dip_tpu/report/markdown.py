@@ -526,6 +526,39 @@ def _stack_header(meta: dict, heading: str) -> list[str]:
     return lines
 
 
+@register_formatter("sharpness_stack_stats")
+def _logbook_sharpness_stack(stats: dict, *, complete: bool = False, notes: bool = False) -> str:
+    meta = stats.get("meta", {})
+    lines = _stack_header(meta, "# Sharpness stack summary")
+
+    full = stats.get("full", {})
+    series_specs = (
+        ("gradient", "tenengrad", "Tenengrad", 1),
+        ("laplacian", "laplacian_variance", "Laplacian variance", 1),
+        ("spectral", "spectral_entropy", "Spectral entropy", 6),
+        ("autocorrelation", "seq", "Inverse autocorr width (seq)", 4),
+        ("eigenvalues", "eigenvalues", "Eigenvalues", 6),
+    )
+    for group, key, label, nd in series_specs:
+        blk = full.get(group)
+        if not isinstance(blk, dict):
+            continue
+        y = np.asarray(blk.get(key, []), dtype=float)
+        if y.size == 0:
+            continue
+        best = int(np.nanargmax(y))
+        lines.append(f"## {label}")
+        lines.append("```")
+        lines.append(
+            f"> min={_f(float(np.nanmin(y)), nd)} | max={_f(float(np.nanmax(y)), nd)} | "
+            f"argmax=frame {best} | mean={_f(float(np.nanmean(y)), nd)}"
+        )
+        lines.append("```")
+        lines.append("")
+
+    return "\n".join(lines).rstrip() + "\n"
+
+
 @register_formatter("speckle_stack_stats")
 def _logbook_speckle_stack(stats: dict, *, complete: bool = False, notes: bool = False) -> str:
     meta = stats.get("meta", {})

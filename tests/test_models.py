@@ -1,0 +1,36 @@
+# SPDX-License-Identifier: CECILL-2.1
+"""Model-layer tests: pipelines end-to-end."""
+import numpy as np
+from scipy.ndimage import gaussian_filter
+
+from barc4dip_tpu.models import SharpnessScanPipeline, SpeckleStackPipeline
+from barc4dip_tpu.report import logbook_report
+from tests.conftest import make_speckle
+
+
+def test_sharpness_scan_pipeline_finds_focus():
+    rng = np.random.default_rng(101)
+    base = make_speckle(rng, shape=(192, 192), grain_px=4.0)
+    sigmas = [2.5, 1.0, 0.0, 1.5, 3.0]
+    stack = np.stack([gaussian_filter(base, s) for s in sigmas]).astype(np.float32)
+
+    pipe = SharpnessScanPipeline()
+    out = pipe(stack)
+    assert out["meta"]["focus"]["best_frame"] == 2
+    text = logbook_report(out)
+    assert "# Sharpness stack summary" in text
+    assert "argmax=frame 2" in text
+
+
+def test_speckle_stack_pipeline_with_flat_field():
+    rng = np.random.default_rng(102)
+    base = make_speckle(rng, shape=(192, 192), grain_px=6.0)
+    stack = np.stack([base, base * 1.05]).astype(np.float32)
+    flat = np.full((192, 192), 2.0, np.float32) + rng.normal(0, 0.01, (192, 192)).astype(np.float32)
+
+    pipe = SpeckleStackPipeline(metrics="amplitude,stats", tiles=False)
+    out = pipe(stack * 2.0, flats=flat * 1000.0)
+    assert out["meta"]["kind"] == "speckle_stack_stats"
+    assert np.all(np.isfinite(out["temporal"]["abs"]["dx"]))
+    text = logbook_report(out)
+    assert "# Speckle stack summary" in text
