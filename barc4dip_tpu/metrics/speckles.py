@@ -408,6 +408,7 @@ def speckle_stack_stats(
     frame_chunk: int = 8,
     mesh=None,
     checkpoint_dir=None,
+    grain_maps: bool = True,
 ) -> dict:
     """Per-frame speckle metrics stacked over time plus abs/inc translation
     tracking from a central 3x3 ROI grid.
@@ -474,7 +475,7 @@ def speckle_stack_stats(
             "groups": sorted(groups), "mode": mode, "sat": saturation_value,
             "eps": eps, "origin": display_origin, "chunk": frame_chunk,
             "roi": roi_side, "step": step, "method": tracking_method,
-            "subpixel": bool(subpixel),
+            "subpixel": bool(subpixel), "grain_maps": bool(grain_maps),
         }
         ckpt = ChunkStore(checkpoint_dir, "speckle_fused", config)
 
@@ -494,6 +495,7 @@ def speckle_stack_stats(
         mesh=mesh,
         checkpoint=ckpt,
         verbose=verbose,
+        full_maps=bool(grain_maps),
     )
     out_full, out_tiles = _assemble_stack_output(raw_metrics, groups, mode)
     dx_abs_tiles, dy_abs_tiles, dx_inc_tiles, dy_inc_tiles = track

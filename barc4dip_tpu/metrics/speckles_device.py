@@ -14,8 +14,15 @@ from .estimators import (
 __all__ = ["speckle_device_fn"]
 
 
-def speckle_device_fn(groups: frozenset, mode: str, sat: float | None, eps: float):
-    """Build the fused full+tiles program for one static configuration."""
+def speckle_device_fn(
+    groups: frozenset, mode: str, sat: float | None, eps: float,
+    full_maps: bool = True,
+):
+    """Build the fused full+tiles program for one static configuration.
+
+    ``full_maps=False`` drops the (N, N) autocorrelation map and lag axes
+    from the full-frame grain block — a large-transfer opt-out for stack
+    runs (the map dominates device->host traffic at 2k^2)."""
 
     def tile_fn(tile):
         vals: dict = {}
@@ -37,7 +44,7 @@ def speckle_device_fn(groups: frozenset, mode: str, sat: float | None, eps: floa
         if "amplitude" in groups:
             out["full"]["amplitude"] = amplitude_core(img)
         if "grain" in groups:
-            out["full"]["grain"] = grain_core(img, with_map=True)
+            out["full"]["grain"] = grain_core(img, with_map=full_maps)
         if "stats" in groups:
             out["full"]["stats"] = distribution_moments_core(
                 img, saturation_value=sat, eps=eps

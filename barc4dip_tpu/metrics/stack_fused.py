@@ -112,72 +112,70 @@ def _make_track_frame_fn(H, W, s, starts, subpixel, method):
     return frame_fn
 
 
+# Backend note (axon TPU, jax 0.9): combining the metric estimators and the
+# 18-correlation tracker in ONE executable miscompiles — XLA's buffer
+# assignment corrupts whichever tracking outputs are live (reproduced with
+# single- and double-vmap structures; CPU is always correct). Metrics and
+# tracking therefore run as TWO programs per chunk sharing the same
+# device-resident float chunk (floats cross executable boundaries reliably;
+# complex64 does not — templates are rebuilt in-program from frame0).
+
+
 @lru_cache(maxsize=64)
-def _fused_chunk_program(
-    groups: tuple,
-    mode: str,
-    sat: float | None,
-    eps: float,
-    flip: bool,
-    method: str,
-    subpixel: bool,
-    H: int,
-    W: int,
-    s: int,
-    starts_key: tuple,
+def _metrics_chunk_program(
+    groups: tuple, mode: str, sat: float | None, eps: float, flip: bool,
+    full_maps: bool,
+):
+    metric_fn = speckle_device_fn(frozenset(groups), mode, sat, eps, full_maps)
+
+    def per_frame(img):
+        img = _to_compute(img)
+        return metric_fn(img[::-1, :] if flip else img)
+
+    return jax.jit(jax.vmap(per_frame))
+
+
+@lru_cache(maxsize=64)
+def _track_chunk_program(
+    method: str, subpixel: bool, H: int, W: int, s: int, starts_key: tuple
 ):
     starts = np.asarray(starts_key, np.int32).reshape(-1, 2)
-    metric_fn = speckle_device_fn(frozenset(groups), mode, sat, eps)
     track_fn = _make_track_frame_fn(H, W, s, starts, subpixel, method)
 
     @jax.jit
-    def chunk(chunk_raw, prev_tail, tpl_arg, track_eps):
+    def chunk(chunk_raw, prev_tail, frame0, track_eps):
         frames = _to_compute(chunk_raw)
-        oriented = frames[:, ::-1, :] if flip else frames
-
-        metrics = jax.vmap(metric_fn)(oriented)
-
+        tpl_arg = _build_tpl0(frame0, starts, s, H, W, method, track_eps)
         prevs = jnp.concatenate([prev_tail[None], frames[:-1]], axis=0)
         dy_a, dx_a, dy_i, dx_i = jax.vmap(
             lambda im, pr: track_fn(im, pr, tpl_arg, track_eps)
         )(frames, prevs)
-
-        return {
-            "metrics": metrics,
-            "track": {"dy_a": dy_a, "dx_a": dx_a, "dy_i": dy_i, "dx_i": dx_i},
-        }, frames[-1]
+        return (
+            {"dy_a": dy_a, "dx_a": dx_a, "dy_i": dy_i, "dx_i": dx_i},
+            frames[-1],
+        )
 
     return chunk
 
 
-@lru_cache(maxsize=64)
-def _tpl0_program(H: int, W: int, s: int, starts_key: tuple, method: str):
-    starts = np.asarray(starts_key, np.int32).reshape(-1, 2)
-
+def _build_tpl0(frame0, starts, s, H, W, method, eps):
+    """Frame-0 template bank (template: NCC preps; phase: whitened spectra),
+    built in-program from the float frame."""
+    frame0 = _to_compute(frame0)
+    tiles = _extract_tiles(frame0, starts, s)
     if method == "template":
-        @jax.jit
-        def prep(frame0):
-            frame0 = _to_compute(frame0)
-            tiles = _extract_tiles(frame0, starts, s)
-            return jax.vmap(lambda t: ncc_ops.prep_template(t, H, W))(tiles)
-    else:
-        @jax.jit
-        def prep(frame0, eps):
-            frame0 = _to_compute(frame0)
-            tiles = _extract_tiles(frame0, starts, s)
-            tiles_z = jax.vmap(lambda t: pc_ops.zscore2d(t, eps=eps))(tiles)
-            emb = jnp.stack(
-                [
-                    jnp.pad(
-                        tiles_z[k].astype(jnp.float32).astype(frame0.dtype),
-                        ((y0, H - y0 - s), (x0, W - x0 - s)),
-                    )
-                    for k, (y0, x0) in enumerate(starts)
-                ]
+        return jax.vmap(lambda t: ncc_ops.prep_template(t, H, W))(tiles)
+    tiles_z = jax.vmap(lambda t: pc_ops.zscore2d(t, eps=eps))(tiles)
+    emb = jnp.stack(
+        [
+            jnp.pad(
+                tiles_z[k].astype(jnp.float32).astype(frame0.dtype),
+                ((y0, H - y0 - s), (x0, W - x0 - s)),
             )
-            return jnp.fft.rfft2(emb)
-
-    return prep
+            for k, (y0, x0) in enumerate(starts)
+        ]
+    )
+    return jnp.fft.rfft2(emb)
 
 
 def run_fused_speckle_stack(
@@ -196,6 +194,7 @@ def run_fused_speckle_stack(
     mesh=None,
     checkpoint=None,
     verbose: bool = False,
+    full_maps: bool = True,
 ):
     """Run the fused metrics+tracking pipeline over a (T, H, W) stack.
 
@@ -221,17 +220,13 @@ def run_fused_speckle_stack(
         put_repl = lambda a: jax.device_put(jnp.asarray(a), rsh)  # noqa: E731
 
     eps_t = jnp.asarray(track_eps, dtype=compute_dtype)
-    frame0 = jnp.asarray(stack[0])
-    if method == "template":
-        tpl_arg = _tpl0_program(H, W, s, starts_key, method)(frame0)
-    else:
-        tpl_arg = _tpl0_program(H, W, s, starts_key, method)(frame0, eps_t)
-    if mesh is not None:
-        tpl_arg = jax.tree_util.tree_map(put_repl, tpl_arg)
+    frame0_dev = put_repl(np.asarray(stack[0], dtype=compute_dtype))
 
-    program = _fused_chunk_program(
-        tuple(sorted(groups)), mode, sat, eps, bool(flip), method, bool(subpixel),
-        H, W, s, starts_key,
+    metrics_prog = _metrics_chunk_program(
+        tuple(sorted(groups)), mode, sat, eps, bool(flip), bool(full_maps)
+    )
+    track_prog = _track_chunk_program(
+        method, bool(subpixel), H, W, s, starts_key
     )
 
     dy_abs = np.empty((T, 9), np.float32)
@@ -285,7 +280,12 @@ def run_fused_speckle_stack(
                 np.asarray(stack[max(c0 - 1, 0)], dtype=compute_dtype)
             )
 
-        out_dev, tail = program(put_frames(chunk), prev_tail, tpl_arg, eps_t)
+        # ONE upload per chunk; metrics and tracking consume the same
+        # device-resident array through two executables (see backend note)
+        chunk_dev = put_frames(chunk)
+        metrics_dev = metrics_prog(chunk_dev)
+        track_dev, tail = track_prog(chunk_dev, prev_tail, frame0_dev, eps_t)
+        out_dev = {"metrics": metrics_dev, "track": track_dev}
         if pending is not None:
             _collect(*pending)
         pending = (out_dev, c0, c1, slot)

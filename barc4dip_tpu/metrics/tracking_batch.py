@@ -78,6 +78,7 @@ def _template_chunk_program(
     def one_frame(img, prev, tpl0_preps, eps):
         prep = ncc_ops.zncc_prepare_image(img, s, s, eps=eps)
 
+
         def run_prep(tp):
             corr = ncc_ops.ncc_valid_from_preps(prep, tp, eps=eps)
             return peak_of(corr)
@@ -101,7 +102,12 @@ def _template_chunk_program(
         return dy_a, dx_a, dy_i, dx_i
 
     @jax.jit
-    def chunk(imgs, prevs, tpl0, eps):
+    def chunk(imgs, prevs, frame0, eps):
+        # the template bank is rebuilt in-program: device-resident complex64
+        # does not survive crossing executable boundaries on the axon TPU
+        # backend (silent layout corruption)
+        tiles0 = _extract_tiles(frame0, starts, s)
+        tpl0 = jax.vmap(lambda t: ncc_ops.prep_template(t, H, W))(tiles0)
         return jax.vmap(lambda im, pr: one_frame(im, pr, tpl0, eps))(imgs, prevs)
 
     return chunk
@@ -156,44 +162,22 @@ def _phase_chunk_program(
         return dy_a, dx_a, dy_i, dx_i
 
     @jax.jit
-    def chunk(imgs, prevs, Ft0, eps):
-        return jax.vmap(lambda im, pr: one_frame(im, pr, Ft0, eps))(imgs, prevs)
-
-    return chunk
-
-
-@lru_cache(maxsize=32)
-def _phase_tpl0_program(H: int, W: int, s: int, starts_key: tuple):
-    starts = np.asarray(starts_key, np.int32).reshape(-1, 2)
-
-    @jax.jit
-    def prep(frame0, eps):
-        tiles = _extract_tiles(frame0, starts, s)
-        tiles_z = jax.vmap(lambda t: pc_ops.zscore2d(t, eps=eps))(tiles)
-        emb = jnp.stack(
+    def chunk(imgs, prevs, frame0, eps):
+        tiles0 = _extract_tiles(frame0, starts, s)
+        tiles0_z = jax.vmap(lambda t: pc_ops.zscore2d(t, eps=eps))(tiles0)
+        emb0 = jnp.stack(
             [
                 jnp.pad(
-                    tiles_z[k].astype(jnp.float32).astype(frame0.dtype),
+                    tiles0_z[k].astype(jnp.float32).astype(frame0.dtype),
                     ((y0, H - y0 - s), (x0, W - x0 - s)),
                 )
                 for k, (y0, x0) in enumerate(starts)
             ]
         )
-        return jnp.fft.rfft2(emb)
+        Ft0 = jnp.fft.rfft2(emb0)
+        return jax.vmap(lambda im, pr: one_frame(im, pr, Ft0, eps))(imgs, prevs)
 
-    return prep
-
-
-@lru_cache(maxsize=32)
-def _template_tpl0_program(H: int, W: int, s: int, starts_key: tuple):
-    starts = np.asarray(starts_key, np.int32).reshape(-1, 2)
-
-    @jax.jit
-    def prep(frame0):
-        tiles = _extract_tiles(frame0, starts, s)
-        return jax.vmap(lambda t: ncc_ops.prep_template(t, H, W))(tiles)
-
-    return prep
+    return chunk
 
 
 # ---------------------------------------------------------------------------
@@ -249,13 +233,10 @@ def track_stack_batched(
     eps_j = jnp.asarray(eps, dtype=dtype)
 
     if method == "template":
-        tpl_arg = _template_tpl0_program(H, W, s, starts_key)(frame0)
         chunk_fn = _template_chunk_program(H, W, s, B, bool(subpixel), starts_key)
     else:
-        tpl_arg = _phase_tpl0_program(H, W, s, starts_key)(frame0, eps_j)
         chunk_fn = _phase_chunk_program(H, W, s, B, bool(subpixel), starts_key)
-    if mesh is not None:
-        tpl_arg = jax.tree_util.tree_map(put_repl, tpl_arg)
+    tpl_arg = put_repl(frame0) if mesh is not None else frame0
 
     dy_abs = np.empty((T, 9), np.float32)
     dx_abs = np.empty((T, 9), np.float32)

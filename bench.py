@@ -55,8 +55,9 @@ def make_stack(T: int, side: int, grain_px: float = 8.0) -> np.ndarray:
     return frames
 
 
-def run_pipeline_tpu(stack: np.ndarray, frame_chunk: int) -> float:
-    """Run the full pipeline; returns elapsed seconds (post-warmup)."""
+def run_pipeline_tpu(stack: np.ndarray, frame_chunk: int) -> tuple[float, float]:
+    """Run the full pipeline; returns (elapsed seconds post-warmup,
+    max tracking error in px vs the known synthetic motion)."""
     import barc4dip_tpu as dip
 
     kwargs = dict(
@@ -74,8 +75,18 @@ def run_pipeline_tpu(stack: np.ndarray, frame_chunk: int) -> float:
     dip.speckle_stack_stats(stack[:warm_T], **kwargs)
 
     t0 = time.perf_counter()
-    dip.speckle_stack_stats(stack, **kwargs)
-    return time.perf_counter() - t0
+    out = dip.speckle_stack_stats(stack, **kwargs)
+    elapsed = time.perf_counter() - t0
+
+    # hardware-level correctness gate: the synthetic stack's motion is known
+    T = stack.shape[0]
+    ts = np.arange(T)
+    dys = 0.35 * ts * np.cos(ts * 0.7)
+    dxs = 0.35 * ts * np.sin(ts * 0.7)
+    err = np.hypot(
+        out["temporal"]["abs"]["dy"] - dys, out["temporal"]["abs"]["dx"] - dxs
+    )
+    return elapsed, float(np.nanmax(err))
 
 
 def measure_cpu_baseline(side: int, cpu_T: int) -> float:
@@ -136,7 +147,7 @@ def main() -> int:
 
     stack = make_stack(T, side)
 
-    elapsed = run_pipeline_tpu(stack, frame_chunk)
+    elapsed, track_err = run_pipeline_tpu(stack, frame_chunk)
     mpix_total = T * side * side / 1e6
     tpu_mpix_s = mpix_total / elapsed
 
@@ -164,6 +175,7 @@ def main() -> int:
                     "cpu_ref_s_per_frame": round(cpu_sec_per_frame, 3)
                     if cpu_sec_per_frame
                     else None,
+                    "tracking_max_err_px": round(track_err, 4),
                     "pipeline": "speckle_stack_stats: all metric groups + tiles + abs/inc tracking",
                 },
             }

@@ -233,3 +233,15 @@ def test_sharpness_stack_stats_focus_scan():
     lap = out["full"]["laplacian"]["laplacian_variance"]
     assert int(np.argmax(lap)) == 2
     assert out["meta"]["kind"] == "sharpness_stack_stats"
+
+
+def test_speckle_stack_grain_maps_opt_out():
+    rng = np.random.default_rng(34)
+    base = make_speckle(rng, shape=(160, 160), grain_px=6.0)
+    stack = np.stack([base, base * 1.01, base * 0.99])
+    full = speckle_stack_stats(stack, tiles=False, verbose=False)
+    slim = speckle_stack_stats(stack, tiles=False, verbose=False, grain_maps=False)
+    assert "autocorr" in full["full"]["grain"]
+    assert "autocorr" not in slim["full"]["grain"]
+    for k in ("lx", "ly", "leq", "r"):
+        np.testing.assert_allclose(slim["full"]["grain"][k], full["full"]["grain"][k])
