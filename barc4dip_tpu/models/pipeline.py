@@ -106,6 +106,7 @@ class SpeckleStackPipeline:
         flats: np.ndarray | None = None,
         darks: np.ndarray | None = None,
         verbose: bool = False,
+        checkpoint_dir=None,
     ) -> dict:
         if flats is not None or darks is not None:
             stack = flat_field_correction(stack, flats=flats, darks=darks)
@@ -120,7 +121,69 @@ class SpeckleStackPipeline:
             mesh=self.mesh,
             display_origin=self.display_origin,
             verbose=verbose,
+            checkpoint_dir=checkpoint_dir,
         )
+
+    def run_hdf5(
+        self, path, *, verbose: bool = False, checkpoint_dir=None
+    ) -> dict:
+        """Out-of-core stack analysis straight from an ESRF-style HDF5 file.
+
+        The chunked drivers only ever slice ``stack[c0:c1]`` / ``stack[t]``,
+        so the h5py dataset streams chunk-by-chunk from disk — stacks larger
+        than host RAM process in bounded memory (pair with
+        ``checkpoint_dir`` for resumable multi-hour runs).
+        """
+        import h5py
+
+        from ..io.h5 import DATASET_PATH
+
+        with h5py.File(path, "r") as f:
+            dset = f[DATASET_PATH]
+            if dset.ndim != 3:
+                raise ValueError(
+                    f"expected a 3D (T, H, W) dataset at {DATASET_PATH}; "
+                    f"got shape {dset.shape}"
+                )
+            return speckle_stack_stats(
+                _NdarrayView(dset),
+                metrics=self.metrics,
+                tiles=self.tiles,
+                tracking_method=self.tracking_method,
+                tracking_backend=self.tracking_backend,
+                subpixel=self.subpixel,
+                frame_chunk=self.frame_chunk,
+                mesh=self.mesh,
+                display_origin=self.display_origin,
+                verbose=verbose,
+                checkpoint_dir=checkpoint_dir,
+            )
+
+
+class _NdarrayView(np.ndarray):
+    """Minimal ndarray subclass wrapping a lazily-sliced frame source (e.g.
+    an h5py dataset) so it passes the aggregators' isinstance checks while
+    every data access goes through the source's own slicing."""
+
+    def __new__(cls, source):
+        obj = super().__new__(cls, shape=(0,), dtype=source.dtype)
+        obj._source = source
+        return obj
+
+    @property
+    def shape(self):  # type: ignore[override]
+        return tuple(self._source.shape)
+
+    @property
+    def ndim(self):  # type: ignore[override]
+        return len(self._source.shape)
+
+    @property
+    def dtype(self):  # type: ignore[override]
+        return np.dtype(self._source.dtype)
+
+    def __getitem__(self, key):
+        return np.asarray(self._source[key])
 
 
 def full_step_fn(roi_side: int, roi_starts: np.ndarray):

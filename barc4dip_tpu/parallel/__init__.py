@@ -3,6 +3,7 @@
 from .mesh import (
     FRAME_AXIS,
     frame_mesh,
+    init_distributed,
     frames_sharding,
     pad_to_multiple,
     replicated_sharding,
@@ -12,6 +13,7 @@ from .mesh import (
 __all__ = [
     "FRAME_AXIS",
     "frame_mesh",
+    "init_distributed",
     "frames_sharding",
     "replicated_sharding",
     "shard_frames",

@@ -28,6 +28,25 @@ __all__ = [
 FRAME_AXIS = "frames"
 
 
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Initialise multi-host JAX (DCN) before building meshes.
+
+    Thin wrapper over ``jax.distributed.initialize``: on multi-host pods each
+    process calls this first, after which :func:`frame_mesh` spans every chip
+    in the job (frames shard across hosts over DCN, chips over ICI). No-op
+    arguments default to cluster auto-detection (GKE/Cloud TPU metadata).
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def frame_mesh(devices=None) -> Mesh:
     """1-D mesh over all (or the given) devices, axis name "frames"."""
     if devices is None:

@@ -34,3 +34,27 @@ def test_speckle_stack_pipeline_with_flat_field():
     assert np.all(np.isfinite(out["temporal"]["abs"]["dx"]))
     text = logbook_report(out)
     assert "# Speckle stack summary" in text
+
+
+def test_out_of_core_hdf5_pipeline(tmp_path):
+    """speckle_stack_stats streamed from disk chunk-by-chunk (h5py dataset
+    through the lazily-slicing view) matches the in-RAM result."""
+    from barc4dip_tpu.io import save_h5
+
+    rng = np.random.default_rng(103)
+    base = make_speckle(rng, shape=(160, 160), grain_px=6.0).astype(np.float32)
+    stack = np.stack([base * (1 + 0.01 * t) for t in range(5)])
+    path = tmp_path / "run.h5"
+    save_h5(stack, path)
+
+    pipe = SpeckleStackPipeline(metrics="amplitude,stats", tiles=False, frame_chunk=2)
+    ooc = pipe.run_hdf5(path)
+    ram = pipe(stack)
+
+    for g in ram["full"]:
+        for k in ram["full"][g]:
+            np.testing.assert_allclose(ooc["full"][g][k], ram["full"][g][k], rtol=1e-6)
+    for blk in ("abs", "inc"):
+        np.testing.assert_allclose(
+            ooc["temporal"][blk]["dx"], ram["temporal"][blk]["dx"], atol=1e-5
+        )
