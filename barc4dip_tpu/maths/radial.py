@@ -32,6 +32,8 @@ def _interp(z, *, r_max, nr, ntheta, fill_value):
 
 
 def _validate(z):
+    is_host = isinstance(z, np.ndarray)
+    arr = z
     z = jnp.asarray(z)
     if not jnp.issubdtype(z.dtype, jnp.floating):
         from ..config import default_float
@@ -39,7 +41,10 @@ def _validate(z):
         z = z.astype(default_float())
     if z.ndim != 2:
         raise ValueError("signal_2d must be a 2D array.")
-    if not bool(np.all(np.isfinite(np.asarray(z)))):
+    # host inputs: cheap local check; device inputs: scalar reduction on
+    # device (a full-map download just to validate would dominate runtime)
+    finite = np.all(np.isfinite(arr)) if is_host else jnp.isfinite(z).all()
+    if not bool(finite):
         raise ValueError("signal_2d contains non-finite values.")
     return z
 

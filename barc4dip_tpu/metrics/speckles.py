@@ -449,9 +449,12 @@ def speckle_stack_stats(
     mode, _tile_shape = choose_tiling_mode(H, W, tiles=tiles, min_tile_px=MIN_TILE_PX)
 
     # ---- ROI sizing from frame-0 grain (reference phase 2, hoisted: the
-    # fused chunk program needs the static ROI geometry up front) ----
-    frame0 = stack[0, :, :]
-    grain0 = grain(frame0, verbose=False)
+    # fused chunk program needs the static ROI geometry up front). The
+    # map-free grain program returns just the four scalars — no (N, N)
+    # autocorr download for a geometry decision. ----
+    frame0 = np.asarray(stack[0, :, :])
+    g0 = _grain_jit(float(1.0 / np.e), "interpolated", False)(_device_float(frame0))
+    grain0 = {k: float(g0[k]) for k in ("lx", "ly", "leq", "r")}
 
     l = float(
         np.nanmax([grain0.get("lx", np.nan), grain0.get("ly", np.nan), grain0.get("leq", np.nan)])

@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+# SPDX-License-Identifier: CECILL-2.1
+"""Full SURVEY §6 benchmark sweep: Configs A-E, TPU vs the CPU reference.
+
+``bench.py`` is the driver's single-line north-star (Config D); this script
+measures every config and writes BENCH_DETAILS.json. Each config runs the
+same workload through both implementations (reference imported from
+/root/reference/src, OpenCV tracking backend).
+
+Usage: python bench_configs.py [--skip-cpu]
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from bench import make_stack  # noqa: E402
+
+SIDE = 2048
+REPEATS = 3
+
+
+def _timeit(fn, repeats=REPEATS):
+    fn()  # warmup (compiles on the TPU side)
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_tpu(field2d, stack):
+    import barc4dip_tpu as dip
+    from barc4dip_tpu.preprocessing import deconvolve_psf, flat_field_correction
+
+    out = {}
+
+    out["A_sharpness_stats_2k"] = _timeit(
+        lambda: dip.logbook_report(dip.sharpness_stats(field2d, verbose=False))
+    )
+    out["B_speckle_stats_2k"] = _timeit(
+        lambda: dip.speckle_stats(field2d, metrics="all", tiles=True, verbose=False)
+    )
+
+    def config_c():
+        # natural device flow: the autocorr map feeds the radial means
+        # without a host round-trip; the PSD map and radial profiles
+        # materialize once for the user
+        P, fx, fy = dip.signal.psd2d(field2d)
+        ac, xl, yl = dip.signal.autocorr2d(field2d)
+        rb, _ = dip.maths.radial_mean_binned(ac)
+        ri, _ = dip.maths.radial_mean_interpolated(ac)
+        np.asarray(P); np.asarray(ac); np.asarray(rb); np.asarray(ri)
+
+    out["C_fourier_radial_2k"] = _timeit(config_c)
+
+    T = stack.shape[0]
+    def config_d():
+        dip.speckle_stack_stats(
+            stack, metrics="all", tiles=True, tracking_backend="opencv",
+            verbose=False, frame_chunk=4,
+        )
+
+    out["D_stack_pipeline_per_frame"] = _timeit(config_d, repeats=2) / T
+
+    flat = (np.random.default_rng(0).normal(2000, 50, size=field2d.shape)).astype(np.float32)
+
+    def config_e_parity():
+        # like-for-like with the CPU baseline (which cannot run skimage
+        # deconvolution here): flat-field -> stats -> report
+        corrected = flat_field_correction(field2d.astype(np.float32), flats=flat)
+        stats = dip.speckle_stats(corrected, metrics=("amplitude", "grain", "stats"), verbose=False)
+        dip.logbook_report(stats)
+
+    out["E_preprocess_report_2k"] = _timeit(config_e_parity, repeats=2)
+
+    def config_e_full():
+        corrected = flat_field_correction(field2d.astype(np.float32), flats=flat)
+        deconvolved = deconvolve_psf(corrected, sigma=1.5, method="wiener")
+        stats = dip.speckle_stats(deconvolved, metrics=("amplitude", "grain", "stats"), verbose=False)
+        dip.logbook_report(stats)
+
+    out["E_full_with_deconv_2k"] = _timeit(config_e_full, repeats=2)
+    return out
+
+
+def bench_cpu(field2d, stack):
+    sys.path.insert(0, "/root/reference/src")
+    import barc4dip as ref
+
+    out = {}
+    f64 = field2d.astype(np.float64)
+
+    out["A_sharpness_stats_2k"] = _timeit(
+        lambda: ref.logbook_report(ref.sharpness_stats(f64, verbose=False)), repeats=1
+    )
+    out["B_speckle_stats_2k"] = _timeit(
+        lambda: ref.speckle_stats(f64, metrics="all", tiles=True, verbose=False),
+        repeats=1,
+    )
+
+    def config_c():
+        P, fx, fy = ref.signal.psd2d(f64)
+        ac, xl, yl = ref.signal.autocorr2d(f64)
+        ref.maths.radial.radial_mean_binned(ac)
+        ref.maths.radial.radial_mean_interpolated(ac)
+
+    out["C_fourier_radial_2k"] = _timeit(config_c, repeats=1)
+
+    cpu_T = min(2, stack.shape[0])
+    def config_d():
+        ref.speckle_stack_stats(
+            stack[:cpu_T], metrics="all", tiles=True, tracking_backend="opencv",
+            verbose=False, parallel=True, n_jobs=-1,
+        )
+
+    out["D_stack_pipeline_per_frame"] = _timeit(config_d, repeats=1) / cpu_T
+
+    flat = (np.random.default_rng(0).normal(2000, 50, size=field2d.shape)).astype(np.float32)
+    # reference deconvolution requires scikit-image (absent here); Config E
+    # baseline covers flat-field + stats + report only; noted in output.
+    def config_e():
+        corrected = ref.preprocessing.flat_field_correction(
+            field2d.astype(np.float32), flats=flat
+        )
+        stats = ref.speckle_stats(
+            corrected, metrics=("amplitude", "grain", "stats"), verbose=False
+        )
+        ref.logbook_report(stats)
+
+    out["E_preprocess_report_2k"] = _timeit(config_e, repeats=2)
+    return out
+
+
+def main() -> int:
+    skip_cpu = "--skip-cpu" in sys.argv
+
+    stack = make_stack(8, SIDE)
+    field2d = stack[0]
+
+    results = {"frame": f"{SIDE}x{SIDE}", "dtype": "uint16"}
+    results["tpu_seconds"] = bench_tpu(field2d, stack)
+    if not skip_cpu:
+        results["cpu_seconds"] = bench_cpu(field2d, stack)
+        results["speedup"] = {
+            k: round(results["cpu_seconds"][k] / v, 2)
+            for k, v in results["tpu_seconds"].items()
+            if k in results["cpu_seconds"] and v > 0
+        }
+        results["notes"] = {
+            "E": "E_preprocess_report_2k is like-for-like (no deconvolution "
+                 "on either side: the reference needs scikit-image, "
+                 "unavailable here); E_full_with_deconv_2k adds native "
+                 "Wiener deconvolution on the TPU side only."
+        }
+
+    (REPO / "BENCH_DETAILS.json").write_text(json.dumps(results, indent=2))
+    print(json.dumps(results, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
