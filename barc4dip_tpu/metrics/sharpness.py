@@ -16,6 +16,7 @@ from functools import lru_cache
 from typing import Literal, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import MIN_TILE_PX
@@ -339,13 +340,14 @@ def sharpness_stats(
     """Compute sharpness metrics on a single 2D image (reference schema)."""
     t0 = now()
 
-    if not isinstance(image, np.ndarray):
+    is_device = isinstance(image, jax.Array)
+    if not isinstance(image, np.ndarray) and not is_device:
         raise TypeError("sharpness_stats expects a numpy.ndarray")
     if image.ndim != 2:
         raise ValueError(f"Expected 2D array, got ndim={image.ndim}")
 
     image = apply_display_origin(image, display_origin=display_origin)
-    h, w = image.shape
+    h, w = (int(v) for v in image.shape)
     groups = normalize_groups(
         metrics, all_groups=_ALL_SHARPNESS_GROUPS, context="sharpness", param_name="metrics"
     )
@@ -355,8 +357,10 @@ def sharpness_stats(
             f"image too small for inverse autocorrelation width "
             f"(min dimension < {_IAW_MIN_PX})."
         )
-    if ("stats" in groups or "gradient" in groups or "laplacian" in groups) and not np.any(
-        np.isfinite(image)
+    if (
+        not is_device
+        and ("stats" in groups or "gradient" in groups or "laplacian" in groups)
+        and not np.any(np.isfinite(image))
     ):
         raise ValueError("received image with no finite values.")
 
@@ -371,7 +375,8 @@ def sharpness_stats(
         None if saturation_value is None else float(saturation_value),
         float(eps),
     )
-    raw = jax.device_get(program(np.ascontiguousarray(image)))
+    dev_img = image if is_device else np.ascontiguousarray(image)
+    raw = jax.device_get(program(dev_img))
 
     out: dict = {
         "meta": {

@@ -278,26 +278,32 @@ def speckle_stats(
     """
     t0 = now()
 
-    if not isinstance(image, np.ndarray):
+    is_device = isinstance(image, jax.Array)
+    if not isinstance(image, np.ndarray) and not is_device:
         raise TypeError("speckle_stats expects a numpy.ndarray")
     if image.ndim != 2:
         raise ValueError(f"Expected 2D array, got ndim={image.ndim}")
 
     image = apply_display_origin(image, display_origin=display_origin)
-    h, w = image.shape
+    h, w = (int(v) for v in image.shape)
     groups = normalize_groups(
         metrics, all_groups=_ALL_SPECKLE_GROUPS, context="speckles", param_name="metrics"
     )
 
     if "grain" in groups and min(h, w) < _GRAIN_MIN_PX:
         raise ValueError("image too small for speckle grain metrics (min dimension < 128).")
-    if "amplitude" in groups:
-        mu = float(np.nanmean(np.asarray(image, dtype=np.float64)))
-        if not np.isfinite(mu) or mu <= 0.0:
-            raise ValueError("Mean intensity must be positive and finite.")
-    if "stats" in groups:
-        if image.size == 0 or not np.any(np.isfinite(image)):
-            raise ValueError("distribution_moments received no finite values.")
+    # Host inputs validate up-front (reference error behaviour); device
+    # inputs validate post-hoc on the pulled results — every early device
+    # check is a blocking round-trip that serialises against upstream
+    # device work.
+    if not is_device:
+        if "amplitude" in groups:
+            mu = float(np.nanmean(np.asarray(image, dtype=np.float64)))
+            if not np.isfinite(mu) or mu <= 0.0:
+                raise ValueError("Mean intensity must be positive and finite.")
+        if "stats" in groups:
+            if image.size == 0 or not np.any(np.isfinite(image)):
+                raise ValueError("distribution_moments received no finite values.")
 
     if verbose:
         logger.info("\nspeckle stats for a (h x w: %.0f x %.0f) image:", h, w)
@@ -312,7 +318,16 @@ def speckle_stats(
     )
     # upload in the image's own dtype (uint16 detector frames ship half the
     # bytes); the program casts on device
-    raw = jax.device_get(program(jnp.asarray(np.ascontiguousarray(image))))
+    dev_img = image if is_device else jnp.asarray(np.ascontiguousarray(image))
+    raw = jax.device_get(program(dev_img))
+
+    if is_device:
+        if "amplitude" in groups and not np.isfinite(
+            float(raw["full"]["amplitude"]["visibility"])
+        ):
+            raise ValueError("Mean intensity must be positive and finite.")
+        if "stats" in groups and not np.isfinite(float(raw["full"]["stats"]["mean"])):
+            raise ValueError("distribution_moments received no finite values.")
 
     out: dict = {
         "meta": {

@@ -66,12 +66,14 @@ def flat_field_correction(
     bad_pixel_removal: bool = False,
     eps: float | None = None,
     verbose: bool = False,
+    as_numpy: bool = True,
 ) -> np.ndarray:
     """Apply flat-field correction to a 2D image or (N, H, W) stack.
 
     Returns float32 with the input's shape. Degenerate paths match the
     reference: no flats/darks -> copy; dark-only -> subtraction; flat-only ->
-    zero dark.
+    zero dark. ``as_numpy=False`` returns the device array instead — chain it
+    straight into the metric aggregators with no host round-trip.
     """
     t0 = now()
 
@@ -115,7 +117,8 @@ def flat_field_correction(
         bad_pixel_removal=bool(bad_pixel_removal),
         has_eps=eps is not None,
     )
-    out = np.asarray(out)
+    if as_numpy:
+        out = np.asarray(out)
 
     if verbose:
         elapsed_time(t0)

@@ -245,3 +245,31 @@ def test_speckle_stack_grain_maps_opt_out():
     assert "autocorr" not in slim["full"]["grain"]
     for k in ("lx", "ly", "leq", "r"):
         np.testing.assert_allclose(slim["full"]["grain"][k], full["full"]["grain"][k])
+
+
+def test_device_array_input_matches_numpy(field):
+    """Aggregators accept device arrays (preprocessing chains without a host
+    round-trip) and produce identical results."""
+    import jax.numpy as jnp
+
+    from barc4dip_tpu.preprocessing import flat_field_correction
+
+    flat = np.full(field.shape, 2000.0, np.float32) + np.random.default_rng(0).normal(
+        0, 10, field.shape
+    ).astype(np.float32)
+
+    corr_np = flat_field_correction(field.astype(np.float32), flats=flat)
+    corr_dev = flat_field_correction(field.astype(np.float32), flats=flat, as_numpy=False)
+    assert not isinstance(corr_dev, np.ndarray)
+
+    a = speckle_stats(corr_np, metrics="amplitude,stats", tiles=False, verbose=False)
+    b = speckle_stats(corr_dev, metrics="amplitude,stats", tiles=False, verbose=False)
+    for g in a["full"]:
+        for k in a["full"][g]:
+            assert b["full"][g][k] == pytest.approx(a["full"][g][k], rel=1e-6, nan_ok=True)
+
+    sa = sharpness_stats(corr_np, metrics="gradient", tiles=False, verbose=False)
+    sb = sharpness_stats(corr_dev, metrics="gradient", tiles=False, verbose=False)
+    assert sb["full"]["gradient"]["tenengrad"] == pytest.approx(
+        sa["full"]["gradient"]["tenengrad"], rel=1e-6
+    )
