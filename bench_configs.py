@@ -168,6 +168,12 @@ def main() -> int:
             for k, v in results["tpu_seconds"].items()
             if k in results["cpu_seconds"] and v > 0
         }
+        if "E_device_chained_2k" in results["tpu_seconds"]:
+            results["speedup"]["E_device_chained_2k"] = round(
+                results["cpu_seconds"]["E_preprocess_report_2k"]
+                / results["tpu_seconds"]["E_device_chained_2k"],
+                2,
+            )
         results["notes"] = {
             "E": "E_preprocess_report_2k is like-for-like (no deconvolution "
                  "on either side: the reference needs scikit-image, "
