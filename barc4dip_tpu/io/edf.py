@@ -180,6 +180,18 @@ class EdfFile:
         return (dim2, dim1), dtype, nbytes
 
 
+def _use_native() -> bool:
+    import os
+
+    if os.environ.get("BARC4DIP_TPU_NATIVE_IO", "").strip().lower() not in (
+        "1", "true", "yes", "on",
+    ):
+        return False
+    from .native import native_available
+
+    return native_available()
+
+
 def read_edf(
     image_path: str | Sequence[str],
     *,
@@ -187,9 +199,16 @@ def read_edf(
     dtype: np.dtype | str = np.float32,
 ) -> np.ndarray:
     """Read one EDF image (2D) or a sequence of EDF files stacked along
-    axis 0, cast to ``dtype`` (default float32)."""
+    axis 0, cast to ``dtype`` (default float32).
+
+    With ``BARC4DIP_TPU_NATIVE_IO=1`` uncompressed files route through the
+    C++ codec (native/dipio.cpp); compressed (.gz/.bz2) and fallback paths
+    use the Python parser.
+    """
     if index < 0:
         raise ValueError("index must be >= 0")
+
+    native = _use_native()
 
     def _read_one(p: str) -> np.ndarray:
         if not isinstance(p, str):
@@ -197,6 +216,13 @@ def read_edf(
         fp = Path(p)
         if not fp.exists():
             raise FileNotFoundError(f"EDF file not found: '{p}'")
+        if native and not str(fp).endswith((".gz", ".bz2")):
+            from .native import read_edf_native
+
+            try:
+                return read_edf_native(fp, index=index, dtype=dtype)
+            except Exception:
+                pass  # fall back to the Python parser
         arr = EdfFile(fp).GetData(index)
         return np.asarray(arr, dtype=dtype)
 

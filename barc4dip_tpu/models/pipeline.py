@@ -124,6 +124,25 @@ class SpeckleStackPipeline:
             checkpoint_dir=checkpoint_dir,
         )
 
+    def run_edf_files(
+        self, paths, *, verbose: bool = False, checkpoint_dir=None
+    ) -> dict:
+        """Out-of-core stack analysis from a sequence of single-frame EDF
+        files (one frame per file, the standard beamline scan layout)."""
+        return speckle_stack_stats(
+            _NdarrayView(_EdfSequence(paths)),
+            metrics=self.metrics,
+            tiles=self.tiles,
+            tracking_method=self.tracking_method,
+            tracking_backend=self.tracking_backend,
+            subpixel=self.subpixel,
+            frame_chunk=self.frame_chunk,
+            mesh=self.mesh,
+            display_origin=self.display_origin,
+            verbose=verbose,
+            checkpoint_dir=checkpoint_dir,
+        )
+
     def run_hdf5(
         self, path, *, verbose: bool = False, checkpoint_dir=None
     ) -> dict:
@@ -158,6 +177,57 @@ class SpeckleStackPipeline:
                 verbose=verbose,
                 checkpoint_dir=checkpoint_dir,
             )
+
+
+class _EdfSequence:
+    """Lazy (T, H, W) frame source over a list of single-frame EDF files.
+
+    Frames load on demand through :func:`barc4dip_tpu.io.read_edf` (which
+    routes through the native C++ codec when BARC4DIP_TPU_NATIVE_IO=1), so
+    arbitrarily long scan series process in bounded memory.
+    """
+
+    def __init__(self, paths, *, dtype=np.float32):
+        from ..io import read_edf
+
+        self._paths = [str(p) for p in paths]
+        if not self._paths:
+            raise ValueError("empty EDF path list")
+        self._read = lambda p: read_edf(p, dtype=dtype)
+        first = self._read(self._paths[0])
+        if first.ndim != 2:
+            raise ValueError(f"expected 2D EDF frames; got {first.shape}")
+        self._frame_shape = first.shape
+        self._dtype = first.dtype
+        self._cache = {0: first}
+
+    @property
+    def shape(self):
+        return (len(self._paths), *self._frame_shape)
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    def _frame(self, t: int) -> np.ndarray:
+        if t not in self._cache:
+            self._cache.clear()  # keep at most one cached frame
+            self._cache[t] = self._read(self._paths[t])
+        return self._cache[t]
+
+    def __getitem__(self, key):
+        if isinstance(key, tuple):
+            t, rest = key[0], key[1:]
+            if isinstance(t, (int, np.integer)):
+                frame = self._frame(int(t))
+                return frame[rest] if rest else frame
+            key = t  # (slice, ...) over frames: fall through
+        if isinstance(key, slice):
+            idx = range(*key.indices(len(self._paths)))
+            return np.stack([self._frame(t) for t in idx])
+        if isinstance(key, (int, np.integer)):
+            return self._frame(int(key))
+        raise TypeError(f"unsupported index {key!r}")
 
 
 class _NdarrayView(np.ndarray):

@@ -58,12 +58,27 @@ def width_at_fraction_core(profile, *, fraction: float, center_index=None):
     i_left = jnp.max(jnp.where(left_mask, idx, -1))
     i_right = jnp.min(jnp.where(right_mask, idx, n))
 
-    # Clamp for safe indexing when missing (result discarded via hit_edge).
-    il = jnp.clip(i_left, 0, n - 2)
-    ir = jnp.clip(i_right, 1, n - 1)
+    # Clamp for safe indexing when missing (result discarded via hit_edge);
+    # il+1 also clamps the i_left == c == n-1 corner where the reference
+    # would raise IndexError (flat fallback applies either way).
+    il = jnp.clip(i_left, 0, n - 1)
+    ir = jnp.clip(i_right, 0, n - 1)
 
-    x_left = _interp_cross(p, il, il + 1, thr, il.astype(p.dtype))
-    x_right = _interp_cross(p, ir - 1, ir, thr, ir.astype(p.dtype))
+    x_left = _interp_cross(p, il, jnp.minimum(il + 1, n - 1), thr, il.astype(p.dtype))
+
+    # Right crossing: the reference indexes p[i_right - 1] with Python
+    # semantics, so i_right == 0 (a below-threshold peak sample) reads the
+    # LAST element while keeping coordinate -1; replicate exactly.
+    j0 = (ir - 1) % n
+    y0 = p[j0]
+    y1 = p[ir]
+    flat = y1 == y0
+    denom = jnp.where(flat, 1.0, y1 - y0)
+    x_right = jnp.where(
+        flat,
+        ir.astype(p.dtype),
+        (ir - 1).astype(p.dtype) + (thr - y0) / denom,
+    )
 
     width = x_right - x_left
     ok = has_left & has_right

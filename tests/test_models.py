@@ -58,3 +58,30 @@ def test_out_of_core_hdf5_pipeline(tmp_path):
         np.testing.assert_allclose(
             ooc["temporal"][blk]["dx"], ram["temporal"][blk]["dx"], atol=1e-5
         )
+
+
+def test_edf_sequence_pipeline(tmp_path, monkeypatch):
+    """Out-of-core EDF scan-series analysis (native codec routing enabled)
+    matches the in-RAM stack result."""
+    from tests.test_io import _make_edf_bytes
+
+    rng = np.random.default_rng(104)
+    base = make_speckle(rng, shape=(160, 160), grain_px=6.0)
+    frames = [(base * (1 + 0.01 * t)).astype(np.float32) for t in range(5)]
+    paths = []
+    for t, f in enumerate(frames):
+        p = tmp_path / f"scan_{t:04d}.edf"
+        p.write_bytes(_make_edf_bytes([f]))
+        paths.append(str(p))
+
+    monkeypatch.setenv("BARC4DIP_TPU_NATIVE_IO", "1")
+    pipe = SpeckleStackPipeline(metrics="amplitude,stats", tiles=False, frame_chunk=2)
+    ooc = pipe.run_edf_files(paths)
+    ram = pipe(np.stack(frames))
+
+    for g in ram["full"]:
+        for k in ram["full"][g]:
+            np.testing.assert_allclose(ooc["full"][g][k], ram["full"][g][k], rtol=1e-6)
+    np.testing.assert_allclose(
+        ooc["temporal"]["abs"]["dx"], ram["temporal"]["abs"]["dx"], atol=1e-5
+    )
