@@ -130,10 +130,14 @@ def grain_core(
     fraction: float = _INV_E,
     radial_method: str = "interpolated",
     with_map: bool = True,
+    half_map: bool = False,
 ) -> dict:
     """Speckle grain metrics from the autocorrelation peak.
 
-    ``with_map=False`` drops the (N, N) autocorr map and lag axes (tile mode).
+    ``with_map=False`` drops the (N, N) autocorr map and lag axes (tile
+    mode). ``half_map=True`` emits only rows 0..N//2 under key
+    "autocorr_half" — the map is exactly centro-symmetric, so the host
+    rebuilds the rest (ops/symmetry.py) for half the transfer bytes.
     """
     lx, ly, leq, ac, N = _autocorr_widths(
         img, fraction=fraction, standardize=False, radial_method=radial_method
@@ -143,7 +147,10 @@ def grain_core(
     out = {"lx": lx, "ly": ly, "leq": leq, "r": r_aniso}
     if with_map:
         lag = jnp.asarray(lag_axis_from_step(N, 1.0), dtype=ac.dtype)
-        out["autocorr"] = ac
+        if half_map:
+            out["autocorr_half"] = ac[: int(N) // 2 + 1, :]
+        else:
+            out["autocorr"] = ac
         out["xlag"] = lag
         out["ylag"] = lag
     return out

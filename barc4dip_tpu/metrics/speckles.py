@@ -96,8 +96,10 @@ _GRAIN_MIN_PX = 128
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=128)
-def _speckle_program(groups: tuple, mode: str, sat: float | None, eps: float):
-    fn = _speckle_device_fn(frozenset(groups), mode, sat, eps)
+def _speckle_program(
+    groups: tuple, mode: str, sat: float | None, eps: float, half_maps: bool = False
+):
+    fn = _speckle_device_fn(frozenset(groups), mode, sat, eps, True, half_maps)
 
     def cast_fn(img):
         if img.dtype not in (jnp.float32, jnp.float64):
@@ -115,11 +117,18 @@ def _speckle_stack_program(groups: tuple, mode: str, sat: float | None, eps: flo
 
 def _assemble_stack_output(raw: dict, groups: set, mode: str) -> tuple[dict, dict | None]:
     """Convert a stacked raw pytree into the reference (full, tiles) schema."""
+    from ..ops.symmetry import mirror_centrosymmetric
+
     full_raw = raw["full"]
     out_full: dict = {}
     for g in ("amplitude", "grain", "stats", "bandwidth"):
         if g in full_raw:
             out_full[g] = {k: np.asarray(v) for k, v in full_raw[g].items()}
+    if "grain" in out_full and "autocorr_half" in out_full["grain"]:
+        N = int(out_full["grain"]["xlag"].shape[-1])
+        out_full["grain"]["autocorr"] = mirror_centrosymmetric(
+            out_full["grain"].pop("autocorr_half"), N
+        )
 
     out_tiles = None
     if mode != "off" and "tiles" in raw:
@@ -310,11 +319,16 @@ def speckle_stats(
 
     mode, tile_shape_px = choose_tiling_mode(h, w, tiles=tiles, min_tile_px=MIN_TILE_PX)
 
+    from ..config import on_tpu
+    from ..ops.symmetry import mirror_centrosymmetric
+
+    half_maps = on_tpu()  # halve map transfers over the device link
     program = _speckle_program(
         tuple(sorted(groups)),
         mode,
         None if saturation_value is None else float(saturation_value),
         float(eps),
+        half_maps,
     )
     # upload in the image's own dtype (uint16 detector frames ship half the
     # bytes); the program casts on device
@@ -345,12 +359,17 @@ def speckle_stats(
         out["full"]["amplitude"] = {k: float(v) for k, v in full["amplitude"].items()}
     if "grain" in groups:
         g = full["grain"]
+        if "autocorr_half" in g:
+            N = int(np.asarray(g["xlag"]).shape[-1])
+            ac = mirror_centrosymmetric(np.asarray(g["autocorr_half"], dtype=float), N)
+        else:
+            ac = np.asarray(g["autocorr"], dtype=float)
         out["full"]["grain"] = {
             "lx": float(g["lx"]),
             "ly": float(g["ly"]),
             "leq": float(g["leq"]),
             "r": float(g["r"]),
-            "autocorr": np.asarray(g["autocorr"], dtype=float),
+            "autocorr": ac,
             "xlag": np.asarray(g["xlag"], dtype=float),
             "ylag": np.asarray(g["ylag"], dtype=float),
         }

@@ -16,7 +16,7 @@ __all__ = ["speckle_device_fn"]
 
 def speckle_device_fn(
     groups: frozenset, mode: str, sat: float | None, eps: float,
-    full_maps: bool = True,
+    full_maps: bool = True, half_maps: bool = False,
 ):
     """Build the fused full+tiles program for one static configuration.
 
@@ -44,7 +44,9 @@ def speckle_device_fn(
         if "amplitude" in groups:
             out["full"]["amplitude"] = amplitude_core(img)
         if "grain" in groups:
-            out["full"]["grain"] = grain_core(img, with_map=full_maps)
+            out["full"]["grain"] = grain_core(
+                img, with_map=full_maps, half_map=half_maps
+            )
         if "stats" in groups:
             out["full"]["stats"] = distribution_moments_core(
                 img, saturation_value=sat, eps=eps

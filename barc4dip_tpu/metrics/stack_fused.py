@@ -124,9 +124,11 @@ def _make_track_frame_fn(H, W, s, starts, subpixel, method):
 @lru_cache(maxsize=64)
 def _metrics_chunk_program(
     groups: tuple, mode: str, sat: float | None, eps: float, flip: bool,
-    full_maps: bool,
+    full_maps: bool, half_maps: bool = False,
 ):
-    metric_fn = speckle_device_fn(frozenset(groups), mode, sat, eps, full_maps)
+    metric_fn = speckle_device_fn(
+        frozenset(groups), mode, sat, eps, full_maps, half_maps
+    )
 
     def per_frame(img):
         img = _to_compute(img)
@@ -222,8 +224,11 @@ def run_fused_speckle_stack(
     eps_t = jnp.asarray(track_eps, dtype=compute_dtype)
     frame0_dev = put_repl(np.asarray(stack[0], dtype=compute_dtype))
 
+    from ..config import on_tpu
+
     metrics_prog = _metrics_chunk_program(
-        tuple(sorted(groups)), mode, sat, eps, bool(flip), bool(full_maps)
+        tuple(sorted(groups)), mode, sat, eps, bool(flip), bool(full_maps),
+        on_tpu(),  # halve autocorr-map transfers over the device link
     )
     track_prog = _track_chunk_program(
         method, bool(subpixel), H, W, s, starts_key

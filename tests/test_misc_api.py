@@ -1,0 +1,115 @@
+# SPDX-License-Identifier: CECILL-2.1
+"""Coverage for remaining public surfaces: the generic host tiling executor,
+profiling utilities, config knobs, version resolution."""
+import time
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from barc4dip_tpu import __version__
+from barc4dip_tpu.metrics.common import (
+    aggregate_subtiles_9x9_to_3x3,
+    normalize_groups,
+    split_edges,
+    stack_time_series,
+    tiled_scalar_fields,
+)
+from barc4dip_tpu.ops.momentscore import distribution_moments_core
+from barc4dip_tpu.utils.profiling import StageTimer, annotate
+
+
+def test_version_resolves():
+    assert __version__ and __version__ != "0+unknown"
+
+
+def test_tiled_scalar_fields_host_api(rng):
+    """The reference-compatible generic executor: per-tile means must match
+    direct evaluation on split_edges extents."""
+    img = rng.normal(size=(100, 130)) * 10 + 50
+
+    def compute(tile):
+        out = distribution_moments_core(tile)
+        return {"mean": out["mean"], "std": out["std"]}
+
+    res = tiled_scalar_fields(img, tile_mode="tiles_3x3", compute_fn=compute)
+    y_edges, x_edges = split_edges(100, 3), split_edges(130, 3)
+    for r in range(3):
+        for c in range(3):
+            tile = img[y_edges[r][0] : y_edges[r][1], x_edges[c][0] : x_edges[c][1]]
+            assert res["mean"]["mean"][r, c] == pytest.approx(tile.mean(), rel=1e-9)
+    assert np.all(np.isnan(res["mean"]["std"]))  # direct 3x3 -> NaN std
+
+    res9 = tiled_scalar_fields(img, tile_mode="subtiles_9x9", compute_fn=compute)
+    assert np.all(np.isfinite(res9["mean"]["std"]))
+    with pytest.raises(ValueError):
+        tiled_scalar_fields(img, tile_mode="bogus", compute_fn=compute)
+
+
+def test_aggregate_subtiles(rng):
+    sub = rng.normal(size=(9, 9))
+    mean, std = aggregate_subtiles_9x9_to_3x3(sub)
+    block = sub[3:6, 3:6]
+    assert mean[1, 1] == pytest.approx(block.mean())
+    assert std[1, 1] == pytest.approx(block.std(ddof=0))
+    with pytest.raises(ValueError):
+        aggregate_subtiles_9x9_to_3x3(np.zeros((3, 3)))
+
+
+def test_normalize_groups_errors():
+    allg = {"a", "b"}
+    assert normalize_groups("all", all_groups=allg, context="t") == allg
+    assert normalize_groups("a, b", all_groups=allg, context="t") == allg
+    with pytest.raises(ValueError):
+        normalize_groups("c", all_groups=allg, context="t")
+    with pytest.raises(TypeError):
+        normalize_groups([1], all_groups=allg, context="t")
+    with pytest.raises(TypeError):
+        normalize_groups(3.5, all_groups=allg, context="t")
+
+
+def test_stack_time_series_shapes():
+    frames = [
+        {"s": 1.0, "arr": np.zeros((2, 2)), "nested": {"x": 5}},
+        {"s": 2.0, "arr": np.ones((2, 2)), "nested": {"x": 6}},
+    ]
+    out = stack_time_series(frames)
+    assert out["s"].shape == (2,)
+    assert out["arr"].shape == (2, 2, 2)
+    assert out["nested"]["x"].tolist() == [5, 6]
+    with pytest.raises(ValueError):
+        stack_time_series([])
+
+
+def test_stage_timer_accumulates():
+    timer = StageTimer(sync=False)
+    with timer.stage("a"):
+        time.sleep(0.01)
+    with timer.stage("a"):
+        time.sleep(0.01)
+    with timer.stage("b"):
+        pass
+    report = timer.report(log=False)
+    assert report["a"] >= 0.02
+    assert timer.counts["a"] == 2
+    assert "b" in report
+
+
+def test_annotate_context():
+    with annotate("test-region"):
+        x = jnp.sum(jnp.ones((8, 8)))
+    assert float(x) == 64.0
+
+
+def test_split_edges_properties():
+    for length in (1, 7, 9, 100, 1001):
+        for n in (1, 3, 9):
+            if n > length:
+                continue
+            edges = split_edges(length, n)
+            assert edges[0][0] == 0 and edges[-1][1] == length
+            for (a, b), (c, d) in zip(edges, edges[1:]):
+                assert b == c and b > a
+    with pytest.raises(ValueError):
+        split_edges(0, 3)
