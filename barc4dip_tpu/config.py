@@ -61,6 +61,22 @@ def _env_flag(name: str, default: bool) -> bool:
 SYNC_RESULTS: bool = _env_flag("BARC4DIP_TPU_SYNC", True)
 
 
+def _setup_debug_mode() -> None:
+    """BARC4DIP_TPU_DEBUG=1 enables the numerical sanitizer: jax debug-nans
+    aborts with a traceback at the first NaN-producing primitive (the
+    TPU-native analogue of a sanitizer run; the reference has none).
+
+    Caveat: some legitimate outputs are NaN by contract (frac_sat with
+    ``saturation_value=None``, degenerate-tile fallbacks) — use this mode to
+    localise *unexpected* NaNs in kernel work, not in production runs."""
+    if not _env_flag("BARC4DIP_TPU_DEBUG", False):
+        return
+    jax.config.update("jax_debug_nans", True)
+
+
+_setup_debug_mode()
+
+
 def _setup_compilation_cache() -> None:
     """Persistent XLA compilation cache: the fused metric programs are large
     (up to ~2 min first compile for a 2k x 2k full+tiles program) but fully

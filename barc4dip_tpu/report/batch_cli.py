@@ -1,0 +1,183 @@
+# SPDX-License-Identifier: CECILL-2.1
+"""barc4dip-batch: production stack processing with checkpoint/resume.
+
+Runs the full speckle-stack pipeline (or a sharpness focus scan) over an
+HDF5 stack or a sequence of EDF/TIFF frames, out-of-core where possible,
+optionally sharded over all local devices, writing a JSON summary, an
+optional .npz of the full outputs and an optional Markdown report.
+
+Examples
+--------
+python -m barc4dip_tpu.report.batch_cli run.h5 --out results.json --npz results.npz
+python -m barc4dip_tpu.report.batch_cli 'scan_*.edf' --kind speckle \\
+    --checkpoint-dir ./ckpt --mesh --report run.md
+python -m barc4dip_tpu.report.batch_cli focus_*.tif --kind sharpness
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["main"]
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="barc4dip-batch",
+        description="Batch stack analysis (speckle pipeline / sharpness scan) "
+        "with checkpoint/resume and optional device-mesh sharding.",
+    )
+    p.add_argument(
+        "input",
+        nargs="+",
+        help="HDF5 stack file, or a glob / list of per-frame EDF/TIFF files.",
+    )
+    p.add_argument("--kind", choices=("speckle", "sharpness"), default="speckle")
+    p.add_argument("--metrics", default="all", help="Metric groups (default: all).")
+    p.add_argument("--no-tiles", dest="tiles", action="store_false")
+    p.set_defaults(tiles=True)
+    p.add_argument("--frame-chunk", type=int, default=8)
+    p.add_argument("--mesh", action="store_true", help="Shard frames across all devices.")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--out", default=None, help="JSON summary path (default: stdout).")
+    p.add_argument("--npz", default=None, help="Write full outputs as .npz.")
+    p.add_argument("--report", default=None, help="Write a Markdown report.")
+    p.add_argument("--tracking-method", default="template", choices=("template", "phase"))
+    return p
+
+
+def _expand_inputs(patterns: list[str]) -> list[str]:
+    paths: list[str] = []
+    for pat in patterns:
+        hits = sorted(glob.glob(pat))
+        paths.extend(hits if hits else [pat])
+    return paths
+
+
+def _summary(out: dict) -> dict:
+    meta = out.get("meta", {})
+    summary: dict = {
+        "kind": meta.get("kind"),
+        "n_frames": meta.get("n_frames"),
+        "input_shape": list(meta.get("input_shape", ())),
+    }
+    if "temporal" in out:
+        tr = out["temporal"]["abs"]
+        r = np.asarray(tr["r"], dtype=float)
+        summary["tracking"] = {
+            "mean_r_px": float(np.nanmean(r)),
+            "max_r_px": float(np.nanmax(r)),
+            "final_dx_px": float(np.asarray(tr["dx"])[-1]),
+            "final_dy_px": float(np.asarray(tr["dy"])[-1]),
+        }
+    if "focus" in meta:
+        summary["focus"] = meta["focus"]
+    full = out.get("full", {})
+    series: dict = {}
+    for g, d in full.items():
+        for k, v in d.items():
+            arr = np.asarray(v, dtype=float)
+            if arr.ndim == 1:
+                series[f"{g}.{k}"] = {
+                    "mean": float(np.nanmean(arr)),
+                    "min": float(np.nanmin(arr)),
+                    "max": float(np.nanmax(arr)),
+                }
+    if series:
+        summary["metric_series"] = series
+    return summary
+
+
+def _flatten_npz(out: dict, prefix="") -> dict:
+    flat = {}
+    for k, v in out.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            flat.update(_flatten_npz(v, f"{key}/"))
+        elif isinstance(v, np.ndarray):
+            flat[key] = v
+        elif np.isscalar(v):
+            flat[key] = np.asarray(v)
+    return flat
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    from ..models import SharpnessScanPipeline, SpeckleStackPipeline
+
+    mesh = None
+    if args.mesh:
+        import jax
+
+        from ..parallel import frame_mesh
+
+        if len(jax.devices()) > 1:
+            mesh = frame_mesh()
+
+    inputs = _expand_inputs(args.input)
+    missing = [p for p in inputs if not Path(p).is_file()]
+    if missing:
+        what = "no files match" if any(ch in m for m in missing for ch in "*?[") \
+            else "input file(s) not found"
+        print(f"barc4dip-batch: error: {what}: {', '.join(missing)}", file=sys.stderr)
+        return 2
+    single_h5 = len(inputs) == 1 and inputs[0].lower().endswith((".h5", ".hdf5"))
+
+    if args.kind == "sharpness":
+        pipe = SharpnessScanPipeline(
+            metrics=args.metrics, tiles=args.tiles,
+            frame_chunk=args.frame_chunk, mesh=mesh,
+        )
+        if single_h5:
+            from ..io import read_h5
+
+            out = pipe(read_h5(inputs[0]))
+        else:
+            from ..io import read_image
+
+            out = pipe(read_image(inputs))
+    else:
+        pipe = SpeckleStackPipeline(
+            metrics=args.metrics, tiles=args.tiles,
+            tracking_method=args.tracking_method,
+            frame_chunk=args.frame_chunk, mesh=mesh,
+        )
+        if single_h5:
+            out = pipe.run_hdf5(
+                inputs[0], checkpoint_dir=args.checkpoint_dir
+            )
+        elif all(p.lower().endswith((".edf", ".edf.gz", ".edf.bz2")) for p in inputs):
+            out = pipe.run_edf_files(inputs, checkpoint_dir=args.checkpoint_dir)
+        else:
+            from ..io import read_image
+
+            out = pipe(
+                np.asarray(read_image(inputs)), checkpoint_dir=args.checkpoint_dir
+            )
+
+    summary = _summary(out)
+    text = json.dumps(summary, indent=2, default=str)
+    if args.out:
+        Path(args.out).write_text(text)
+    else:
+        sys.stdout.write(text + "\n")
+
+    if args.npz:
+        np.savez_compressed(args.npz, **_flatten_npz({k: v for k, v in out.items() if k != "meta"}))
+
+    if args.report:
+        from .markdown import logbook_report
+
+        logbook_report(out, report_path=args.report)
+
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -138,3 +138,72 @@ def test_logbook_stack_kind():
     assert "# Speckle stack summary" in text
     assert "## Tracking" in text
     assert "## Absolute displacement" in text
+
+
+def test_batch_cli_h5_speckle(tmp_path, capsys):
+    from barc4dip_tpu.report.batch_cli import main as batch_main
+
+    rng = np.random.default_rng(43)
+    base = make_speckle(rng, shape=(160, 160), grain_px=6.0).astype(np.float32)
+    stack = np.stack([base * (1 + 0.01 * t) for t in range(4)])
+    save_h5(stack, tmp_path / "run.h5")
+
+    out_json = tmp_path / "summary.json"
+    npz = tmp_path / "full.npz"
+    report = tmp_path / "run.md"
+    rc = batch_main([
+        str(tmp_path / "run.h5"),
+        "--metrics", "amplitude,stats",
+        "--no-tiles",
+        "--frame-chunk", "2",
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--out", str(out_json),
+        "--npz", str(npz),
+        "--report", str(report),
+    ])
+    assert rc == 0
+
+    import json
+
+    summary = json.loads(out_json.read_text())
+    assert summary["kind"] == "speckle_stack_stats"
+    assert summary["n_frames"] == 4
+    assert "tracking" in summary
+    assert "amplitude.visibility" in summary["metric_series"]
+
+    data = np.load(npz)
+    assert data["temporal/abs/dx"].shape == (4,)
+    assert report.read_text().startswith("# Speckle stack summary")
+    assert list((tmp_path / "ckpt").glob("*.npz"))  # checkpoints written
+
+    # resume path exercises checkpoint loads end-to-end
+    rc = batch_main([
+        str(tmp_path / "run.h5"), "--metrics", "amplitude,stats", "--no-tiles",
+        "--frame-chunk", "2", "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--out", str(out_json),
+    ])
+    assert rc == 0
+
+
+def test_batch_cli_sharpness_glob(tmp_path, capsys):
+    from scipy.ndimage import gaussian_filter
+
+    from barc4dip_tpu.report.batch_cli import main as batch_main
+
+    rng = np.random.default_rng(44)
+    base = make_speckle(rng, shape=(160, 160), grain_px=4.0)
+    for t, s in enumerate((2.0, 0.0, 1.0)):
+        save_tiff(
+            (gaussian_filter(base, s) / base.max() * 30000).astype(np.float32),
+            tmp_path / f"scan_{t}.tif",
+        )
+
+    rc = batch_main([str(tmp_path / "scan_*.tif"), "--kind", "sharpness",
+                     "--metrics", "gradient", "--no-tiles"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    import json
+
+    summary = json.loads(out)
+    assert summary["kind"] == "sharpness_stack_stats"
+    assert summary["focus"]["best_frame"] == 1
