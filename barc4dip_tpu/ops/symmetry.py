@@ -2,16 +2,22 @@
 """Centro-symmetric map reconstruction.
 
 The circular autocorrelation of a real signal satisfies c[k] = c[-k]
-exactly, so its fftshifted (N, N) map obeys S[i, j] = S[(2c - i) % N,
-(2c - j) % N] with c = N//2. Device programs therefore only need to emit
-rows 0..N//2 — halving the dominant device->host transfer — and the host
+exactly, and the PSD of a real signal satisfies P[k] = P[-k]; their
+fftshifted (N0, N1) maps obey S[i, j] = S[(2*c0 - i) % N0, (2*c1 - j) % N1]
+with (c0, c1) = (N0//2, N1//2). Device programs therefore only need to emit
+rows 0..N0//2 — halving the dominant device->host transfer — and the host
 rebuilds the redundant half here.
+
+Floating-point caveat: maps computed with full 2D FFTs satisfy the symmetry
+to dtype epsilon (FFT rounding), not bit-exactly; the mirrored half is as
+valid an estimate of the underlying symmetric quantity as the directly
+computed one.
 """
 from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["HALF_ROWS", "mirror_centrosymmetric"]
+__all__ = ["HALF_ROWS", "mirror_centrosymmetric", "pull_centrosymmetric"]
 
 
 def HALF_ROWS(N: int) -> int:
@@ -20,20 +26,37 @@ def HALF_ROWS(N: int) -> int:
 
 
 def mirror_centrosymmetric(half: np.ndarray, N: int) -> np.ndarray:
-    """Rebuild the full (..., N, N) shifted map from its leading
-    (..., N//2+1, N) rows."""
+    """Rebuild the full (..., N, N1) shifted map from its leading
+    (..., N//2+1, N1) rows (N1 = half.shape[-1], any width)."""
     half = np.asarray(half)
-    if half.shape[-2] != HALF_ROWS(N) or half.shape[-1] != N:
+    if half.shape[-2] != HALF_ROWS(N):
         raise ValueError(
-            f"expected (..., {HALF_ROWS(N)}, {N}) half map; got {half.shape}"
+            f"expected (..., {HALF_ROWS(N)}, N1) half map; got {half.shape}"
         )
-    out_shape = half.shape[:-2] + (N, N)
+    N1 = half.shape[-1]
+    out_shape = half.shape[:-2] + (N, N1)
     full = np.empty(out_shape, dtype=half.dtype)
     full[..., : HALF_ROWS(N), :] = half
 
-    twoc = 2 * (N // 2)
+    twoc0 = 2 * (N // 2)
+    twoc1 = 2 * (N1 // 2)
     rows_rest = np.arange(HALF_ROWS(N), N)
-    src_rows = (twoc - rows_rest) % N  # all fall inside the emitted half
-    cols_map = (twoc - np.arange(N)) % N
+    src_rows = (twoc0 - rows_rest) % N  # all fall inside the emitted half
+    cols_map = (twoc1 - np.arange(N1)) % N1
     full[..., HALF_ROWS(N) :, :] = half[..., src_rows, :][..., cols_map]
     return full
+
+
+def pull_centrosymmetric(device_map) -> np.ndarray:
+    """Materialise a device-resident fftshifted centro-symmetric map
+    (PSD / autocorrelation of real input) on the host, transferring only
+    its leading N0//2+1 rows and mirroring the rest host-side.
+
+    Halves the dominant device->host transfer for the large user-facing
+    maps of :func:`barc4dip_tpu.signal.psd2d` / ``autocorr2d``; the
+    reconstruction matches a full pull to dtype epsilon (see module note).
+    Works for any trailing (N0, N1) shape; leading batch dims pass through.
+    """
+    N0 = int(device_map.shape[-2])
+    half = np.asarray(device_map[..., : HALF_ROWS(N0), :])
+    return mirror_centrosymmetric(half, N0)

@@ -1,5 +1,6 @@
 # SPDX-License-Identifier: CECILL-2.1
 """Signal layer: FFT/PSD, correlation, translation tracking."""
+from ..ops.symmetry import pull_centrosymmetric
 from .corr import autocorr1d, autocorr2d, xcorr1d, xcorr2d
 from .fft import (
     fft1d,
@@ -29,4 +30,5 @@ __all__ = [
     "track_translation",
     "template_matching",
     "phase_correlation",
+    "pull_centrosymmetric",
 ]

@@ -151,7 +151,9 @@ def autocorr2d(
 ):
     """Circular auto-correlation of a 2D signal: (corr, xlag, ylag).
 
-    Exactly real for real input (rfft path).
+    Exactly real for real input (rfft path). The map is centro-symmetric;
+    materialise it with :func:`barc4dip_tpu.signal.pull_centrosymmetric`
+    to halve the device->host transfer.
     """
     aa = _as_float(a)
     if aa.ndim != 2:

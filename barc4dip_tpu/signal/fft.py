@@ -153,7 +153,11 @@ def psd2d(
     scale: bool = True,
 ):
     """Shifted 2D PSD: (P, fx, fy). ``scale=True`` applies
-    ``P *= (dx*dy)/(nx*ny)``."""
+    ``P *= (dx*dy)/(nx*ny)``.
+
+    P is returned device-resident; for real input it is centro-symmetric,
+    so materialise it with :func:`barc4dip_tpu.signal.pull_centrosymmetric`
+    to halve the device->host transfer (``np.asarray`` pulls it whole)."""
     img = jnp.asarray(image)
     if img.ndim != 2:
         raise ValueError("image must be a 2D array.")

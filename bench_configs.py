@@ -52,13 +52,15 @@ def bench_tpu(field2d, stack):
 
     def config_c():
         # natural device flow: the autocorr map feeds the radial means
-        # without a host round-trip; the PSD map and radial profiles
-        # materialize once for the user
+        # without a host round-trip; the PSD/autocorr maps materialise
+        # for the user via the half-transfer centro-symmetric pull
         P, fx, fy = dip.signal.psd2d(field2d)
         ac, xl, yl = dip.signal.autocorr2d(field2d)
         rb, _ = dip.maths.radial_mean_binned(ac)
         ri, _ = dip.maths.radial_mean_interpolated(ac)
-        np.asarray(P); np.asarray(ac); np.asarray(rb); np.asarray(ri)
+        dip.signal.pull_centrosymmetric(P)
+        dip.signal.pull_centrosymmetric(ac)
+        np.asarray(rb); np.asarray(ri)
 
     out["C_fourier_radial_2k"] = _timeit(config_c)
 

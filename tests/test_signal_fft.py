@@ -74,3 +74,44 @@ def test_psd2d_complex_input(rng):
     P, _, _ = sfft.psd2d(img, scale=False)
     ref = np.abs(np.fft.fftshift(np.fft.fft2(img))) ** 2
     np.testing.assert_allclose(np.asarray(P), ref, rtol=1e-9, atol=1e-8)
+
+
+class TestPullCentrosymmetric:
+    """Half-transfer materialisation of centro-symmetric maps."""
+
+    @pytest.mark.parametrize("shape", [(64, 64), (63, 64), (64, 62), (63, 61)])
+    def test_psd_and_autocorr_match_full_pull(self, shape):
+        from barc4dip_tpu.signal import autocorr2d, psd2d, pull_centrosymmetric
+
+        rng = np.random.default_rng(5)
+        img = rng.normal(size=shape)
+        for dev_map, _, _ in (psd2d(img), autocorr2d(img)):
+            full = np.asarray(dev_map)
+            half = pull_centrosymmetric(dev_map)
+            assert half.shape == full.shape
+            np.testing.assert_allclose(
+                half, full, rtol=0, atol=200 * np.finfo(full.dtype).eps * np.abs(full).max()
+            )
+
+    def test_mirror_rectangular_and_batched(self):
+        from barc4dip_tpu.ops.symmetry import HALF_ROWS, mirror_centrosymmetric
+
+        # build an exactly centro-symmetric batched map and round-trip it
+        rng = np.random.default_rng(6)
+        for N0, N1 in ((32, 48), (33, 48), (32, 47), (33, 47)):
+            spec = rng.normal(size=(3, N0, N1))
+            sym = np.fft.fftshift(
+                np.abs(np.fft.fft2(np.fft.ifft2(np.fft.ifftshift(spec, axes=(-2, -1))).real,
+                                   axes=(-2, -1))) ** 2,
+                axes=(-2, -1),
+            )
+            i, j = np.meshgrid(np.arange(N0), np.arange(N1), indexing="ij")
+            sym = 0.5 * (sym + sym[..., (2 * (N0 // 2) - i) % N0, (2 * (N1 // 2) - j) % N1])
+            rebuilt = mirror_centrosymmetric(sym[..., : HALF_ROWS(N0), :], N0)
+            np.testing.assert_array_equal(rebuilt, sym)
+
+    def test_mirror_shape_validation(self):
+        from barc4dip_tpu.ops.symmetry import mirror_centrosymmetric
+
+        with pytest.raises(ValueError):
+            mirror_centrosymmetric(np.zeros((5, 16)), 16)
