@@ -8,9 +8,12 @@ a toolchain is unavailable (``native_available()`` reports the state).
 Provides:
 - :class:`NativeEdfFile` — EDF container reads via pread (no Python parsing
   on the hot path);
-- :class:`AsyncStackLoader` — background-thread prefetch of a list of EDF
-  files, overlapping disk I/O with device compute;
-- :func:`read_edf_native` — drop-in fast path for uncompressed EDF.
+- :class:`NativeTiffFile` — baseline TIFF reads (uncompressed grayscale
+  strips, 8/16/32-bit, both byte orders, multi-page);
+- :class:`AsyncStackLoader` — background-thread prefetch of a list of
+  EDF/TIFF files (dispatch by magic bytes), overlapping disk I/O with
+  device compute;
+- :func:`read_edf_native` / :func:`read_tiff_native` — drop-in fast paths.
 """
 from __future__ import annotations
 
@@ -25,8 +28,10 @@ import numpy as np
 __all__ = [
     "native_available",
     "NativeEdfFile",
+    "NativeTiffFile",
     "AsyncStackLoader",
     "read_edf_native",
+    "read_tiff_native",
 ]
 
 _DTYPES = {
@@ -98,6 +103,12 @@ def _load():
             ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int64
         ]
         lib.dipio_edf_close.argtypes = [ctypes.c_void_p]
+        lib.dipio_tiff_open.restype = ctypes.c_void_p
+        lib.dipio_tiff_open.argtypes = [ctypes.c_char_p]
+        lib.dipio_tiff_num_frames.argtypes = [ctypes.c_void_p]
+        lib.dipio_tiff_frame_info.argtypes = lib.dipio_edf_frame_info.argtypes
+        lib.dipio_tiff_read_frame.argtypes = lib.dipio_edf_read_frame.argtypes
+        lib.dipio_tiff_close.argtypes = [ctypes.c_void_p]
         lib.dipio_prefetch_open.restype = ctypes.c_void_p
         lib.dipio_prefetch_open.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int, ctypes.c_int
@@ -121,22 +132,28 @@ def _err(lib) -> str:
     return lib.dipio_last_error().decode("utf-8", "replace")
 
 
-class NativeEdfFile:
-    """EDF container reader backed by the native codec."""
+class _NativeFrameFile:
+    """Shared frame-container reader over the native codecs."""
+
+    _prefix = ""  # "edf" or "tiff"
 
     def __init__(self, path: str | Path):
         lib = _load()
         if lib is None:
             raise RuntimeError(f"native I/O unavailable: {_load_error}")
         self._lib = lib
-        self._handle = lib.dipio_edf_open(str(path).encode())
+        self._fn = {
+            name: getattr(lib, f"dipio_{self._prefix}_{name}")
+            for name in ("open", "num_frames", "frame_info", "read_frame", "close")
+        }
+        self._handle = self._fn["open"](str(path).encode())
         if not self._handle:
             raise OSError(f"dipio: {_err(lib)} ({path})")
         self.path = Path(path)
 
     @property
     def NumImages(self) -> int:  # noqa: N802 - legacy API name
-        return int(self._lib.dipio_edf_num_frames(self._handle))
+        return int(self._fn["num_frames"](self._handle))
 
     def GetNumImages(self) -> int:  # noqa: N802
         return self.NumImages
@@ -148,7 +165,7 @@ class NativeEdfFile:
         dt = ctypes.c_int()
         le = ctypes.c_int()
         nb = ctypes.c_int64()
-        if lib.dipio_edf_frame_info(
+        if self._fn["frame_info"](
             self._handle, index, ctypes.byref(d1), ctypes.byref(d2),
             ctypes.byref(dt), ctypes.byref(le), ctypes.byref(nb),
         ) != 0:
@@ -157,7 +174,7 @@ class NativeEdfFile:
         if not le.value:
             dtype = dtype.newbyteorder(">")
         out = np.empty((d2.value, d1.value), dtype=dtype)
-        if lib.dipio_edf_read_frame(
+        if self._fn["read_frame"](
             self._handle, index, out.ctypes.data_as(ctypes.c_void_p), nb.value
         ) != 0:
             raise OSError(f"dipio: {_err(lib)}")
@@ -165,7 +182,7 @@ class NativeEdfFile:
 
     def close(self) -> None:
         if self._handle:
-            self._lib.dipio_edf_close(self._handle)
+            self._fn["close"](self._handle)
             self._handle = None
 
     def __del__(self):  # pragma: no cover - GC timing
@@ -175,9 +192,23 @@ class NativeEdfFile:
             pass
 
 
+class NativeEdfFile(_NativeFrameFile):
+    """EDF container reader backed by the native codec."""
+
+    _prefix = "edf"
+
+
+class NativeTiffFile(_NativeFrameFile):
+    """Baseline TIFF reader backed by the native codec (uncompressed
+    grayscale strips; 8/16/32-bit; both byte orders; pages are frames)."""
+
+    _prefix = "tiff"
+
+
 class AsyncStackLoader:
-    """Iterate frames of many single-frame EDF files with background
-    prefetch (``window`` files ahead on ``n_threads`` reader threads).
+    """Iterate frames of many single-frame EDF/TIFF files (format detected
+    per file by magic bytes) with background prefetch (``window`` files
+    ahead on ``n_threads`` reader threads).
 
     Usage::
 
@@ -250,5 +281,16 @@ def read_edf_native(path: str | Path, *, index: int = 0, dtype=np.float32) -> np
     f = NativeEdfFile(path)
     try:
         return np.asarray(f.GetData(index), dtype=dtype)
+    finally:
+        f.close()
+
+
+def read_tiff_native(path: str | Path, *, index: int = 0, dtype=None) -> np.ndarray:
+    """Read one page through the native codec (baseline uncompressed
+    grayscale TIFF); ``dtype=None`` keeps the stored dtype."""
+    f = NativeTiffFile(path)
+    try:
+        data = f.GetData(index)
+        return data if dtype is None else np.asarray(data, dtype=dtype)
     finally:
         f.close()

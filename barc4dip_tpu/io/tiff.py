@@ -7,6 +7,7 @@ converted array per slice (io/tiff.py:129-133, SURVEY §2.12.1).
 """
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 from pathlib import Path
 
@@ -18,11 +19,30 @@ from ..utils.dtype import to_uint16
 __all__ = ["read_tiff", "save_tiff"]
 
 
+def _read_one(path: str) -> np.ndarray:
+    if os.environ.get("BARC4DIP_TPU_NATIVE_IO", "").strip().lower() in (
+        "1", "true", "yes", "on",
+    ):
+        from .native import native_available, read_tiff_native
+
+        if native_available():
+            try:
+                return read_tiff_native(path)
+            except OSError:
+                pass  # compressed/non-baseline layouts fall back to PIL
+    with Image.open(path) as img:
+        return np.array(img)
+
+
 def read_tiff(image_path: str | Sequence[str]) -> np.ndarray:
-    """Read one TIFF (2D) or a sequence of TIFFs stacked along axis 0."""
+    """Read one TIFF (2D) or a sequence of TIFFs stacked along axis 0.
+
+    With ``BARC4DIP_TPU_NATIVE_IO=1`` baseline uncompressed grayscale files
+    route through the C++ codec (native/dipio.cpp); anything else falls
+    back to PIL transparently.
+    """
     if isinstance(image_path, str):
-        with Image.open(image_path) as img:
-            return np.array(img)
+        return _read_one(image_path)
 
     if isinstance(image_path, Sequence):
         if len(image_path) == 0:
@@ -33,8 +53,7 @@ def read_tiff(image_path: str | Sequence[str]) -> np.ndarray:
         for path in image_path:
             if not isinstance(path, str):
                 raise TypeError("All elements of image_path must be strings")
-            with Image.open(path) as img:
-                arr = np.array(img)
+            arr = _read_one(path)
             if ref_shape is None:
                 ref_shape = arr.shape
             elif arr.shape != ref_shape:

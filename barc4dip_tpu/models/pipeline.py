@@ -127,10 +127,17 @@ class SpeckleStackPipeline:
     def run_edf_files(
         self, paths, *, verbose: bool = False, checkpoint_dir=None
     ) -> dict:
-        """Out-of-core stack analysis from a sequence of single-frame EDF
-        files (one frame per file, the standard beamline scan layout)."""
+        """Backwards-compatible alias of :meth:`run_files`."""
+        return self.run_files(paths, verbose=verbose, checkpoint_dir=checkpoint_dir)
+
+    def run_files(
+        self, paths, *, verbose: bool = False, checkpoint_dir=None
+    ) -> dict:
+        """Out-of-core stack analysis from a sequence of single-frame
+        EDF/TIFF files (one frame per file, the standard beamline scan
+        layout; formats may be mixed)."""
         return speckle_stack_stats(
-            _NdarrayView(_EdfSequence(paths)),
+            _NdarrayView(_FrameSequence(paths)),
             metrics=self.metrics,
             tiles=self.tiles,
             tracking_method=self.tracking_method,
@@ -179,24 +186,32 @@ class SpeckleStackPipeline:
             )
 
 
-class _EdfSequence:
-    """Lazy (T, H, W) frame source over a list of single-frame EDF files.
+class _FrameSequence:
+    """Lazy (T, H, W) frame source over a list of single-frame EDF/TIFF
+    files (per-file dispatch by extension).
 
-    Frames load on demand through :func:`barc4dip_tpu.io.read_edf` (which
-    routes through the native C++ codec when BARC4DIP_TPU_NATIVE_IO=1), so
-    arbitrarily long scan series process in bounded memory.
+    Frames load on demand through :func:`barc4dip_tpu.io.read_edf` /
+    ``read_tiff`` (both route through the native C++ codec when
+    BARC4DIP_TPU_NATIVE_IO=1), so arbitrarily long scan series process in
+    bounded memory.
     """
 
     def __init__(self, paths, *, dtype=np.float32):
-        from ..io import read_edf
+        from ..io import read_edf, read_tiff
 
         self._paths = [str(p) for p in paths]
         if not self._paths:
-            raise ValueError("empty EDF path list")
-        self._read = lambda p: read_edf(p, dtype=dtype)
+            raise ValueError("empty frame path list")
+
+        def _read(p: str) -> np.ndarray:
+            if p.lower().endswith((".tif", ".tiff")):
+                return np.asarray(read_tiff(p), dtype=dtype)
+            return read_edf(p, dtype=dtype)
+
+        self._read = _read
         first = self._read(self._paths[0])
         if first.ndim != 2:
-            raise ValueError(f"expected 2D EDF frames; got {first.shape}")
+            raise ValueError(f"expected 2D frames; got {first.shape}")
         self._frame_shape = first.shape
         self._dtype = first.dtype
         self._cache = {0: first}

@@ -152,8 +152,12 @@ def main(argv: list[str] | None = None) -> int:
             out = pipe.run_hdf5(
                 inputs[0], checkpoint_dir=args.checkpoint_dir
             )
-        elif all(p.lower().endswith((".edf", ".edf.gz", ".edf.bz2")) for p in inputs):
-            out = pipe.run_edf_files(inputs, checkpoint_dir=args.checkpoint_dir)
+        elif all(
+            p.lower().endswith((".edf", ".edf.gz", ".edf.bz2", ".tif", ".tiff"))
+            for p in inputs
+        ):
+            # streaming out-of-core path: frames load per-chunk on demand
+            out = pipe.run_files(inputs, checkpoint_dir=args.checkpoint_dir)
         else:
             from ..io import read_image
 

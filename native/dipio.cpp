@@ -196,6 +196,249 @@ bool scan_edf(EdfFile* f, const char* path) {
 }
 
 // ---------------------------------------------------------------------------
+// TIFF parsing (baseline subset: uncompressed grayscale strips)
+// ---------------------------------------------------------------------------
+//
+// Supports Compression=1, PhotometricInterpretation 0/1, SamplesPerPixel=1,
+// BitsPerSample 8/16/32, SampleFormat uint/int/float, both byte orders
+// (big-endian data is byteswapped to native LE on read), and multi-page
+// files (IFD chains) exposed as frames.
+
+struct TiffFrame {
+  int64_t width = 0;
+  int64_t height = 0;
+  int dtype = DT_U2;
+  int64_t nbytes = 0;
+  std::vector<int64_t> strip_offsets;
+  std::vector<int64_t> strip_bytecounts;
+};
+
+struct TiffFile {
+  int fd = -1;
+  bool big_endian = false;
+  std::vector<TiffFrame> frames;
+};
+
+uint16_t tiff_rd16(const uint8_t* p, bool be) {
+  return be ? static_cast<uint16_t>((p[0] << 8) | p[1])
+            : static_cast<uint16_t>((p[1] << 8) | p[0]);
+}
+
+uint32_t tiff_rd32(const uint8_t* p, bool be) {
+  return be ? (static_cast<uint32_t>(p[0]) << 24) | (p[1] << 16) | (p[2] << 8) | p[3]
+            : (static_cast<uint32_t>(p[3]) << 24) | (p[2] << 16) | (p[1] << 8) | p[0];
+}
+
+// Read the value array of an IFD entry (BYTE/SHORT/LONG only).
+bool tiff_entry_values(int fd, bool be, const uint8_t entry[12],
+                       std::vector<uint64_t>* out) {
+  uint16_t type = tiff_rd16(entry + 2, be);
+  uint32_t count = tiff_rd32(entry + 4, be);
+  size_t tsize;
+  switch (type) {
+    case 1: tsize = 1; break;  // BYTE
+    case 3: tsize = 2; break;  // SHORT
+    case 4: tsize = 4; break;  // LONG
+    default: return false;
+  }
+  size_t total = tsize * count;
+  std::vector<uint8_t> buf(total);
+  if (total <= 4) {
+    std::memcpy(buf.data(), entry + 8, total);
+  } else {
+    uint32_t off = tiff_rd32(entry + 8, be);
+    if (::pread(fd, buf.data(), total, off) != static_cast<ssize_t>(total))
+      return false;
+  }
+  out->clear();
+  out->reserve(count);
+  for (uint32_t i = 0; i < count; ++i) {
+    const uint8_t* p = buf.data() + i * tsize;
+    if (tsize == 1) out->push_back(p[0]);
+    else if (tsize == 2) out->push_back(tiff_rd16(p, be));
+    else out->push_back(tiff_rd32(p, be));
+  }
+  return true;
+}
+
+bool scan_tiff(TiffFile* f, const char* path) {
+  f->fd = ::open(path, O_RDONLY);
+  if (f->fd < 0) {
+    set_error(std::string("cannot open '") + path + "'");
+    return false;
+  }
+  uint8_t head[8];
+  if (::pread(f->fd, head, 8, 0) != 8) {
+    set_error("not a TIFF file (short header)");
+    return false;
+  }
+  if (head[0] == 'I' && head[1] == 'I') f->big_endian = false;
+  else if (head[0] == 'M' && head[1] == 'M') f->big_endian = true;
+  else {
+    set_error("not a TIFF file (bad byte-order mark)");
+    return false;
+  }
+  const bool be = f->big_endian;
+  if (tiff_rd16(head + 2, be) != 42) {
+    set_error("not a TIFF file (bad magic; BigTIFF is unsupported)");
+    return false;
+  }
+
+  uint32_t ifd_off = tiff_rd32(head + 4, be);
+  int guard = 0;
+  while (ifd_off != 0) {
+    if (++guard > 65536) {
+      set_error("TIFF IFD chain too long (cycle?)");
+      return false;
+    }
+    uint8_t cntbuf[2];
+    if (::pread(f->fd, cntbuf, 2, ifd_off) != 2) {
+      set_error("truncated TIFF IFD");
+      return false;
+    }
+    uint16_t n_entries = tiff_rd16(cntbuf, be);
+    std::vector<uint8_t> entries(12 * static_cast<size_t>(n_entries) + 4);
+    if (::pread(f->fd, entries.data(), entries.size(), ifd_off + 2) !=
+        static_cast<ssize_t>(entries.size())) {
+      set_error("truncated TIFF IFD entries");
+      return false;
+    }
+
+    TiffFrame fr;
+    uint64_t compression = 1, spp = 1, bits = 1, sample_format = 1;
+    uint64_t photometric = 1, rows_per_strip = 0;
+    bool has_dims = false;
+    std::vector<uint64_t> vals;
+    for (uint16_t i = 0; i < n_entries; ++i) {
+      const uint8_t* e = entries.data() + 12 * static_cast<size_t>(i);
+      uint16_t tag = tiff_rd16(e, be);
+      switch (tag) {
+        case 256: case 257: case 258: case 259: case 262:
+        case 273: case 277: case 278: case 279: case 339:
+          if (!tiff_entry_values(f->fd, be, e, &vals) || vals.empty()) {
+            set_error("unreadable TIFF tag " + std::to_string(tag));
+            return false;
+          }
+          break;
+        default:
+          continue;
+      }
+      switch (tag) {
+        case 256: fr.width = static_cast<int64_t>(vals[0]); has_dims = true; break;
+        case 257: fr.height = static_cast<int64_t>(vals[0]); break;
+        case 258: bits = vals[0]; break;
+        case 259: compression = vals[0]; break;
+        case 262: photometric = vals[0]; break;
+        case 273:
+          fr.strip_offsets.assign(vals.begin(), vals.end());
+          break;
+        case 277: spp = vals[0]; break;
+        case 278: rows_per_strip = vals[0]; break;
+        case 279:
+          fr.strip_bytecounts.assign(vals.begin(), vals.end());
+          break;
+        case 339: sample_format = vals[0]; break;
+      }
+    }
+    ifd_off = tiff_rd32(entries.data() + 12 * static_cast<size_t>(n_entries), be);
+
+    if (!has_dims || fr.width <= 0 || fr.height <= 0) {
+      set_error("TIFF IFD missing image dimensions");
+      return false;
+    }
+    if (compression != 1) {
+      set_error("unsupported TIFF compression " + std::to_string(compression) +
+                " (baseline uncompressed only)");
+      return false;
+    }
+    if (spp != 1 || photometric > 1) {
+      set_error("unsupported TIFF layout (grayscale single-sample only)");
+      return false;
+    }
+    if (sample_format == 3) {
+      if (bits != 32) {
+        set_error("unsupported float TIFF bit depth " + std::to_string(bits));
+        return false;
+      }
+      fr.dtype = DT_F4;
+    } else if (sample_format == 1 || sample_format == 4) {
+      if (bits == 8) fr.dtype = DT_U1;
+      else if (bits == 16) fr.dtype = DT_U2;
+      else if (bits == 32) fr.dtype = DT_U4;
+      else {
+        set_error("unsupported TIFF bit depth " + std::to_string(bits));
+        return false;
+      }
+    } else if (sample_format == 2) {
+      if (bits == 8) fr.dtype = DT_I1;
+      else if (bits == 16) fr.dtype = DT_I2;
+      else if (bits == 32) fr.dtype = DT_I4;
+      else {
+        set_error("unsupported TIFF bit depth " + std::to_string(bits));
+        return false;
+      }
+    } else {
+      set_error("unsupported TIFF SampleFormat " + std::to_string(sample_format));
+      return false;
+    }
+    if (fr.strip_offsets.empty() ||
+        fr.strip_bytecounts.size() != fr.strip_offsets.size()) {
+      set_error("TIFF IFD missing strip offsets/byte counts");
+      return false;
+    }
+    (void)rows_per_strip;  // implied by byte counts for uncompressed data
+    fr.nbytes = fr.width * fr.height * dtype_size(fr.dtype);
+    int64_t available = 0;
+    for (int64_t bc : fr.strip_bytecounts) available += bc;
+    if (available < fr.nbytes) {
+      set_error("TIFF strips shorter than image size");
+      return false;
+    }
+    f->frames.push_back(std::move(fr));
+  }
+  if (f->frames.empty()) {
+    set_error("TIFF file has no IFDs");
+    return false;
+  }
+  return true;
+}
+
+// Read one frame's strips into a contiguous buffer; byteswap to native LE.
+bool tiff_read_frame(const TiffFile* f, const TiffFrame& fr, uint8_t* out) {
+  int64_t remaining = fr.nbytes;
+  uint8_t* dst = out;
+  for (size_t s = 0; s < fr.strip_offsets.size() && remaining > 0; ++s) {
+    int64_t take = fr.strip_bytecounts[s];
+    if (take > remaining) take = remaining;
+    if (::pread(f->fd, dst, take, fr.strip_offsets[s]) != take) {
+      set_error("truncated TIFF strip");
+      return false;
+    }
+    dst += take;
+    remaining -= take;
+  }
+  if (remaining > 0) {
+    set_error("truncated TIFF data");
+    return false;
+  }
+  int isz = dtype_size(fr.dtype);
+  if (f->big_endian && isz > 1) {
+    int64_t n = fr.nbytes / isz;
+    if (isz == 2) {
+      auto* p = reinterpret_cast<uint16_t*>(out);
+      for (int64_t i = 0; i < n; ++i) p[i] = __builtin_bswap16(p[i]);
+    } else if (isz == 4) {
+      auto* p = reinterpret_cast<uint32_t*>(out);
+      for (int64_t i = 0; i < n; ++i) p[i] = __builtin_bswap32(p[i]);
+    } else {
+      auto* p = reinterpret_cast<uint64_t*>(out);
+      for (int64_t i = 0; i < n; ++i) p[i] = __builtin_bswap64(p[i]);
+    }
+  }
+  return true;
+}
+
+// ---------------------------------------------------------------------------
 // Async prefetcher
 // ---------------------------------------------------------------------------
 
@@ -206,6 +449,66 @@ struct Slot {
   int status = 0;  // 0 = empty, 1 = loading, 2 = ready, -1 = error
   std::string error;
 };
+
+// Load the first frame of an EDF or TIFF file (dispatch by magic bytes)
+// into `local`. TIFF data arrives byteswapped to native LE; EDF data keeps
+// its container byte order (EDF in the wild is LowByteFirst).
+bool read_first_frame(const std::string& path, Slot* local, std::string* err) {
+  uint8_t magic[4] = {0, 0, 0, 0};
+  {
+    int fd = ::open(path.c_str(), O_RDONLY);
+    if (fd < 0) {
+      *err = "cannot open '" + path + "'";
+      return false;
+    }
+    ::pread(fd, magic, 4, 0);
+    ::close(fd);
+  }
+  const bool is_tiff =
+      (magic[0] == 'I' && magic[1] == 'I' && magic[2] == 42 && magic[3] == 0) ||
+      (magic[0] == 'M' && magic[1] == 'M' && magic[2] == 0 && magic[3] == 42);
+
+  if (is_tiff) {
+    TiffFile f;
+    bool ok = scan_tiff(&f, path.c_str());
+    if (ok) {
+      const TiffFrame& fr = f.frames[0];
+      local->data.resize(fr.nbytes);
+      ok = tiff_read_frame(&f, fr, local->data.data());
+      if (ok) {
+        local->dim1 = fr.width;
+        local->dim2 = fr.height;
+        local->dtype = fr.dtype;
+      }
+    }
+    if (!ok) *err = g_last_error;
+    if (f.fd >= 0) ::close(f.fd);
+    return ok;
+  }
+
+  EdfFile f;
+  bool ok = scan_edf(&f, path.c_str());
+  if (ok && f.frames.empty()) {
+    ok = false;
+    *err = "EDF file has no frames";
+  } else if (ok) {
+    const FrameInfo& info = f.frames[0];
+    local->data.resize(info.nbytes);
+    ssize_t got = ::pread(f.fd, local->data.data(), info.nbytes, info.data_offset);
+    if (got != info.nbytes) {
+      ok = false;
+      *err = "truncated EDF data block";
+    } else {
+      local->dim1 = info.dim1;
+      local->dim2 = info.dim2;
+      local->dtype = info.dtype;
+    }
+  } else {
+    *err = g_last_error;
+  }
+  if (f.fd >= 0) ::close(f.fd);
+  return ok;
+}
 
 struct Prefetcher {
   std::vector<std::string> paths;
@@ -238,29 +541,9 @@ struct Prefetcher {
         slots[job].status = 1;
       }
 
-      EdfFile f;
-      bool ok = scan_edf(&f, paths[job].c_str());
       std::string err;
       Slot local;
-      if (ok && !f.frames.empty()) {
-        const FrameInfo& info = f.frames[0];
-        local.data.resize(info.nbytes);
-        ssize_t got = ::pread(f.fd, local.data.data(), info.nbytes, info.data_offset);
-        if (got != info.nbytes) {
-          ok = false;
-          err = "truncated EDF data block";
-        } else {
-          local.dim1 = info.dim1;
-          local.dim2 = info.dim2;
-          local.dtype = info.dtype;
-        }
-      } else if (ok) {
-        ok = false;
-        err = "EDF file has no frames";
-      } else {
-        err = g_last_error;
-      }
-      if (f.fd >= 0) ::close(f.fd);
+      bool ok = read_first_frame(paths[job], &local, &err);
 
       {
         std::lock_guard<std::mutex> lk(mu);
@@ -340,7 +623,59 @@ void dipio_edf_close(void* handle) {
   delete f;
 }
 
-// ---- async prefetcher (first frame of each file in a path list) ----
+// ---- TIFF codec (baseline uncompressed grayscale) ----
+
+void* dipio_tiff_open(const char* path) {
+  auto* f = new TiffFile();
+  if (!scan_tiff(f, path)) {
+    if (f->fd >= 0) ::close(f->fd);
+    delete f;
+    return nullptr;
+  }
+  return f;
+}
+
+int dipio_tiff_num_frames(void* handle) {
+  return static_cast<int>(static_cast<TiffFile*>(handle)->frames.size());
+}
+
+int dipio_tiff_frame_info(void* handle, int idx, int64_t* dim1, int64_t* dim2,
+                          int* dtype, int* little_endian, int64_t* nbytes) {
+  auto* f = static_cast<TiffFile*>(handle);
+  if (idx < 0 || idx >= static_cast<int>(f->frames.size())) {
+    set_error("frame index out of range");
+    return -1;
+  }
+  const TiffFrame& fr = f->frames[idx];
+  *dim1 = fr.width;
+  *dim2 = fr.height;
+  *dtype = fr.dtype;
+  *little_endian = 1;  // data is byteswapped to native LE on read
+  *nbytes = fr.nbytes;
+  return 0;
+}
+
+int dipio_tiff_read_frame(void* handle, int idx, void* out, int64_t cap) {
+  auto* f = static_cast<TiffFile*>(handle);
+  if (idx < 0 || idx >= static_cast<int>(f->frames.size())) {
+    set_error("frame index out of range");
+    return -1;
+  }
+  const TiffFrame& fr = f->frames[idx];
+  if (cap < fr.nbytes) {
+    set_error("output buffer too small");
+    return -1;
+  }
+  return tiff_read_frame(f, fr, static_cast<uint8_t*>(out)) ? 0 : -1;
+}
+
+void dipio_tiff_close(void* handle) {
+  auto* f = static_cast<TiffFile*>(handle);
+  if (f->fd >= 0) ::close(f->fd);
+  delete f;
+}
+
+// ---- async prefetcher (first frame of each EDF/TIFF file in a path list) ----
 
 void* dipio_prefetch_open(const char** paths, int n_paths, int n_threads,
                           int window) {

@@ -85,3 +85,33 @@ def test_edf_sequence_pipeline(tmp_path, monkeypatch):
     np.testing.assert_allclose(
         ooc["temporal"]["abs"]["dx"], ram["temporal"]["abs"]["dx"], atol=1e-5
     )
+
+
+def test_run_files_mixed_tiff_edf(tmp_path, monkeypatch):
+    """Streaming path over a mixed EDF/TIFF scan series matches in-RAM."""
+    from PIL import Image
+
+    from tests.test_io import _make_edf_bytes
+
+    rng = np.random.default_rng(13)
+    base = make_speckle(rng, shape=(96, 96), grain_px=5.0).astype(np.float32)
+    frames = [(base * (1 + 0.01 * t)) for t in range(4)]
+    paths = []
+    for t, f in enumerate(frames):
+        if t % 2 == 0:
+            p = tmp_path / f"scan_{t:04d}.edf"
+            p.write_bytes(_make_edf_bytes([f.astype(np.uint16)]))
+        else:
+            p = tmp_path / f"scan_{t:04d}.tif"
+            Image.fromarray(f.astype(np.uint16)).save(p)
+        paths.append(str(p))
+
+    monkeypatch.setenv("BARC4DIP_TPU_NATIVE_IO", "1")
+    pipe = SpeckleStackPipeline(metrics="amplitude", tiles=False, frame_chunk=2)
+    ooc = pipe.run_files(paths)
+    ram = pipe(np.stack([f.astype(np.uint16).astype(np.float32) for f in frames]))
+
+    for k in ram["full"]["amplitude"]:
+        np.testing.assert_allclose(
+            ooc["full"]["amplitude"][k], ram["full"]["amplitude"][k], rtol=1e-6
+        )
