@@ -2,7 +2,7 @@
 """Host-side matplotlib visualization (images, spectra, stacks, styles)."""
 from .image import plt_histogram, plt_image, plt_tiles_metric
 from .spectral import plt_spectrum1d, plt_spectrum2d
-from .stack import plt_displacement, plt_stack_metric
+from .stack import plt_displacement, plt_stack_metric, plt_tiles_metric_stack
 from .style import (
     close,
     igor_cmap,
@@ -21,6 +21,7 @@ __all__ = [
     "plt_spectrum2d",
     "plt_displacement",
     "plt_stack_metric",
+    "plt_tiles_metric_stack",
     "start_plotting",
     "show",
     "savefig",

@@ -16,7 +16,7 @@ from mpl_toolkits.axes_grid1 import make_axes_locatable
 
 from .style import start_plotting
 
-__all__ = ["plt_displacement", "plt_stack_metric"]
+__all__ = ["plt_displacement", "plt_stack_metric", "plt_tiles_metric_stack"]
 
 _TemporalKey = Literal["abs", "inc"]
 _ViewKind = Literal["trajectory", "timeseries"]
@@ -378,3 +378,100 @@ def plt_stack_metric(
 
     ax.legend(loc="center right", fontsize=9 * k, framealpha=0.85)
     return fig
+
+
+def plt_tiles_metric_stack(
+    stack: np.ndarray,
+    stack_stats: dict,
+    metric_path: str | Sequence[str],
+    save_path: str,
+    *,
+    frames: Sequence[int] | None = None,
+    fps: float = 5.0,
+    vmin: float | None = None,
+    vmax: float | None = None,
+    k: float = 1.0,
+    **tile_kwargs,
+) -> list[str]:
+    """Render the per-frame 3x3 tile overlay of a *_stack_stats result as an
+    animated GIF (``save_path`` ending in .gif) or a PNG sequence
+    (``save_path`` used as ``<stem>_%04d.png``). Extends the single-image
+    :func:`plt_tiles_metric` to stacks (no reference counterpart).
+
+    The colour scale is fixed across frames (global stack min/max unless
+    vmin/vmax are given) so intensity changes stay comparable. Returns the
+    list of file paths written.
+    """
+    from pathlib import Path
+
+    from PIL import Image
+
+    from .image import plt_tiles_metric
+
+    meta = stack_stats.get("meta")
+    tiles = stack_stats.get("tiles")
+    if not isinstance(meta, dict) or not isinstance(tiles, dict):
+        raise ValueError("stack_stats must contain dict keys 'meta' and 'tiles'")
+    group, metric = _metric_path(metric_path)
+    metric_block = tiles.get(group, {}).get(metric)
+    if not isinstance(metric_block, dict):
+        raise KeyError(f"tiles[{group!r}] has no metric {metric!r}")
+    mean = metric_block.get("mean")
+    std = metric_block.get("std")
+    if not (isinstance(mean, np.ndarray) and mean.ndim == 3 and mean.shape[1:] == (3, 3)):
+        raise ValueError(
+            f"Expected tiles[{group!r}][{metric!r}]['mean'] with shape (T,3,3); "
+            f"got shape={getattr(mean, 'shape', None)!r}"
+        )
+    T = mean.shape[0]
+    if stack.ndim != 3 or stack.shape[0] != T:
+        raise ValueError(
+            f"stack must be (T,H,W) with T={T}; got shape={getattr(stack, 'shape', None)!r}"
+        )
+    idx = list(range(T)) if frames is None else [int(t) for t in frames]
+
+    if vmin is None or vmax is None:
+        sel = np.asarray(stack[idx], dtype=float)
+        if vmin is None:
+            vmin = float(np.nanmin(sel))
+        if vmax is None:
+            vmax = float(np.nanmax(sel))
+
+    user_title = tile_kwargs.pop("title", None)
+    images: list[Image.Image] = []
+    for t in idx:
+        frame_stats = {
+            "meta": meta,
+            "tiles": {group: {metric: {
+                "mean": np.asarray(mean[t]),
+                "std": np.asarray(std[t]) if isinstance(std, np.ndarray) else None,
+            }}},
+        }
+        fig = plt_tiles_metric(
+            np.asarray(stack[t], dtype=float), frame_stats, (group, metric),
+            vmin=vmin, vmax=vmax, k=k,
+            title=f"{user_title} — frame {t}" if user_title else f"{metric} — frame {t}",
+            **tile_kwargs,
+        )
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+        plt.close(fig)
+        images.append(Image.fromarray(buf))
+
+    out = Path(save_path)
+    if out.suffix.lower() == ".gif":
+        out.parent.mkdir(parents=True, exist_ok=True)
+        images[0].save(
+            out, save_all=True, append_images=images[1:],
+            duration=max(1, int(round(1000.0 / fps))), loop=0,
+        )
+        return [str(out)]
+
+    stem = out.with_suffix("")
+    stem.parent.mkdir(parents=True, exist_ok=True)
+    paths = []
+    for t, im in zip(idx, images):
+        p = stem.parent / f"{stem.name}_{t:04d}.png"
+        im.save(p)
+        paths.append(str(p))
+    return paths

@@ -136,3 +136,35 @@ def test_plt_stack_metric_scopes():
     assert plt_stack_metric(ss, ("amplitude", "visibility"), scope="both") is not None
     with pytest.raises(ValueError):
         plt_stack_metric(ss, "amplitude.visibility", scope="bogus")
+
+
+def test_plt_tiles_metric_stack_gif_and_png(tmp_path):
+    from barc4dip_tpu.metrics import speckle_stack_stats
+    from barc4dip_tpu.plotting import plt_tiles_metric_stack
+
+    rng = np.random.default_rng(17)
+    base = make_speckle(rng, shape=(384, 384), grain_px=6.0).astype(np.float32)
+    stack = np.stack([base * (1 + 0.05 * t) for t in range(3)])
+    stats = speckle_stack_stats(
+        stack, metrics="amplitude", tiles=True, verbose=False, frame_chunk=3
+    )
+
+    gif = tmp_path / "vis.gif"
+    out = plt_tiles_metric_stack(stack, stats, "amplitude.visibility", str(gif), fps=2)
+    assert out == [str(gif)] and gif.exists()
+    from PIL import Image
+
+    with Image.open(gif) as im:
+        assert im.n_frames == 3
+
+    pngs = plt_tiles_metric_stack(
+        stack, stats, ("amplitude", "visibility"), str(tmp_path / "seq.png"),
+        frames=[0, 2],
+    )
+    assert len(pngs) == 2
+    assert pngs[0].endswith("seq_0000.png") and pngs[1].endswith("seq_0002.png")
+
+    with pytest.raises(KeyError):
+        plt_tiles_metric_stack(stack, stats, "amplitude.nope", str(gif))
+    with pytest.raises(ValueError):
+        plt_tiles_metric_stack(stack[:2], stats, "amplitude.visibility", str(gif))
