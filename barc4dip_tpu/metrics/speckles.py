@@ -485,10 +485,17 @@ def speckle_stack_stats(
     # ---- ROI sizing from frame-0 grain (reference phase 2, hoisted: the
     # fused chunk program needs the static ROI geometry up front). The
     # map-free grain program returns just the four scalars — no (N, N)
-    # autocorr download for a geometry decision. ----
+    # autocorr download for a geometry decision. It runs on the host CPU
+    # backend: frame 0 is host-resident anyway, the result only sizes
+    # static shapes, and a one-frame sizing pass does not justify a
+    # dedicated accelerator executable (~50 s first-execution penalty per
+    # process on the hosted backend; measured identical lx/ly/leq). ----
     frame0 = np.asarray(stack[0, :, :])
-    g0 = _grain_jit(float(1.0 / np.e), "interpolated", False)(_device_float(frame0))
-    grain0 = {k: float(g0[k]) for k in ("lx", "ly", "leq", "r")}
+    with jax.default_device(jax.devices("cpu")[0]):
+        g0 = _grain_jit(float(1.0 / np.e), "interpolated", False)(
+            jnp.asarray(frame0, dtype=jnp.promote_types(frame0.dtype, jnp.float32))
+        )
+        grain0 = {k: float(g0[k]) for k in ("lx", "ly", "leq", "r")}
 
     l = float(
         np.nanmax([grain0.get("lx", np.nan), grain0.get("ly", np.nan), grain0.get("leq", np.nan)])
