@@ -53,7 +53,7 @@ class SharpnessScanPipeline:
         from ..metrics.sharpness import sharpness_stack_stats
 
         out = sharpness_stack_stats(
-            np.asarray(stack),
+            stack if isinstance(stack, np.ndarray) else np.asarray(stack),
             metrics=self.metrics,
             tiles=self.tiles,
             frame_chunk=self.frame_chunk,
@@ -69,6 +69,11 @@ class SharpnessScanPipeline:
             "series_max": float(np.nanmax(series)),
         }
         return out
+
+    def run_files(self, paths, *, verbose: bool = False) -> dict:
+        """Out-of-core focus scan from a sequence of single-frame EDF/TIFF
+        files (frames load per-chunk on demand; formats may be mixed)."""
+        return self(_NdarrayView(_FrameSequence(paths)), verbose=verbose)
 
 
 class SpeckleStackPipeline:

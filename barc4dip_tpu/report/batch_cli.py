@@ -138,6 +138,11 @@ def main(argv: list[str] | None = None) -> int:
             from ..io import read_h5
 
             out = pipe(read_h5(inputs[0]))
+        elif all(
+            p.lower().endswith((".edf", ".edf.gz", ".edf.bz2", ".tif", ".tiff"))
+            for p in inputs
+        ):
+            out = pipe.run_files(inputs)  # streaming out-of-core scan
         else:
             from ..io import read_image
 

@@ -115,3 +115,27 @@ def test_run_files_mixed_tiff_edf(tmp_path, monkeypatch):
         np.testing.assert_allclose(
             ooc["full"]["amplitude"][k], ram["full"]["amplitude"][k], rtol=1e-6
         )
+
+
+def test_sharpness_run_files_streaming(tmp_path):
+    """SharpnessScanPipeline.run_files streams a TIFF focus scan out-of-core."""
+    from PIL import Image
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(14)
+    base = make_speckle(rng, shape=(160, 160), grain_px=4.0)
+    paths = []
+    for t, sig in enumerate((2.5, 0.0, 1.5)):
+        a = (gaussian_filter(base, sig) / base.max() * 30000).astype(np.uint16)
+        p = tmp_path / f"f{t:02d}.tif"
+        Image.fromarray(a).save(p)
+        paths.append(str(p))
+
+    pipe = SharpnessScanPipeline(metrics="gradient", tiles=False, frame_chunk=2)
+    out = pipe.run_files(paths)
+    assert out["meta"]["focus"]["best_frame"] == 1
+    ram = pipe(np.stack([np.asarray(Image.open(p)) for p in paths]))
+    np.testing.assert_allclose(
+        out["full"]["gradient"]["tenengrad"],
+        ram["full"]["gradient"]["tenengrad"], rtol=1e-6,
+    )
