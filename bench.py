@@ -55,6 +55,27 @@ def make_stack(T: int, side: int, grain_px: float = 8.0) -> np.ndarray:
     return frames
 
 
+def measure_link_mbps(nbytes: int = 8 << 20) -> dict:
+    """Measure effective host<->device link bandwidth (MB/s, one round).
+
+    The hosted chip's HTTP tunnel fluctuates run to run (observed 10-50
+    MB/s); reporting it alongside throughput makes vs_baseline swings
+    attributable to link state rather than code."""
+    import jax
+    import jax.numpy as jnp
+
+    buf = np.zeros(nbytes, np.uint8)
+    jnp.asarray(buf[: 1 << 20]).block_until_ready()  # absorb warmup
+    t0 = time.perf_counter()
+    dev = jnp.asarray(buf)
+    dev.block_until_ready()
+    up = nbytes / (time.perf_counter() - t0) / 1e6
+    t0 = time.perf_counter()
+    np.asarray(dev)
+    down = nbytes / (time.perf_counter() - t0) / 1e6
+    return {"up_MBps": round(up, 1), "down_MBps": round(down, 1)}
+
+
 def run_pipeline_tpu(stack: np.ndarray, frame_chunk: int) -> tuple[float, float]:
     """Run the full pipeline; returns (elapsed seconds post-warmup,
     max tracking error in px vs the known synthetic motion)."""
@@ -147,6 +168,10 @@ def main() -> int:
 
     stack = make_stack(T, side)
 
+    try:
+        link = measure_link_mbps()
+    except Exception:  # link probe is best-effort
+        link = None
     elapsed, track_err = run_pipeline_tpu(stack, frame_chunk)
     mpix_total = T * side * side / 1e6
     tpu_mpix_s = mpix_total / elapsed
@@ -176,6 +201,7 @@ def main() -> int:
                     if cpu_sec_per_frame
                     else None,
                     "tracking_max_err_px": round(track_err, 4),
+                    "link": link,
                     "pipeline": "speckle_stack_stats: all metric groups + tiles + abs/inc tracking",
                 },
             }
