@@ -73,3 +73,47 @@ def test_quantile_fuzz(rng):
         want = np.nanpercentile(x, list(ps))
         np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12,
                                    err_msg=f"trial {trial} n={n} kind={kind}")
+
+
+def test_pull_centrosymmetric_fuzz(rng):
+    """Half-pull reconstruction matches a full pull to dtype eps for PSD and
+    autocorr of real input, across random (odd/even, rectangular) shapes."""
+    from barc4dip_tpu.signal import autocorr2d, psd2d, pull_centrosymmetric
+
+    for trial in range(12):
+        ny = int(rng.integers(16, 97))
+        nx = int(rng.integers(16, 97))
+        img = rng.normal(size=(ny, nx)) * 10.0 ** float(rng.integers(-2, 4))
+        for dev_map, _, _ in (psd2d(img), autocorr2d(img)):
+            full = np.asarray(dev_map)
+            half = pull_centrosymmetric(dev_map)
+            tol = 500 * np.finfo(full.dtype).eps * max(np.abs(full).max(), 1e-30)
+            np.testing.assert_allclose(
+                half, full, rtol=0, atol=tol,
+                err_msg=f"trial {trial} shape=({ny},{nx})",
+            )
+
+
+def test_ncc_affine_invariance_fuzz(rng):
+    """NCC is invariant to affine rescaling of image and template (the
+    property the reference's TM_CCOEFF_NORMED backend relies on)."""
+    from barc4dip_tpu.ops.ncc import ncc_valid
+
+    for trial in range(8):
+        H = int(rng.integers(40, 90))
+        W = int(rng.integers(40, 90))
+        s = int(rng.integers(7, 20))
+        img = rng.normal(size=(H, W))
+        y0 = int(rng.integers(0, H - s)); x0 = int(rng.integers(0, W - s))
+        tpl = img[y0:y0+s, x0:x0+s] + 0.01 * rng.normal(size=(s, s))
+
+        base = np.asarray(ncc_valid(jnp.asarray(img), jnp.asarray(tpl)))
+        a = 10.0 ** float(rng.integers(-2, 3))
+        b = float(rng.normal()) * 100.0
+        scaled = np.asarray(ncc_valid(jnp.asarray(a * img + b),
+                                      jnp.asarray(0.5 * a * tpl - b)))
+        np.testing.assert_allclose(scaled, base, rtol=0, atol=5e-6,
+                                   err_msg=f"trial {trial}")
+        # the peak must be at the template's source position
+        pk = np.unravel_index(np.argmax(base), base.shape)
+        assert pk == (y0, x0), f"trial {trial}: peak {pk} != ({y0},{x0})"
