@@ -1,6 +1,6 @@
 # SPDX-License-Identifier: CECILL-2.1
 """Host-side image I/O: TIFF, EDF (legacy), ESRF-style HDF5."""
-from .edf import EdfFile, read_edf
+from .edf import EdfFile, read_edf, save_edf
 from .h5 import read_h5, save_h5
 from .rw import read_image, write_image
 from .tiff import read_tiff, save_tiff
@@ -11,6 +11,7 @@ __all__ = [
     "read_tiff",
     "save_tiff",
     "read_edf",
+    "save_edf",
     "EdfFile",
     "read_h5",
     "save_h5",

@@ -1,12 +1,14 @@
 # SPDX-License-Identifier: CECILL-2.1
-"""EDF (ESRF Data Format) reader — legacy format, read-only.
+"""EDF (ESRF Data Format) reader + writer — legacy container.
 
 Clean-room implementation of the EDF container (behavioural parity with the
-reference's vendored PyMca reader, io/uti_EdfFile.py): a file is a sequence
-of frames, each an ASCII header block delimited by '{' ... '}\\n' padded to a
-multiple of 1024 bytes, followed by raw binary data whose shape/dtype/
-byte-order come from the Dim_1/Dim_2/DataType/ByteOrder/Size keys.
-Gzip/bzip2-compressed files (.edf.gz/.edf.bz2) are supported transparently.
+reference's vendored PyMca reader/writer, io/uti_EdfFile.py incl.
+WriteImage at uti_EdfFile.py:834): a file is a sequence of frames, each an
+ASCII header block delimited by '{' ... '}\\n' padded to a multiple of 1024
+bytes, followed by raw binary data whose shape/dtype/byte-order come from
+the Dim_1/Dim_2/DataType/ByteOrder/Size keys. Gzip/bzip2-compressed files
+(.edf.gz/.edf.bz2) are read transparently; :func:`save_edf` writes
+little-endian uncompressed frames.
 """
 from __future__ import annotations
 
@@ -17,7 +19,7 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["read_edf", "EdfFile"]
+__all__ = ["read_edf", "save_edf", "EdfFile"]
 
 # EDF DataType -> numpy dtype (without byte order)
 _EDF_DTYPES: dict[str, str] = {
@@ -252,3 +254,65 @@ def read_edf(
         return np.stack(frames, axis=0)
 
     raise TypeError("image_path must be a str or a sequence of str")
+
+
+# numpy dtype kind/size -> EDF DataType name (writer side)
+_EDF_DTYPE_NAMES: dict[str, str] = {
+    "i1": "SignedByte",
+    "u1": "UnsignedByte",
+    "i2": "SignedShort",
+    "u2": "UnsignedShort",
+    "i4": "SignedInteger",
+    "u4": "UnsignedInteger",
+    "i8": "Signed64",
+    "u8": "Unsigned64",
+    "f4": "FloatValue",
+    "f8": "DoubleValue",
+}
+
+
+def save_edf(data: np.ndarray, output_path: str | Path) -> None:
+    """Write a 2D image (one frame) or a 3D stack (multi-frame) as EDF.
+
+    Parity with the reference's vendored writer (io/uti_EdfFile.py:834
+    WriteImage): each frame gets a 1024-byte-aligned ASCII header
+    ('{' ... '}\\n') with HeaderID/Image/ByteOrder/DataType/Dim_1/Dim_2/Size,
+    followed by raw little-endian data. Frames keep the array's dtype.
+    """
+    if not isinstance(data, np.ndarray):
+        raise TypeError("data must be a numpy.ndarray")
+    if data.ndim == 2:
+        frames = data[None]
+    elif data.ndim == 3:
+        frames = data
+    else:
+        raise ValueError(f"data must be 2D or 3D, got ndim={data.ndim}")
+
+    code = f"{frames.dtype.kind}{frames.dtype.itemsize}"
+    dtype_name = _EDF_DTYPE_NAMES.get(code)
+    if dtype_name is None:
+        raise ValueError(f"unsupported dtype for EDF: {frames.dtype}")
+
+    out = Path(output_path)
+    if not out.parent.is_dir():
+        raise OSError(f"Invalid path: directory does not exist: {out.parent}")
+
+    chunks: list[bytes] = []
+    for i, arr in enumerate(frames):
+        payload = np.ascontiguousarray(
+            arr, dtype=frames.dtype.newbyteorder("<")
+        ).tobytes()
+        body = (
+            f"\nHeaderID = EH:{i + 1:06d}:000000:000000 ;\n"
+            f"Image = {i + 1} ;\n"
+            f"ByteOrder = LowByteFirst ;\n"
+            f"DataType = {dtype_name} ;\n"
+            f"Dim_1 = {arr.shape[1]} ;\n"
+            f"Dim_2 = {arr.shape[0]} ;\n"
+            f"Size = {len(payload)} ;\n"
+        )
+        header = "{" + body
+        pad = (-(len(header) + 2)) % _HEADER_BLOCK  # header ends "}\n" on a block edge
+        chunks.append((header + " " * pad + "}\n").encode("ascii"))
+        chunks.append(payload)
+    out.write_bytes(b"".join(chunks))

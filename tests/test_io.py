@@ -151,3 +151,79 @@ def test_write_image_dispatch(tmp_path):
         read_image(str(tmp_path / "x.png"))
     write_image(img, tmp_path / "ok.h5", verbose=False)
     assert (tmp_path / "ok.h5").exists()
+
+
+class TestSaveEdf:
+    """save_edf round-trips through every reader (parity with the reference
+    writer, io/uti_EdfFile.py:834)."""
+
+    @pytest.mark.parametrize(
+        "dtype", [np.uint8, np.uint16, np.int16, np.int32, np.uint32,
+                  np.int64, np.float32, np.float64]
+    )
+    def test_roundtrip_dtypes(self, tmp_path, dtype):
+        from barc4dip_tpu.io import EdfFile, save_edf
+
+        rng = np.random.default_rng(8)
+        if np.issubdtype(dtype, np.floating):
+            arr = rng.normal(size=(13, 17)).astype(dtype)
+        else:
+            info = np.iinfo(dtype)
+            lo, hi = max(info.min, -(2**31)), min(info.max, 2**31 - 1)
+            arr = rng.integers(lo, hi, size=(13, 17)).astype(dtype)
+        p = tmp_path / "w.edf"
+        save_edf(arr, p)
+        got = EdfFile(p).GetData(0)
+        assert got.dtype.newbyteorder("=") == np.dtype(dtype)
+        np.testing.assert_array_equal(got, arr)
+
+    def test_multiframe_and_reference_reader(self, tmp_path):
+        import sys
+
+        from barc4dip_tpu.io import EdfFile, save_edf
+
+        rng = np.random.default_rng(9)
+        stack = rng.integers(0, 60000, size=(3, 21, 15)).astype(np.uint16)
+        p = tmp_path / "stack.edf"
+        save_edf(stack, p)
+
+        f = EdfFile(p)
+        assert f.NumImages == 3
+        for i in range(3):
+            np.testing.assert_array_equal(f.GetData(i), stack[i])
+
+        # the actual reference reader must accept our files
+        sys.path.insert(0, "/root/reference/src")
+        try:
+            from barc4dip.io.uti_EdfFile import EdfFile as RefEdfFile
+        except ImportError:
+            pytest.skip("reference reader unavailable")
+        rf = RefEdfFile(str(p), access="rb")
+        assert rf.GetNumImages() == 3
+        for i in range(3):
+            np.testing.assert_array_equal(rf.GetData(i), stack[i])
+
+    def test_native_codec_reads_written_file(self, tmp_path):
+        from barc4dip_tpu.io import save_edf
+        from barc4dip_tpu.io.native import native_available
+
+        if not native_available():
+            pytest.skip("native runtime unavailable")
+        from barc4dip_tpu.io.native import NativeEdfFile
+
+        arr = np.random.default_rng(10).normal(size=(19, 23)).astype(np.float32)
+        p = tmp_path / "n.edf"
+        save_edf(arr, p)
+        np.testing.assert_array_equal(NativeEdfFile(p).GetData(0), arr)
+
+    def test_save_edf_validation(self, tmp_path):
+        from barc4dip_tpu.io import save_edf
+
+        with pytest.raises(TypeError):
+            save_edf([[1, 2]], tmp_path / "x.edf")
+        with pytest.raises(ValueError):
+            save_edf(np.zeros(4), tmp_path / "x.edf")
+        with pytest.raises(OSError):
+            save_edf(np.zeros((4, 4)), tmp_path / "missing" / "x.edf")
+        with pytest.raises(ValueError):
+            save_edf(np.zeros((4, 4), dtype=np.complex64), tmp_path / "x.edf")
