@@ -241,3 +241,25 @@ class TestNativeTiff:
         assert len(frames) == 6
         for got, want in zip(frames, arrs):
             np.testing.assert_array_equal(got, want)
+
+
+def test_async_loader_corrupt_file_mid_sequence(tmp_path):
+    """A corrupt file surfaces as OSError at its position, after the good
+    frames before it were delivered in order."""
+    rng = np.random.default_rng(7)
+    arrs = [rng.integers(0, 60000, size=(8, 10)).astype(np.uint16) for _ in range(4)]
+    paths = []
+    for i, a in enumerate(arrs):
+        p = tmp_path / f"f{i:02d}.edf"
+        p.write_bytes(_make_edf_bytes([a]))
+        paths.append(str(p))
+    (tmp_path / "f02.edf").write_bytes(b"garbage, not a frame container")
+
+    loader = AsyncStackLoader(paths, n_threads=2, window=2)
+    got = []
+    with pytest.raises(OSError):
+        for frame in loader:
+            got.append(frame)
+    assert len(got) == 2
+    for g, want in zip(got, arrs[:2]):
+        np.testing.assert_array_equal(g, want)
