@@ -30,6 +30,7 @@ from ..signal.common import lag_axis_from_step
 __all__ = [
     "amplitude_core",
     "grain_core",
+    "grain_map_core",
     "bandwidth_core",
     "tenengrad_core",
     "laplacian_variance_core",
@@ -154,6 +155,19 @@ def grain_core(
         out["xlag"] = lag
         out["ylag"] = lag
     return out
+
+
+def grain_map_core(img, *, half_map: bool = False):
+    """Just the peak-normalized autocorrelation map of ``grain_core`` (no
+    width scalars) — the re-derivation target for lazy map leaves: scalars
+    ship with the fused stack program, the (N, N) map only ever computes
+    and transfers when a consumer actually reads it."""
+    data = _pad_to_square_mean(img)
+    ac = autocorr2d_core(
+        data, remove_mean=True, standardize=False, normalize="peak"
+    )
+    N = ac.shape[-1]
+    return ac[: int(N) // 2 + 1, :] if half_map else ac
 
 
 def inverse_autocorr_width_core(

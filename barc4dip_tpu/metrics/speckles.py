@@ -147,6 +147,53 @@ def _assemble_stack_output(raw: dict, groups: set, mode: str) -> tuple[dict, dic
     return out_full, out_tiles
 
 
+@lru_cache(maxsize=32)
+def _grain_map_program(flip: bool, half: bool):
+    """jitted: raw frame (H, W, any dtype) -> peak-normalized autocorr map
+    (half rows when ``half``), with the display-origin flip applied on
+    device exactly as the fused stack program does."""
+    from .estimators import grain_map_core
+
+    def fn(img):
+        if img.dtype not in (jnp.float32, jnp.float64):
+            img = img.astype(jnp.float32)
+        if flip:
+            img = img[::-1, :]
+        return grain_map_core(img, half_map=half)
+
+    return jax.jit(fn)
+
+
+def _attach_lazy_grain_maps(
+    grain_out: dict, stack, T: int, H: int, W: int, *, flip: bool
+) -> None:
+    """Attach the per-frame autocorr map / lag-axis leaves to a stack grain
+    block as lazy views: frame ``t``'s map is re-derived on device from
+    ``stack[t]`` (and only its redundant-free half pulled) the first time a
+    consumer indexes it. Keeps the reference contract (map keys present,
+    reference metrics/speckles.py:474-476) without the hot loop paying
+    ~N^2 floats/frame of downlink."""
+    from ..config import on_tpu
+    from ..geometry.masks import square_embed_slices
+    from ..ops.symmetry import mirror_centrosymmetric
+    from ..utils.lazy import LazyMapStack
+
+    _, _, N = square_embed_slices((int(H), int(W)))
+    compute_dtype = np.float64 if stack.dtype == np.float64 else np.float32
+    half = on_tpu()
+    program = _grain_map_program(bool(flip), half)
+
+    def fetch(t: int) -> np.ndarray:
+        frame = np.ascontiguousarray(stack[int(t)])
+        out = np.asarray(program(jnp.asarray(frame)))
+        return mirror_centrosymmetric(out, N) if half else out
+
+    lag = ((np.arange(N) - N // 2) * 1.0).astype(compute_dtype)
+    grain_out["autocorr"] = LazyMapStack(T, (N, N), compute_dtype, fetch)
+    grain_out["xlag"] = np.broadcast_to(lag, (T, N)).copy()
+    grain_out["ylag"] = np.broadcast_to(lag, (T, N)).copy()
+
+
 def _unflatten_tiles(flat: dict, *, has_std: bool) -> dict:
     """{"group/field": {"mean","std"}|{"mean"}} -> nested reference schema."""
     tiles: dict = {}
@@ -333,7 +380,22 @@ def speckle_stats(
     # upload in the image's own dtype (uint16 detector frames ship half the
     # bytes); the program casts on device
     dev_img = image if is_device else jnp.asarray(np.ascontiguousarray(image))
-    raw = jax.device_get(program(dev_img))
+    raw_dev = program(dev_img)
+
+    # Detach the (N, N) autocorr map before the host pull: scalars transfer
+    # now, the map stays device-resident behind a lazy leaf and only crosses
+    # the link if a consumer actually reads it (the report/CLI path never
+    # does — reference report/markdown.py formats scalars only).
+    map_dev = None
+    map_is_half = False
+    if "grain" in groups:
+        g_dev = raw_dev["full"]["grain"]
+        if "autocorr_half" in g_dev:
+            map_dev = g_dev.pop("autocorr_half")
+            map_is_half = True
+        elif "autocorr" in g_dev:
+            map_dev = g_dev.pop("autocorr")
+    raw = jax.device_get(raw_dev)
 
     if is_device:
         if "amplitude" in groups and not np.isfinite(
@@ -358,18 +420,21 @@ def speckle_stats(
     if "amplitude" in groups:
         out["full"]["amplitude"] = {k: float(v) for k, v in full["amplitude"].items()}
     if "grain" in groups:
+        from ..utils.lazy import LazyMap
+
         g = full["grain"]
-        if "autocorr_half" in g:
-            N = int(np.asarray(g["xlag"]).shape[-1])
-            ac = mirror_centrosymmetric(np.asarray(g["autocorr_half"], dtype=float), N)
-        else:
-            ac = np.asarray(g["autocorr"], dtype=float)
+        N = int(np.asarray(g["xlag"]).shape[-1])
+
+        def _pull_map(dev=map_dev, half=map_is_half, n=N):
+            arr = np.asarray(dev, dtype=float)
+            return mirror_centrosymmetric(arr, n) if half else arr
+
         out["full"]["grain"] = {
             "lx": float(g["lx"]),
             "ly": float(g["ly"]),
             "leq": float(g["leq"]),
             "r": float(g["r"]),
-            "autocorr": ac,
+            "autocorr": LazyMap((N, N), np.float64, _pull_map),
             "xlag": np.asarray(g["xlag"], dtype=float),
             "ylag": np.asarray(g["ylag"], dtype=float),
         }
@@ -520,6 +585,7 @@ def speckle_stack_stats(
             "eps": eps, "origin": display_origin, "chunk": frame_chunk,
             "roi": roi_side, "step": step, "method": tracking_method,
             "subpixel": bool(subpixel), "grain_maps": bool(grain_maps),
+            "maps": "lazy-v2",  # maps left the chunk payload in round 2
         }
         ckpt = ChunkStore(checkpoint_dir, "speckle_fused", config)
 
@@ -539,9 +605,18 @@ def speckle_stack_stats(
         mesh=mesh,
         checkpoint=ckpt,
         verbose=verbose,
-        full_maps=bool(grain_maps),
+        # Maps never ride the chunk pipeline: when requested they attach as
+        # lazy per-frame leaves below (re-derived on device only on access),
+        # so the hot loop's device->host traffic is scalars regardless of
+        # link bandwidth.
+        full_maps=False,
     )
     out_full, out_tiles = _assemble_stack_output(raw_metrics, groups, mode)
+    if "grain" in groups and grain_maps:
+        _attach_lazy_grain_maps(
+            out_full["grain"], stack, T, H, W,
+            flip=(display_origin == "lower"),
+        )
     dx_abs_tiles, dy_abs_tiles, dx_inc_tiles, dy_inc_tiles = track
 
     # ---- phase 4: temporal aggregation ----

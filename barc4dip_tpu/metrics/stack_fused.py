@@ -28,7 +28,13 @@ from ..utils import progress_done, progress_update
 from .speckles_device import speckle_device_fn
 from .tracking_batch import _extract_tiles, _grid_geometry
 
-__all__ = ["run_fused_speckle_stack"]
+__all__ = ["run_fused_speckle_stack", "LAST_RUN_PERF"]
+
+#: Per-stage attribution of the most recent :func:`run_fused_speckle_stack`
+#: call: seconds spent uploading chunks / dispatching programs / waiting on
+#: results, plus bytes moved each way. Read by bench.py so a throughput
+#: swing is self-explaining (upload-bound vs compute-bound vs pull-bound).
+LAST_RUN_PERF: dict = {}
 
 
 def _to_compute(x):
@@ -240,8 +246,20 @@ def run_fused_speckle_stack(
     dx_inc = np.empty((T, 9), np.float32)
     metric_pieces: list = []
 
+    import time as _time
+
+    perf = {
+        "upload_s": 0.0, "dispatch_s": 0.0, "pull_wait_s": 0.0,
+        "upload_bytes": 0, "pull_bytes": 0, "chunks": 0,
+    }
+
     def _collect(out_dev, c0, c1, slot):
+        t0 = _time.perf_counter()
         raw = jax.device_get(out_dev)
+        perf["pull_wait_s"] += _time.perf_counter() - t0
+        perf["pull_bytes"] += sum(
+            a.nbytes for a in jax.tree_util.tree_leaves(raw)
+        )
         n = c1 - c0
         piece = jax.tree_util.tree_map(lambda a: np.asarray(a)[:n], raw)
         if checkpoint is not None:
@@ -287,9 +305,15 @@ def run_fused_speckle_stack(
 
         # ONE upload per chunk; metrics and tracking consume the same
         # device-resident array through two executables (see backend note)
+        t_up = _time.perf_counter()
         chunk_dev = put_frames(chunk)
+        perf["upload_s"] += _time.perf_counter() - t_up
+        perf["upload_bytes"] += chunk.nbytes
+        perf["chunks"] += 1
+        t_disp = _time.perf_counter()
         metrics_dev = metrics_prog(chunk_dev)
         track_dev, tail = track_prog(chunk_dev, prev_tail, frame0_dev, eps_t)
+        perf["dispatch_s"] += _time.perf_counter() - t_disp
         out_dev = {"metrics": metrics_dev, "track": track_dev}
         if pending is not None:
             _collect(*pending)
@@ -302,6 +326,9 @@ def run_fused_speckle_stack(
         _collect(*pending)
     if verbose:
         progress_done("Speckle stack loop")
+
+    LAST_RUN_PERF.clear()
+    LAST_RUN_PERF.update(perf)
 
     metrics_tree = jax.tree_util.tree_map(
         lambda *xs: np.concatenate(xs, axis=0), *metric_pieces

@@ -169,7 +169,11 @@ class SpeckleStackPipeline:
 
         from ..io.h5 import DATASET_PATH
 
-        with h5py.File(path, "r") as f:
+        # No context manager: the returned stats dict can hold lazy map
+        # leaves that re-read frames on first access, so the file must
+        # outlive this call (the handle closes with the last leaf's GC).
+        f = h5py.File(path, "r")
+        try:
             dset = f[DATASET_PATH]
             if dset.ndim != 3:
                 raise ValueError(
@@ -189,6 +193,9 @@ class SpeckleStackPipeline:
                 verbose=verbose,
                 checkpoint_dir=checkpoint_dir,
             )
+        except Exception:
+            f.close()
+            raise
 
 
 class _FrameSequence:

@@ -1,12 +1,16 @@
 # SPDX-License-Identifier: CECILL-2.1
-"""barc4dip-speckles CLI: speckle statistics + Markdown logbook report.
+"""``barc4dip-speckles``: single-image speckle analysis from the shell.
 
-Flag-level parity with reference report/cli.py:31-146.
+Reads one detector image, optionally flat-/dark-corrects it, evaluates the
+speckle metric groups on device, and prints (or saves) the Markdown logbook.
+Flag names, dests and defaults track the reference console script
+(reference report/cli.py:31-146) so existing beamline scripts keep working;
+everything behind the flags runs through this package's fused TPU programs.
 
-Example
--------
-python -m barc4dip_tpu.report.cli -s speckles.tif -o report.md
-python -m barc4dip_tpu.report.cli -s run.h5 -n 12 -o report.md
+Usage::
+
+    python -m barc4dip_tpu.report.cli -s scan_0042.tif -o logbook.md
+    python -m barc4dip_tpu.report.cli -s run.h5 -n 12 --all --notes
 """
 from __future__ import annotations
 
@@ -21,121 +25,75 @@ from .markdown import logbook_report
 
 __all__ = ["main"]
 
+# Default metric selection when --all is not given: the quick-look trio
+# (the full set adds the costlier bandwidth group).
+_DEFAULT_GROUPS = ("amplitude", "grain", "stats")
 
-def _is_h5(path: str) -> bool:
-    return Path(path).suffix.lower() in {".h5", ".hdf5"}
+_HDF5_SUFFIXES = {".h5", ".hdf5"}
 
 
 def _build_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(
+    parser = argparse.ArgumentParser(
         prog="barc4dip-speckles",
         description=(
-            "Compute speckle metrics for a single image and write a Markdown "
-            "logbook report."
+            "Speckle-field quick analysis: metrics for one detector image, "
+            "reported as a Markdown logbook entry."
         ),
     )
-    p.add_argument(
-        "-s",
-        "--speckle",
-        dest="speckle_path",
-        required=True,
-        help="Path to speckle field image (.tif/.tiff/.edf/.h5/.hdf5).",
-    )
-    p.add_argument(
-        "-n",
-        "--image_number",
-        dest="image_number",
-        type=int,
-        default=0,
-        help="Frame index for HDF5 stacks (default: 0). Ignored for TIFF/EDF.",
-    )
-    p.add_argument(
-        "-f",
-        "--flat",
-        dest="flat_path",
-        default=None,
-        help="Optional flat field image path.",
-    )
-    p.add_argument(
-        "-d",
-        "--dark",
-        dest="dark_path",
-        default=None,
-        help="Optional dark field image path.",
-    )
-    p.add_argument(
-        "-o",
-        "--out",
-        dest="out_path",
-        default=None,
-        help="Optional output Markdown filename (e.g. speckles_report.md).",
-    )
-    p.add_argument(
-        "--no_tiles",
-        dest="tiles",
-        action="store_false",
-        help="Disable 3x3 tiles computation.",
-    )
-    p.set_defaults(tiles=True)
-    p.add_argument(
-        "--complete",
-        dest="complete",
-        action="store_true",
-        help="Include additional metric blocks in the Markdown report.",
-    )
-    p.add_argument(
-        "--notes",
-        dest="notes",
-        action="store_true",
-        help="Include brief explanatory notes in the Markdown report.",
-    )
-    p.add_argument(
-        "--all",
-        dest="all_groups",
-        action="store_true",
-        help="Compute all speckle metric groups (metrics='all').",
-    )
-    return p
+    add = parser.add_argument
+    add("-s", "--speckle", dest="speckle_path", required=True,
+        help="speckle image to analyse (TIFF, EDF or HDF5)")
+    add("-n", "--image_number", dest="image_number", type=int, default=0,
+        help="which frame of an HDF5 stack to use (default 0; "
+             "other formats ignore this)")
+    add("-f", "--flat", dest="flat_path", default=None,
+        help="flat-field image for normalisation")
+    add("-d", "--dark", dest="dark_path", default=None,
+        help="dark-field image for normalisation")
+    add("-o", "--out", dest="out_path", default=None,
+        help="also write the report to this Markdown file")
+    add("--no_tiles", dest="tiles", action="store_false", default=True,
+        help="skip the 3x3 tile breakdown")
+    add("--complete", dest="complete", action="store_true",
+        help="report every tile block, not just the headline ones")
+    add("--notes", dest="notes", action="store_true",
+        help="append explanatory notes to the report")
+    add("--all", dest="all_groups", action="store_true",
+        help="evaluate every metric group instead of the default "
+             "amplitude/grain/stats trio")
+    return parser
 
 
 def main(argv: list[str] | None = None) -> int:
-    parser = _build_parser()
-    args = parser.parse_args(argv)
+    opts = _build_parser().parse_args(argv)
 
-    out_path = Path(args.out_path) if args.out_path is not None else None
+    speckle_path = str(opts.speckle_path)
+    frame = (
+        int(opts.image_number)
+        if Path(speckle_path).suffix.lower() in _HDF5_SUFFIXES
+        else None
+    )
+    image = read_image(speckle_path, image_number=frame)
 
-    img_n = int(args.image_number)
-    speckle_img_n = img_n if _is_h5(str(args.speckle_path)) else None
-
-    speckles = read_image(str(args.speckle_path), image_number=speckle_img_n)
-
-    flats = None
-    if args.flat_path is not None:
-        flats = read_image(str(args.flat_path))
-    darks = None
-    if args.dark_path is not None:
-        darks = read_image(str(args.dark_path))
-
+    flats = read_image(str(opts.flat_path)) if opts.flat_path else None
+    darks = read_image(str(opts.dark_path)) if opts.dark_path else None
     if flats is not None or darks is not None:
-        speckles = flat_field_correction(speckles, flats=flats, darks=darks)
+        image = flat_field_correction(image, flats=flats, darks=darks)
 
-    groups = "all" if bool(args.all_groups) else ("amplitude", "grain", "stats")
-
-    metrics = speckle_stats(
-        speckles,
-        metrics=groups,
-        tiles=bool(args.tiles),
+    stats = speckle_stats(
+        image,
+        metrics="all" if opts.all_groups else _DEFAULT_GROUPS,
+        tiles=bool(opts.tiles),
         verbose=False,
     )
 
-    text = logbook_report(
-        metrics,
-        report_path=out_path,
-        complete=bool(args.complete),
-        notes=bool(args.notes),
+    report = logbook_report(
+        stats,
+        report_path=Path(opts.out_path) if opts.out_path else None,
+        complete=bool(opts.complete),
+        notes=bool(opts.notes),
     )
-
-    sys.stdout.write(text)
+    sys.stdout.write(report)
     return 0
 
 

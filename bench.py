@@ -76,10 +76,14 @@ def measure_link_mbps(nbytes: int = 8 << 20) -> dict:
     return {"up_MBps": round(up, 1), "down_MBps": round(down, 1)}
 
 
-def run_pipeline_tpu(stack: np.ndarray, frame_chunk: int) -> tuple[float, float]:
+def run_pipeline_tpu(
+    stack: np.ndarray, frame_chunk: int
+) -> tuple[float, float, dict]:
     """Run the full pipeline; returns (elapsed seconds post-warmup,
-    max tracking error in px vs the known synthetic motion)."""
+    max tracking error in px vs the known synthetic motion, per-stage
+    attribution of where the wall-clock went)."""
     import barc4dip_tpu as dip
+    from barc4dip_tpu.metrics import stack_fused
 
     kwargs = dict(
         metrics="all",
@@ -99,6 +103,28 @@ def run_pipeline_tpu(stack: np.ndarray, frame_chunk: int) -> tuple[float, float]
     out = dip.speckle_stack_stats(stack, **kwargs)
     elapsed = time.perf_counter() - t0
 
+    # Per-stage attribution of the timed run (upload / dispatch / wait):
+    # makes a throughput swing self-explaining without forensic work.
+    perf = dict(stack_fused.LAST_RUN_PERF)
+    stages = {
+        "upload_s": round(perf.get("upload_s", 0.0), 3),
+        "dispatch_s": round(perf.get("dispatch_s", 0.0), 3),
+        "pull_wait_s": round(perf.get("pull_wait_s", 0.0), 3),
+        "other_s": round(
+            elapsed
+            - perf.get("upload_s", 0.0)
+            - perf.get("dispatch_s", 0.0)
+            - perf.get("pull_wait_s", 0.0),
+            3,
+        ),
+        "upload_MB": round(perf.get("upload_bytes", 0) / 1e6, 1),
+        "pull_MB": round(perf.get("pull_bytes", 0) / 1e6, 3),
+    }
+    if perf.get("upload_s"):
+        stages["upload_eff_MBps"] = round(
+            perf["upload_bytes"] / 1e6 / perf["upload_s"], 1
+        )
+
     # hardware-level correctness gate: the synthetic stack's motion is known
     T = stack.shape[0]
     ts = np.arange(T)
@@ -107,7 +133,7 @@ def run_pipeline_tpu(stack: np.ndarray, frame_chunk: int) -> tuple[float, float]
     err = np.hypot(
         out["temporal"]["abs"]["dy"] - dys, out["temporal"]["abs"]["dx"] - dxs
     )
-    return elapsed, float(np.nanmax(err))
+    return elapsed, float(np.nanmax(err)), stages
 
 
 def measure_cpu_baseline(side: int, cpu_T: int) -> float:
@@ -172,7 +198,7 @@ def main() -> int:
         link = measure_link_mbps()
     except Exception:  # link probe is best-effort
         link = None
-    elapsed, track_err = run_pipeline_tpu(stack, frame_chunk)
+    elapsed, track_err, stages = run_pipeline_tpu(stack, frame_chunk)
     mpix_total = T * side * side / 1e6
     tpu_mpix_s = mpix_total / elapsed
 
@@ -201,6 +227,7 @@ def main() -> int:
                     if cpu_sec_per_frame
                     else None,
                     "tracking_max_err_px": round(track_err, 4),
+                    "stages": stages,
                     "link": link,
                     "pipeline": "speckle_stack_stats: all metric groups + tiles + abs/inc tracking",
                 },
