@@ -79,7 +79,7 @@ class EdfFile:
     def GetData(self, index: int) -> np.ndarray:  # noqa: N802
         self._check_index(index)
         header, offset = self._frames[index]
-        shape, dtype, nbytes = self._frame_geometry(header)
+        shape, dtype, nbytes, _ = self._frame_geometry(header)
         with _open_raw(self.path) as f:
             f.seek(offset)
             raw = f.read(nbytes)
@@ -89,6 +89,42 @@ class EdfFile:
             )
         arr = np.frombuffer(raw, dtype=dtype).reshape(shape)
         return arr
+
+    def GetRegion(  # noqa: N802 - legacy API name
+        self, index: int, origin_yx: tuple[int, int], size_yx: tuple[int, int]
+    ) -> np.ndarray:
+        """Read a rectangular window of one frame without loading the rest.
+
+        Counterpart of the reference's vendored region read
+        (io/uti_EdfFile.py:692): only the rows covering the window transfer
+        from disk (one contiguous read), then the columns are sliced out.
+        ``origin_yx`` is the top-left (row, col); ``size_yx`` the (height,
+        width). The window must lie fully inside the frame.
+        """
+        self._check_index(index)
+        header, offset = self._frames[index]
+        shape, dtype, _, _ = self._frame_geometry(header)
+        rows, cols = shape
+        y0, x0 = (int(v) for v in origin_yx)
+        h, w = (int(v) for v in size_yx)
+        if h <= 0 or w <= 0:
+            raise ValueError("Region size must be positive in both axes.")
+        if not (0 <= y0 and y0 + h <= rows and 0 <= x0 and x0 + w <= cols):
+            raise ValueError(
+                f"Region {origin_yx}+{size_yx} exceeds the "
+                f"({rows}, {cols}) frame."
+            )
+        row_bytes = cols * dtype.itemsize
+        want = h * row_bytes
+        with _open_raw(self.path) as f:
+            f.seek(offset + y0 * row_bytes)
+            raw = f.read(want)
+        if len(raw) < want:
+            raise OSError(
+                f"Truncated EDF data block in '{self.path}' (frame {index})."
+            )
+        band = np.frombuffer(raw, dtype=dtype).reshape(h, cols)
+        return band[:, x0 : x0 + w]
 
     # -- internals ----------------------------------------------------------
 
@@ -111,38 +147,39 @@ class EdfFile:
             if start != b"{":
                 raise OSError(f"Malformed EDF header in '{self.path}' (expected '{{').")
 
+            # Writers pad the header INSIDE the braces (to 512- or
+            # 1024-byte multiples — both exist in the wild); the binary
+            # data begins immediately after the newline that follows '}'.
+            # Buffer until that newline is in hand, never assuming a
+            # particular block size.
             chunks = [start]
+            joined = b""
             while True:
+                joined = b"".join(chunks)
+                end = joined.find(b"}")
+                if end != -1 and joined.find(b"\n", end) != -1:
+                    break
                 block = f.read(_HEADER_BLOCK)
                 if not block:
                     raise OSError(f"Unterminated EDF header in '{self.path}'.")
                 chunks.append(block)
-                joined = b"".join(chunks)
-                end = joined.find(b"}")
-                if end != -1:
-                    break
 
-            # header is padded so that (header size) % 1024 == 0; the data
-            # starts right after the newline following '}'
-            total = len(b"".join(chunks))
-            consumed_past_brace = total - (end + 1)
             header_text = joined[1:end].decode("latin-1")
-
-            # skip padding to the 1024-byte boundary after '}'
-            header_len = end + 1
-            pad = (-header_len) % _HEADER_BLOCK
-            to_skip = pad - consumed_past_brace
-            if to_skip > 0:
-                f.read(to_skip)
-            elif to_skip < 0:
-                f.seek(to_skip, 1)
+            nl = joined.find(b"\n", end)
+            # rewind whatever we over-read past the '}\n' terminator
+            f.seek(nl + 1 - len(joined), 1)
 
             header = self._parse_header(header_text)
             data_offset = f.tell()
             self._frames.append((header, data_offset))
 
-            _, _, nbytes = self._frame_geometry(header)
-            f.seek(nbytes, 1)
+            _, _, _, block_size = self._frame_geometry(header)
+            f.seek(block_size, 1)
+            if f.tell() <= data_offset:
+                raise OSError(
+                    f"EDF frame scan did not advance in '{self.path}' "
+                    "(corrupt Dim_1/Dim_2/Size header values)."
+                )
 
     @staticmethod
     def _parse_header(text: str) -> dict:
@@ -154,12 +191,26 @@ class EdfFile:
             header[key.strip()] = value.strip()
         return header
 
-    def _frame_geometry(self, header: dict) -> tuple[tuple[int, ...], np.dtype, int]:
+    def _frame_geometry(
+        self, header: dict
+    ) -> tuple[tuple[int, ...], np.dtype, int, int]:
+        """Returns (shape, dtype, payload nbytes, block size to skip).
+
+        ``Size`` (when present and sane) is the authoritative block length
+        used to advance the frame scan — writers may pad data blocks — while
+        the payload actually decoded is always Dim_1*Dim_2*itemsize. A
+        declared Size smaller than the payload is a corrupt header.
+        """
         try:
             dim1 = int(header["Dim_1"])  # fast axis (columns)
             dim2 = int(header["Dim_2"])  # slow axis (rows)
         except KeyError as exc:
             raise OSError(f"EDF header missing Dim_1/Dim_2 in '{self.path}'.") from exc
+        if dim1 <= 0 or dim2 <= 0:
+            raise OSError(
+                f"Invalid EDF dimensions Dim_1={dim1}, Dim_2={dim2} in "
+                f"'{self.path}'."
+            )
 
         data_type = header.get("DataType", "UnsignedShort").strip().lower()
         base = _EDF_DTYPES.get(data_type)
@@ -171,15 +222,21 @@ class EdfFile:
         dtype = np.dtype(endian + base)
 
         nbytes = dim1 * dim2 * dtype.itemsize
+        block_size = nbytes
         declared = header.get("Size")
         if declared is not None:
             try:
                 declared_i = int(declared)
-                if declared_i >= nbytes:
-                    nbytes = max(nbytes, 0)
             except ValueError:
-                pass
-        return (dim2, dim1), dtype, nbytes
+                declared_i = None
+            if declared_i is not None:
+                if declared_i < nbytes:
+                    raise OSError(
+                        f"EDF header Size={declared_i} smaller than "
+                        f"Dim_1*Dim_2*itemsize={nbytes} in '{self.path}'."
+                    )
+                block_size = declared_i
+        return (dim2, dim1), dtype, nbytes, block_size
 
 
 def _use_native() -> bool:

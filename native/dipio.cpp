@@ -161,13 +161,21 @@ bool scan_edf(EdfFile* f, const char* path) {
       }
     }
 
-    // header (incl. '{' and up to '}') is padded to a 1024-byte boundary
-    int64_t header_len = brace_end - pos + 1;
-    int64_t padded = ((header_len + 1 + kHeaderBlock - 1) / kHeaderBlock) * kHeaderBlock;
-    // +1 accounts for the newline after '}' included in the padding rule
-    // used by writers (header chunk ends with "}\n" at the boundary)
-    int64_t data_offset = pos + padded;
-    if (data_offset > fsize) data_offset = brace_end + 2;
+    // Writers pad the header INSIDE the braces (512- or 1024-byte
+    // multiples both exist); data begins right after the newline that
+    // follows '}'. Never assume a block size.
+    int64_t data_offset = brace_end + 1;
+    while (data_offset < fsize) {
+      char nl = 0;
+      if (::pread(f->fd, &nl, 1, data_offset) != 1) break;
+      ++data_offset;
+      if (nl == '\n') break;
+      if (nl != '\r' && nl != ' ' && nl != '\t') {
+        // only trailing whitespace may sit between '}' and the newline
+        set_error("malformed EDF header terminator (expected '}\\n')");
+        return false;
+      }
+    }
 
     FrameInfo info;
     info.data_offset = data_offset;
@@ -176,6 +184,11 @@ bool scan_edf(EdfFile* f, const char* path) {
       info.dim2 = std::stoll(header_value(header, "Dim_2"));
     } catch (...) {
       set_error("EDF header missing Dim_1/Dim_2");
+      return false;
+    }
+    if (info.dim1 <= 0 || info.dim2 <= 0) {
+      set_error("invalid EDF dimensions Dim_1=" + std::to_string(info.dim1) +
+                ", Dim_2=" + std::to_string(info.dim2));
       return false;
     }
     std::string dt = header_value(header, "DataType");
@@ -189,8 +202,35 @@ bool scan_edf(EdfFile* f, const char* path) {
         strcasecmp(bo.c_str(), "LowByteFirst") == 0;
     info.nbytes = info.dim1 * info.dim2 * dtype_size(info.dtype);
 
+    // Size (when sane) is the authoritative block length for advancing the
+    // scan; a Size smaller than the payload means a corrupt header.
+    int64_t block = info.nbytes;
+    std::string size_str = header_value(header, "Size");
+    if (!size_str.empty()) {
+      try {
+        int64_t declared = std::stoll(size_str);
+        if (declared < info.nbytes) {
+          set_error("EDF header Size=" + std::to_string(declared) +
+                    " smaller than payload " + std::to_string(info.nbytes));
+          return false;
+        }
+        block = declared;
+      } catch (...) {
+        // unparsable Size: fall back to the computed payload length
+      }
+    }
+    if (info.data_offset + info.nbytes > fsize) {
+      set_error("EDF data block exceeds file size (truncated or corrupt)");
+      return false;
+    }
+
     f->frames.push_back(info);
-    pos = data_offset + info.nbytes;
+    int64_t next = info.data_offset + block;
+    if (next <= pos) {  // must strictly advance, whatever the header claims
+      set_error("EDF frame scan did not advance (corrupt header values)");
+      return false;
+    }
+    pos = next;
   }
   return true;
 }
@@ -219,6 +259,22 @@ struct TiffFile {
   std::vector<TiffFrame> frames;
 };
 
+// In-place byteswap of a buffer of `nbytes` holding items of `isz` bytes.
+void swap_to_native_le(uint8_t* out, int64_t nbytes, int isz) {
+  if (isz <= 1) return;
+  int64_t n = nbytes / isz;
+  if (isz == 2) {
+    auto* p = reinterpret_cast<uint16_t*>(out);
+    for (int64_t i = 0; i < n; ++i) p[i] = __builtin_bswap16(p[i]);
+  } else if (isz == 4) {
+    auto* p = reinterpret_cast<uint32_t*>(out);
+    for (int64_t i = 0; i < n; ++i) p[i] = __builtin_bswap32(p[i]);
+  } else {
+    auto* p = reinterpret_cast<uint64_t*>(out);
+    for (int64_t i = 0; i < n; ++i) p[i] = __builtin_bswap64(p[i]);
+  }
+}
+
 uint16_t tiff_rd16(const uint8_t* p, bool be) {
   return be ? static_cast<uint16_t>((p[0] << 8) | p[1])
             : static_cast<uint16_t>((p[1] << 8) | p[0]);
@@ -229,9 +285,11 @@ uint32_t tiff_rd32(const uint8_t* p, bool be) {
             : (static_cast<uint32_t>(p[3]) << 24) | (p[2] << 16) | (p[1] << 8) | p[0];
 }
 
-// Read the value array of an IFD entry (BYTE/SHORT/LONG only).
+// Read the value array of an IFD entry (BYTE/SHORT/LONG only). `fsize`
+// bounds the allocation: an out-of-line value array larger than the file
+// itself is a corrupt count, not a real tag.
 bool tiff_entry_values(int fd, bool be, const uint8_t entry[12],
-                       std::vector<uint64_t>* out) {
+                       int64_t fsize, std::vector<uint64_t>* out) {
   uint16_t type = tiff_rd16(entry + 2, be);
   uint32_t count = tiff_rd32(entry + 4, be);
   size_t tsize;
@@ -242,6 +300,7 @@ bool tiff_entry_values(int fd, bool be, const uint8_t entry[12],
     default: return false;
   }
   size_t total = tsize * count;
+  if (total > 4 && static_cast<int64_t>(total) > fsize) return false;
   std::vector<uint8_t> buf(total);
   if (total <= 4) {
     std::memcpy(buf.data(), entry + 8, total);
@@ -267,6 +326,12 @@ bool scan_tiff(TiffFile* f, const char* path) {
     set_error(std::string("cannot open '") + path + "'");
     return false;
   }
+  struct stat st;
+  if (::fstat(f->fd, &st) != 0) {
+    set_error("fstat failed");
+    return false;
+  }
+  const int64_t fsize = st.st_size;
   uint8_t head[8];
   if (::pread(f->fd, head, 8, 0) != 8) {
     set_error("not a TIFF file (short header)");
@@ -315,7 +380,7 @@ bool scan_tiff(TiffFile* f, const char* path) {
       switch (tag) {
         case 256: case 257: case 258: case 259: case 262:
         case 273: case 277: case 278: case 279: case 339:
-          if (!tiff_entry_values(f->fd, be, e, &vals) || vals.empty()) {
+          if (!tiff_entry_values(f->fd, be, e, fsize, &vals) || vals.empty()) {
             set_error("unreadable TIFF tag " + std::to_string(tag));
             return false;
           }
@@ -388,6 +453,12 @@ bool scan_tiff(TiffFile* f, const char* path) {
     }
     (void)rows_per_strip;  // implied by byte counts for uncompressed data
     fr.nbytes = fr.width * fr.height * dtype_size(fr.dtype);
+    if (fr.nbytes > fsize) {
+      // uncompressed pixels can never outnumber the file's bytes; bounds
+      // the frame-buffer allocation against crafted width/height tags
+      set_error("TIFF dimensions exceed file size (corrupt header)");
+      return false;
+    }
     int64_t available = 0;
     for (int64_t bc : fr.strip_bytecounts) available += bc;
     if (available < fr.nbytes) {
@@ -421,20 +492,7 @@ bool tiff_read_frame(const TiffFile* f, const TiffFrame& fr, uint8_t* out) {
     set_error("truncated TIFF data");
     return false;
   }
-  int isz = dtype_size(fr.dtype);
-  if (f->big_endian && isz > 1) {
-    int64_t n = fr.nbytes / isz;
-    if (isz == 2) {
-      auto* p = reinterpret_cast<uint16_t*>(out);
-      for (int64_t i = 0; i < n; ++i) p[i] = __builtin_bswap16(p[i]);
-    } else if (isz == 4) {
-      auto* p = reinterpret_cast<uint32_t*>(out);
-      for (int64_t i = 0; i < n; ++i) p[i] = __builtin_bswap32(p[i]);
-    } else {
-      auto* p = reinterpret_cast<uint64_t*>(out);
-      for (int64_t i = 0; i < n; ++i) p[i] = __builtin_bswap64(p[i]);
-    }
-  }
+  if (f->big_endian) swap_to_native_le(out, fr.nbytes, dtype_size(fr.dtype));
   return true;
 }
 
@@ -451,8 +509,10 @@ struct Slot {
 };
 
 // Load the first frame of an EDF or TIFF file (dispatch by magic bytes)
-// into `local`. TIFF data arrives byteswapped to native LE; EDF data keeps
-// its container byte order (EDF in the wild is LowByteFirst).
+// into `local`. Data always arrives in native little-endian order:
+// big-endian TIFF and HighByteFirst EDF payloads are byteswapped on read,
+// so consumers (io/native.py AsyncStackLoader) can view every prefetched
+// buffer as LE without a per-file flag.
 bool read_first_frame(const std::string& path, Slot* local, std::string* err) {
   uint8_t magic[4] = {0, 0, 0, 0};
   {
@@ -499,6 +559,10 @@ bool read_first_frame(const std::string& path, Slot* local, std::string* err) {
       ok = false;
       *err = "truncated EDF data block";
     } else {
+      if (!info.little_endian) {
+        swap_to_native_le(local->data.data(), info.nbytes,
+                          dtype_size(info.dtype));
+      }
       local->dim1 = info.dim1;
       local->dim2 = info.dim2;
       local->dtype = info.dtype;
@@ -543,7 +607,19 @@ struct Prefetcher {
 
       std::string err;
       Slot local;
-      bool ok = read_first_frame(paths[job], &local, &err);
+      bool ok = false;
+      try {
+        ok = read_first_frame(paths[job], &local, &err);
+      } catch (const std::exception& e) {
+        // corrupt metadata can drive allocations past what the host can
+        // give (bad_alloc/length_error); route it to the slot instead of
+        // letting the exception terminate the process from this thread
+        ok = false;
+        err = std::string("prefetch failed: ") + e.what();
+      } catch (...) {
+        ok = false;
+        err = "prefetch failed: unknown C++ exception";
+      }
 
       {
         std::lock_guard<std::mutex> lk(mu);
@@ -570,7 +646,16 @@ const char* dipio_last_error() { return g_last_error.c_str(); }
 
 void* dipio_edf_open(const char* path) {
   auto* f = new EdfFile();
-  if (!scan_edf(f, path)) {
+  bool ok = false;
+  try {
+    ok = scan_edf(f, path);
+  } catch (const std::exception& e) {
+    // never let a C++ exception cross the C ABI into Python
+    set_error(std::string("EDF scan failed: ") + e.what());
+  } catch (...) {
+    set_error("EDF scan failed: unknown C++ exception");
+  }
+  if (!ok) {
     if (f->fd >= 0) ::close(f->fd);
     delete f;
     return nullptr;
@@ -627,7 +712,15 @@ void dipio_edf_close(void* handle) {
 
 void* dipio_tiff_open(const char* path) {
   auto* f = new TiffFile();
-  if (!scan_tiff(f, path)) {
+  bool ok = false;
+  try {
+    ok = scan_tiff(f, path);
+  } catch (const std::exception& e) {
+    set_error(std::string("TIFF scan failed: ") + e.what());
+  } catch (...) {
+    set_error("TIFF scan failed: unknown C++ exception");
+  }
+  if (!ok) {
     if (f->fd >= 0) ::close(f->fd);
     delete f;
     return nullptr;
@@ -679,15 +772,26 @@ void dipio_tiff_close(void* handle) {
 
 void* dipio_prefetch_open(const char** paths, int n_paths, int n_threads,
                           int window) {
-  auto* p = new Prefetcher();
-  p->paths.assign(paths, paths + n_paths);
-  p->slots.resize(n_paths);
-  p->window = window > 0 ? static_cast<size_t>(window) : 4;
-  int threads = n_threads > 0 ? n_threads : 2;
-  for (int i = 0; i < threads; ++i) {
-    p->workers.emplace_back([p] { p->worker(); });
+  Prefetcher* p = nullptr;
+  try {
+    p = new Prefetcher();
+    p->paths.assign(paths, paths + n_paths);
+    p->slots.resize(n_paths);
+    p->window = window > 0 ? static_cast<size_t>(window) : 4;
+    int threads = n_threads > 0 ? n_threads : 2;
+    for (int i = 0; i < threads; ++i) {
+      p->workers.emplace_back([p] { p->worker(); });
+    }
+    return p;
+  } catch (const std::exception& e) {
+    set_error(std::string("prefetch open failed: ") + e.what());
+    delete p;
+    return nullptr;
+  } catch (...) {
+    set_error("prefetch open failed: unknown C++ exception");
+    delete p;
+    return nullptr;
   }
-  return p;
 }
 
 // Blocks until the next in-order frame is ready; returns its geometry and

@@ -17,28 +17,32 @@ from barc4dip_tpu.io import (
 )
 
 
-def _make_edf_bytes(frames: list[np.ndarray]) -> bytes:
-    """Build a multi-frame EDF file per the format spec (1024-byte-aligned
-    ASCII headers + raw little-endian data)."""
+def _make_edf_bytes(
+    frames: list[np.ndarray], *, block: int = 1024, big_endian: bool = False
+) -> bytes:
+    """Build a multi-frame EDF file per the format spec: ASCII headers padded
+    inside the braces to a ``block`` multiple (512 and 1024 both exist in
+    the wild) followed by raw binary data."""
     out = b""
+    order = ">" if big_endian else "<"
     for arr in frames:
         dtype_name = {
             np.dtype("uint16"): "UnsignedShort",
             np.dtype("float32"): "FloatValue",
             np.dtype("int32"): "SignedInteger",
         }[arr.dtype]
-        data = arr.astype(arr.dtype.newbyteorder("<")).tobytes()
+        data = arr.astype(arr.dtype.newbyteorder(order)).tobytes()
         body = (
             f"\nHeaderID = EH:000001:000000:000000 ;\n"
-            f"ByteOrder = LowByteFirst ;\n"
+            f"ByteOrder = {'HighByteFirst' if big_endian else 'LowByteFirst'} ;\n"
             f"DataType = {dtype_name} ;\n"
             f"Dim_1 = {arr.shape[1]} ;\n"
             f"Dim_2 = {arr.shape[0]} ;\n"
             f"Size = {len(data)} ;\n"
         )
         header = "{" + body
-        # pad so that len(header) + 2 (for '}\n') is a multiple of 1024
-        pad = (-(len(header) + 2)) % 1024
+        # pad so that len(header) + 2 (for '}\n') is a multiple of the block
+        pad = (-(len(header) + 2)) % block
         header = header + " " * pad + "}\n"
         out += header.encode("latin-1") + data
     return out
@@ -90,6 +94,73 @@ def test_edf_sequence_stack(tmp_path):
     stack = read_edf(paths)
     assert stack.shape == (3, 3, 3)
     np.testing.assert_allclose(stack[2], 2.0)
+
+
+def test_edf_512_padded_header(tmp_path):
+    """fabio/ESRF writers pad headers to 512-byte multiples; data must be
+    located right after '}\\n', not at an assumed 1024-byte boundary."""
+    arr = (np.arange(20, dtype=np.uint16) * 11).reshape(4, 5)
+    path = tmp_path / "pad512.edf"
+    path.write_bytes(_make_edf_bytes([arr, arr + 1], block=512))
+    f = EdfFile(path)
+    assert f.NumImages == 2
+    np.testing.assert_array_equal(f.GetData(0), arr)
+    np.testing.assert_array_equal(f.GetData(1), arr + 1)
+
+
+def test_edf_big_endian_frame(tmp_path):
+    arr = (np.arange(12, dtype=np.uint16) * 257).reshape(3, 4)
+    path = tmp_path / "be.edf"
+    path.write_bytes(_make_edf_bytes([arr], big_endian=True))
+    np.testing.assert_array_equal(EdfFile(path).GetData(0), arr)
+
+
+def test_edf_negative_dims_rejected(tmp_path):
+    """A corrupt Dim_1 must raise, not loop forever re-scanning the frame."""
+    good = _make_edf_bytes([np.zeros((2, 4), np.uint16)])
+    bad = good.replace(b"Dim_1 = 4 ;", b"Dim_1 = -8 ;")
+    path = tmp_path / "neg.edf"
+    path.write_bytes(bad)
+    with pytest.raises(OSError, match="[Ii]nvalid EDF dimensions"):
+        EdfFile(path)
+
+
+def test_edf_size_smaller_than_payload_rejected(tmp_path):
+    good = _make_edf_bytes([np.zeros((2, 4), np.uint16)])
+    bad = good.replace(b"Size = 16 ;", b"Size = 3 ;")
+    path = tmp_path / "small.edf"
+    path.write_bytes(bad)
+    with pytest.raises(OSError, match="Size"):
+        EdfFile(path)
+
+
+def test_edf_oversized_size_skips_padding(tmp_path):
+    """Size larger than the payload is legal block padding: the scan must
+    advance by Size so the next frame is still found."""
+    a = np.arange(8, dtype=np.uint16).reshape(2, 4)
+    b = a + 100
+    raw = _make_edf_bytes([a])
+    padded = raw.replace(b"Size = 16 ;", b"Size = 24 ;") + b"\x00" * 8
+    path = tmp_path / "padded.edf"
+    path.write_bytes(padded + _make_edf_bytes([b]))
+    f = EdfFile(path)
+    assert f.NumImages == 2
+    np.testing.assert_array_equal(f.GetData(0), a)
+    np.testing.assert_array_equal(f.GetData(1), b)
+
+
+def test_edf_get_region(tmp_path):
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 60000, size=(16, 12)).astype(np.uint16)
+    path = tmp_path / "reg.edf"
+    path.write_bytes(_make_edf_bytes([arr]))
+    f = EdfFile(path)
+    region = f.GetRegion(0, (3, 2), (5, 7))
+    np.testing.assert_array_equal(region, arr[3:8, 2:9])
+    with pytest.raises(ValueError):
+        f.GetRegion(0, (14, 0), (5, 5))  # spills past the bottom edge
+    with pytest.raises(ValueError):
+        f.GetRegion(0, (0, 0), (0, 3))
 
 
 def test_tiff_roundtrip_2d(tmp_path):

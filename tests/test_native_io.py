@@ -86,6 +86,47 @@ def test_async_loader_large_frames(tmp_path):
     np.testing.assert_array_equal(frames[0], arr)
 
 
+def test_native_512_padded_header(tmp_path):
+    arr = (np.arange(20, dtype=np.uint16) * 9).reshape(4, 5)
+    path = tmp_path / "pad512.edf"
+    path.write_bytes(_make_edf_bytes([arr, arr + 2], block=512))
+    f = NativeEdfFile(path)
+    assert f.NumImages == 2
+    np.testing.assert_array_equal(f.GetData(0), arr)
+    np.testing.assert_array_equal(f.GetData(1), arr + 2)
+    f.close()
+
+
+def test_native_negative_dims_error_not_hang(tmp_path):
+    good = _make_edf_bytes([np.zeros((2, 4), np.uint16)])
+    bad = good.replace(b"Dim_1 = 4 ;", b"Dim_1 = -8 ;")
+    path = tmp_path / "neg.edf"
+    path.write_bytes(bad)
+    with pytest.raises(OSError):
+        NativeEdfFile(path)
+
+
+def test_native_truncated_data_block_rejected(tmp_path):
+    raw = _make_edf_bytes([np.zeros((64, 64), np.uint16)])
+    path = tmp_path / "trunc.edf"
+    path.write_bytes(raw[:-100])
+    with pytest.raises(OSError):
+        NativeEdfFile(path)
+
+
+def test_async_loader_big_endian_edf(tmp_path):
+    """HighByteFirst EDF payloads must come out of the prefetcher already
+    byteswapped to native LE (values, not raw container bytes)."""
+    arr = (np.arange(24, dtype=np.uint16) * 513 + 7).reshape(4, 6)
+    p_be = tmp_path / "be.edf"
+    p_be.write_bytes(_make_edf_bytes([arr], big_endian=True))
+    p_le = tmp_path / "le.edf"
+    p_le.write_bytes(_make_edf_bytes([arr]))
+    frames = list(AsyncStackLoader([str(p_be), str(p_le)], n_threads=1, window=2))
+    np.testing.assert_array_equal(frames[0], arr)
+    np.testing.assert_array_equal(frames[1], arr)
+
+
 def _make_tiff_bytes(arr: np.ndarray, *, big_endian=False, n_strips=1,
                      compression=1) -> bytes:
     """Handcraft a baseline grayscale TIFF (one page) for codec tests."""
