@@ -82,6 +82,95 @@ def test_speckle_stack_sharded_matches_single(stack):
             )
 
 
+@pytest.fixture(scope="module")
+def stack_256():
+    """Large-enough frames that grain/bandwidth AND 3x3 tiling all engage
+    (the tiling policy needs >=128 px per tile => >=384 px per side)."""
+    rng = np.random.default_rng(62)
+    base = make_speckle(rng, shape=(384, 384), grain_px=7.0)
+    shifts = [(0.3 * t * np.cos(0.6 * t), 0.3 * t * np.sin(0.6 * t)) for t in range(11)]
+    return np.stack([_shifted_frame(base, dy, dx) for dy, dx in shifts])
+
+
+def _assert_stats_equal(sharded, single, *, skip=("autocorr",)):
+    for section in ("full", "tiles"):
+        if section not in single:
+            assert section not in sharded
+            continue
+        for g, fields in single[section].items():
+            for k, v in fields.items():
+                if k in skip:
+                    continue
+                got = sharded[section][g][k]
+                if isinstance(v, dict):  # tile {"mean","std"} blocks
+                    for kk in v:
+                        np.testing.assert_allclose(
+                            np.asarray(got[kk]), np.asarray(v[kk]),
+                            rtol=1e-10, atol=1e-10,
+                            err_msg=f"{section}/{g}/{k}/{kk}",
+                        )
+                else:
+                    np.testing.assert_allclose(
+                        np.asarray(got), np.asarray(v), rtol=1e-10, atol=1e-10,
+                        err_msg=f"{section}/{g}/{k}",
+                    )
+
+
+def test_speckle_stack_all_metrics_tiles_sharded(stack_256):
+    """The FFT-heavy groups (grain, bandwidth) and the tile executor under
+    the mesh, with T=11 NOT a multiple of the 8-device mesh (tail-padded
+    chunks) — must match single-device bit-for-bit on metrics."""
+    mesh = frame_mesh()
+    kwargs = dict(metrics="all", tiles=True, verbose=False, frame_chunk=4)
+    single = speckle_stack_stats(stack_256, **kwargs)
+    sharded = speckle_stack_stats(stack_256, mesh=mesh, **kwargs)
+
+    assert "tiles" in single and "tiles" in sharded
+    _assert_stats_equal(sharded, single)
+    for blk in ("abs", "inc"):
+        for k in ("dx", "dy", "r"):
+            np.testing.assert_allclose(
+                sharded["temporal"][blk][k], single["temporal"][blk][k],
+                rtol=1e-5, atol=1e-5, err_msg=f"{blk}/{k}",
+            )
+    # lazy per-frame autocorr maps: same values through either path
+    np.testing.assert_allclose(
+        np.asarray(sharded["full"]["grain"]["autocorr"][3]),
+        np.asarray(single["full"]["grain"]["autocorr"][3]),
+        rtol=1e-10, atol=1e-10,
+    )
+    assert sharded["full"]["grain"]["autocorr"].shape == (11, 384, 384)
+
+
+def test_sharpness_stack_sharded_odd_T(stack_256):
+    mesh = frame_mesh()
+    kwargs = dict(metrics="all", tiles=True, verbose=False, frame_chunk=4)
+    single = sharpness_stack_stats(stack_256, **kwargs)
+    sharded = sharpness_stack_stats(stack_256, mesh=mesh, **kwargs)
+    _assert_stats_equal(sharded, single)
+
+
+def test_speckle_checkpoint_resume_under_mesh(stack_256, tmp_path):
+    """A second run against a populated ChunkStore must reproduce the fresh
+    sharded run exactly (chunk reload path + host re-derived prev tail)."""
+    mesh = frame_mesh()
+    kwargs = dict(
+        metrics="amplitude,grain,stats", tiles=False, verbose=False,
+        frame_chunk=4, mesh=mesh,
+    )
+    ckdir = tmp_path / "ck"
+    fresh = speckle_stack_stats(stack_256, checkpoint_dir=ckdir, **kwargs)
+    assert any(ckdir.rglob("*")), "checkpoint dir should be populated"
+    resumed = speckle_stack_stats(stack_256, checkpoint_dir=ckdir, **kwargs)
+    _assert_stats_equal(resumed, fresh)
+    for blk in ("abs", "inc"):
+        for k in ("dx", "dy"):
+            np.testing.assert_allclose(
+                resumed["temporal"][blk][k], fresh["temporal"][blk][k],
+                rtol=1e-6, atol=1e-6, err_msg=f"{blk}/{k}",
+            )
+
+
 def test_sharded_tracking_recovers_shifts(stack):
     mesh = frame_mesh()
     out = speckle_stack_stats(
