@@ -238,9 +238,14 @@ def deconvolve_psf(
     ``reg``/``user_params``/``is_real`` and ``parallel``/``n_jobs`` are
     accepted for API parity (the regularizer is the standard Laplacian; stack
     frames batch on-device).
+
+    Residence follows the input: NumPy in -> NumPy out (reference
+    contract), device array in -> device array out, so flat-field ->
+    deconvolve -> metrics chains stay on-chip end to end.
     """
-    if not isinstance(images, np.ndarray):
-        raise TypeError("deconvolve_psf expects a numpy.ndarray")
+    device_in = isinstance(images, jax.Array)
+    if not device_in and not isinstance(images, np.ndarray):
+        raise TypeError("deconvolve_psf expects a numpy.ndarray or jax.Array")
     if images.ndim not in {2, 3}:
         raise ValueError(
             f"images must be 2D (H, W) or 3D (T, H, W); got ndim={images.ndim}"
@@ -259,10 +264,13 @@ def deconvolve_psf(
         balance = 0.01
 
     t0 = now()
-    img = np.asarray(images, dtype=np.float32)
+    if device_in:
+        img = images.astype(jnp.float32)
+    else:
+        img = np.asarray(images, dtype=np.float32)
     is_stack = img.ndim == 3
     frames = img if is_stack else img[None]
-    T = frames.shape[0]
+    T = int(frames.shape[0])
 
     program = _deconv_program(
         tuple(int(s) for s in frames.shape[1:]),
@@ -280,8 +288,12 @@ def deconvolve_psf(
     B = max(1, int(frame_chunk))
     for c0 in range(0, T, B):
         chunk = frames[c0 : c0 + B]
-        chunks.append(np.asarray(program(jnp.asarray(chunk), bal, feps)))
-    out = np.concatenate(chunks, axis=0).astype(np.float32, copy=False)
+        done = program(chunk if device_in else jnp.asarray(chunk), bal, feps)
+        chunks.append(done if device_in else np.asarray(done))
+    if device_in:
+        out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
+    else:
+        out = np.concatenate(chunks, axis=0).astype(np.float32, copy=False)
 
     if not is_stack:
         out = out[0]

@@ -66,14 +66,18 @@ def flat_field_correction(
     bad_pixel_removal: bool = False,
     eps: float | None = None,
     verbose: bool = False,
-    as_numpy: bool = True,
+    as_numpy: bool | None = None,
 ) -> np.ndarray:
     """Apply flat-field correction to a 2D image or (N, H, W) stack.
 
     Returns float32 with the input's shape. Degenerate paths match the
     reference: no flats/darks -> copy; dark-only -> subtraction; flat-only ->
-    zero dark. ``as_numpy=False`` returns the device array instead — chain it
-    straight into the metric aggregators with no host round-trip.
+    zero dark.
+
+    ``as_numpy=None`` (default) keeps the result where the input lives:
+    NumPy in -> NumPy out (reference contract), device array in -> device
+    array out, so preprocessing chains into the metric aggregators with no
+    host round-trip. Pass True/False to force either residence.
     """
     t0 = now()
 
@@ -82,7 +86,13 @@ def flat_field_correction(
     if images.ndim not in {2, 3}:
         raise ValueError("images must be 2D or 3D")
 
-    img = np.asarray(images, dtype=np.float32)
+    device_in = isinstance(images, jax.Array)
+    if as_numpy is None:
+        as_numpy = not device_in
+    if device_in:
+        img = images.astype(jnp.float32)
+    else:
+        img = np.asarray(images, dtype=np.float32)
 
     def _reduce_stack(arr):
         if arr is None:
@@ -96,8 +106,15 @@ def flat_field_correction(
     flat2d = _reduce_stack(flats)
     dark2d = _reduce_stack(darks)
 
+    def _deliver(arr):
+        if as_numpy:
+            return np.asarray(arr, dtype=np.float32)
+        return arr if isinstance(arr, jax.Array) else jnp.asarray(arr)
+
     if flat2d is None and dark2d is None:
-        return img.copy()
+        if verbose:
+            elapsed_time(t0)
+        return _deliver(img.copy())
 
     if dark2d is None:
         dark2d = np.zeros_like(flat2d)
@@ -106,10 +123,10 @@ def flat_field_correction(
         out = img - (dark2d if img.ndim == 2 else dark2d[None, ...])
         if verbose:
             elapsed_time(t0)
-        return out.astype(np.float32, copy=False)
+        return _deliver(out.astype(np.float32))
 
     out = _ffc_device(
-        jnp.asarray(img),
+        img if device_in else jnp.asarray(img),
         jnp.asarray(flat2d),
         jnp.asarray(dark2d),
         jnp.float32(0.0 if eps is None else eps),

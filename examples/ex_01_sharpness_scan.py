@@ -7,6 +7,7 @@ the Tenengrad series; optionally writes diagnostic plots.
 
 Run: python examples/ex_01_sharpness_scan.py [out_dir]
 """
+import os
 import sys
 from pathlib import Path
 
@@ -16,6 +17,9 @@ import numpy as np
 from scipy.ndimage import gaussian_filter
 
 import barc4dip_tpu as dip
+
+# CI/smoke-test knob: shrink the workload so every example runs in seconds
+FAST = bool(os.environ.get("BARC4DIP_EX_FAST"))
 
 
 def make_focus_stack(n=11, side=512, grain_px=4.0):
@@ -30,7 +34,9 @@ def make_focus_stack(n=11, side=512, grain_px=4.0):
 
 
 def main(out_dir=None):
-    stack, sigmas = make_focus_stack()
+    stack, sigmas = (
+        make_focus_stack(n=5, side=256) if FAST else make_focus_stack()
+    )
     out = dip.sharpness_stack_stats(
         stack, metrics="gradient,laplacian,spectral", tiles=False, verbose=False
     )

@@ -4,6 +4,7 @@
 
 Run: python examples/ex_03_fourier_analysis.py [out_dir]
 """
+import os
 import sys
 from pathlib import Path
 
@@ -13,10 +14,13 @@ import numpy as np
 
 import barc4dip_tpu as dip
 
+# CI/smoke-test knob: shrink the workload so every example runs in seconds
+FAST = bool(os.environ.get("BARC4DIP_EX_FAST"))
+
 
 def main(out_dir=None):
     rng = np.random.default_rng(2)
-    side, pixel_um = 1024, 0.65
+    side, pixel_um = (256 if FAST else 1024), 0.65
     a = rng.normal(size=(side, side)) + 1j * rng.normal(size=(side, side))
     f = np.fft.fftfreq(side)
     H = np.exp(-(f[None, :] ** 2 + f[:, None] ** 2) / (2 * (1 / (2 * np.pi * 8 / 2.355)) ** 2))

@@ -4,6 +4,7 @@ a known spiral motion (reference ex_04 workflow), optionally multi-chip.
 
 Run: python examples/ex_04_stack_tracking.py [out_dir]
 """
+import os
 import sys
 from pathlib import Path
 
@@ -12,6 +13,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 import barc4dip_tpu as dip
+
+# CI/smoke-test knob: shrink the workload so every example runs in seconds
+FAST = bool(os.environ.get("BARC4DIP_EX_FAST"))
 
 
 def make_moving_stack(T=40, side=512, grain_px=6.0):
@@ -34,7 +38,9 @@ def make_moving_stack(T=40, side=512, grain_px=6.0):
 
 
 def main(out_dir=None):
-    stack, dys, dxs = make_moving_stack()
+    stack, dys, dxs = (
+        make_moving_stack(T=8, side=256) if FAST else make_moving_stack()
+    )
 
     # multi-chip when available: shard frames across the device mesh
     import jax

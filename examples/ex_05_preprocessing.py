@@ -5,6 +5,7 @@ reference declares it but ships an empty stub).
 
 Run: python examples/ex_05_preprocessing.py [out_dir]
 """
+import os
 import sys
 from pathlib import Path
 
@@ -14,13 +15,16 @@ import numpy as np
 from scipy.ndimage import gaussian_filter
 
 import barc4dip_tpu as dip
+
+# CI/smoke-test knob: shrink the workload so every example runs in seconds
+FAST = bool(os.environ.get("BARC4DIP_EX_FAST"))
 from barc4dip_tpu.preprocessing.distortion import correct_distortion
 from barc4dip_tpu.preprocessing.enhancement import clahe
 
 
 def main(out_dir=None):
     rng = np.random.default_rng(4)
-    side = 512
+    side = 256 if FAST else 512
     a = rng.normal(size=(side, side)) + 1j * rng.normal(size=(side, side))
     f = np.fft.fftfreq(side)
     H = np.exp(-(f[None, :] ** 2 + f[:, None] ** 2) / (2 * (1 / (2 * np.pi * 4 / 2.355)) ** 2))

@@ -1,0 +1,52 @@
+# SPDX-License-Identifier: CECILL-2.1
+"""Every shipped example must run headless end-to-end (FAST sizes).
+
+Executes each ``examples/ex_*.py`` in-process (so the conftest's fake
+8-device CPU mesh applies — ex_04 takes its sharded path) with
+BARC4DIP_EX_FAST=1 shrinking the workloads to smoke-test scale, and with an
+output directory so the plotting branches execute too.
+"""
+import runpy
+import sys
+from pathlib import Path
+
+import matplotlib
+import pytest
+
+matplotlib.use("Agg")
+
+EXAMPLES = sorted((Path(__file__).resolve().parents[1] / "examples").glob("ex_*.py"))
+
+
+@pytest.mark.parametrize("path", EXAMPLES, ids=lambda p: p.stem)
+def test_example_runs_headless(path, tmp_path, monkeypatch, capsys):
+    monkeypatch.setenv("BARC4DIP_EX_FAST", "1")
+    monkeypatch.setattr(sys, "argv", [str(path), str(tmp_path)])
+    try:
+        runpy.run_path(str(path), run_name="__main__")
+    except SystemExit as exc:  # scripts may exit with their return code
+        assert not exc.code, f"{path.name} exited with {exc.code}"
+    out = capsys.readouterr().out
+    assert out.strip(), f"{path.name} produced no output"
+
+
+def test_ex00_dataset_is_consumable(tmp_path, monkeypatch, capsys):
+    """The generated dataset round-trips through the readers and the CLI."""
+    monkeypatch.setenv("BARC4DIP_EX_FAST", "1")
+    monkeypatch.setattr(sys, "argv", ["ex_00", str(tmp_path)])
+    runpy.run_path(str(EXAMPLES[0]), run_name="__main__")
+    assert EXAMPLES[0].stem == "ex_00_generate_dataset"
+
+    import barc4dip_tpu as dip
+
+    stack = dip.read_image(str(tmp_path / "speckle_stack.h5"))
+    assert stack.ndim == 3 and stack.shape[0] == 4
+
+    from barc4dip_tpu.report.cli import main as cli_main
+
+    rc = cli_main([
+        "-s", str(tmp_path / "speckle_stack.h5"), "-n", "0",
+        "-f", str(tmp_path / "flat.tif"), "-d", str(tmp_path / "dark.tif"),
+    ])
+    assert rc == 0
+    assert "# Speckle summary" in capsys.readouterr().out

@@ -118,6 +118,53 @@ def test_deconvolution_stack_and_anisotropic():
     np.testing.assert_allclose(out[0], out[1], rtol=1e-6)
 
 
+def test_flat_field_residence_follows_input(rng):
+    """NumPy in -> NumPy out; device in -> device out (same values), so
+    preprocessing chains on-chip without explicit as_numpy plumbing."""
+    import jax
+    import jax.numpy as jnp
+
+    img = rng.normal(1000.0, 30.0, size=(48, 48)).astype(np.float32)
+    flat = rng.normal(2000.0, 40.0, size=(48, 48)).astype(np.float32)
+
+    host = flat_field_correction(img, flats=flat)
+    assert isinstance(host, np.ndarray) and not isinstance(host, jax.Array)
+
+    dev = flat_field_correction(jnp.asarray(img), flats=flat)
+    assert isinstance(dev, jax.Array)
+    np.testing.assert_allclose(np.asarray(dev), host, rtol=1e-6, atol=1e-6)
+
+    # explicit overrides still win
+    assert isinstance(
+        flat_field_correction(jnp.asarray(img), flats=flat, as_numpy=True),
+        np.ndarray,
+    )
+    assert isinstance(flat_field_correction(img, flats=flat, as_numpy=False), jax.Array)
+    # degenerate paths follow the same rule
+    assert isinstance(flat_field_correction(jnp.asarray(img)), jax.Array)
+    assert isinstance(flat_field_correction(img), np.ndarray)
+
+
+def test_deconvolve_residence_follows_input(rng):
+    import jax
+    import jax.numpy as jnp
+
+    img = gaussian_filter(
+        rng.normal(1000.0, 200.0, size=(64, 64)).astype(np.float32), 1.2
+    )
+    host = deconvolve_psf(img, sigma=1.2, method="wiener")
+    dev = deconvolve_psf(jnp.asarray(img), sigma=1.2, method="wiener")
+    assert isinstance(host, np.ndarray) and isinstance(dev, jax.Array)
+    np.testing.assert_allclose(np.asarray(dev), host, rtol=1e-5, atol=1e-5)
+
+    stack = np.stack([img, img * 1.1, img * 0.9]).astype(np.float32)
+    dev_stack = deconvolve_psf(jnp.asarray(stack), sigma=1.2, method="wiener",
+                               frame_chunk=2)
+    host_stack = deconvolve_psf(stack, sigma=1.2, method="wiener", frame_chunk=2)
+    assert isinstance(dev_stack, jax.Array)
+    np.testing.assert_allclose(np.asarray(dev_stack), host_stack, rtol=1e-5, atol=1e-5)
+
+
 def test_deconvolution_validation():
     img = np.ones((32, 32), np.float32)
     with pytest.raises(ValueError):

@@ -115,3 +115,16 @@ class TestPullCentrosymmetric:
 
         with pytest.raises(ValueError):
             mirror_centrosymmetric(np.zeros((5, 16)), 16)
+
+    def test_quantized_pull_error_bound(self):
+        from barc4dip_tpu.signal import autocorr2d, pull_centrosymmetric
+
+        rng = np.random.default_rng(7)
+        img = rng.normal(size=(96, 96))
+        ac, _, _ = autocorr2d(img)  # peak-normalised: values in [-1, 1]
+        exact = pull_centrosymmetric(ac)
+        coded = pull_centrosymmetric(ac, quantize="u16")
+        span = exact.max() - exact.min()
+        assert np.abs(coded - exact).max() <= span / 65535.0
+        with pytest.raises(ValueError):
+            pull_centrosymmetric(ac, quantize="u8")
