@@ -271,7 +271,7 @@ def read_edf(
 
     def _read_one(p: str) -> np.ndarray:
         if not isinstance(p, str):
-            raise TypeError("All elements of image_path must be strings")
+            raise TypeError("image_path entries must all be path strings")
         fp = Path(p)
         if not fp.exists():
             raise FileNotFoundError(f"EDF file not found: '{p}'")
@@ -290,7 +290,7 @@ def read_edf(
 
     if isinstance(image_path, Sequence):
         if len(image_path) == 0:
-            raise ValueError("image_path sequence is empty")
+            raise ValueError("got an empty image_path sequence")
 
         frames: list[np.ndarray] = []
         ref_shape: tuple[int, ...] | None = None
@@ -310,7 +310,7 @@ def read_edf(
             frames.append(arr)
         return np.stack(frames, axis=0)
 
-    raise TypeError("image_path must be a str or a sequence of str")
+    raise TypeError("image_path should be one path string or a sequence of them")
 
 
 # numpy dtype kind/size -> EDF DataType name (writer side)
@@ -337,7 +337,7 @@ def save_edf(data: np.ndarray, output_path: str | Path) -> None:
     followed by raw little-endian data. Frames keep the array's dtype.
     """
     if not isinstance(data, np.ndarray):
-        raise TypeError("data must be a numpy.ndarray")
+        raise TypeError("expected a numpy.ndarray to write")
     if data.ndim == 2:
         frames = data[None]
     elif data.ndim == 3:
@@ -352,7 +352,7 @@ def save_edf(data: np.ndarray, output_path: str | Path) -> None:
 
     out = Path(output_path)
     if not out.parent.is_dir():
-        raise OSError(f"Invalid path: directory does not exist: {out.parent}")
+        raise OSError(f"cannot write here - parent directory does not exist: {out.parent}")
 
     chunks: list[bytes] = []
     for i, arr in enumerate(frames):

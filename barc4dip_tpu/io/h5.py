@@ -27,15 +27,15 @@ def read_h5(image_path: str | Sequence[str], *, image_number: int | None = None)
 
     def _read_one(p: str, *, image_number: int | None = None) -> np.ndarray:
         if not isinstance(p, str):
-            raise TypeError("All elements of image_path must be strings")
+            raise TypeError("image_path entries must all be path strings")
         fp = Path(p)
         if not fp.exists():
-            raise FileNotFoundError(f"HDF5 file not found: '{p}'")
+            raise FileNotFoundError(f"no such HDF5 file: '{p}'")
 
         try:
             with h5py.File(fp, "r") as f:
                 if DATASET_PATH not in f:
-                    raise KeyError(f"Dataset not found: '{DATASET_PATH}' in '{p}'")
+                    raise KeyError(f"missing dataset: '{DATASET_PATH}' in '{p}'")
                 dset = f[DATASET_PATH]
                 if image_number is None:
                     arr = dset[()]
@@ -56,7 +56,7 @@ def read_h5(image_path: str | Sequence[str], *, image_number: int | None = None)
                         )
                     arr = dset[idx, :, :]
         except OSError as e:
-            raise OSError(f"Failed to read HDF5 file: '{p}'") from e
+            raise OSError(f"could not read HDF5 file '{p}'") from e
 
         arr = np.asarray(arr)
         if arr.ndim not in (2, 3):
@@ -69,11 +69,11 @@ def read_h5(image_path: str | Sequence[str], *, image_number: int | None = None)
         return _read_one(image_path, image_number=image_number)
 
     if image_number is not None:
-        raise ValueError("image_number is only supported when image_path is a single file (str)")
+        raise ValueError("image_number applies only to a single-file image_path")
 
     if isinstance(image_path, Sequence):
         if len(image_path) == 0:
-            raise ValueError("image_path sequence is empty")
+            raise ValueError("got an empty image_path sequence")
 
         arrays = [_read_one(p) for p in image_path]
         ndims = {a.ndim for a in arrays}
@@ -98,31 +98,31 @@ def read_h5(image_path: str | Sequence[str], *, image_number: int | None = None)
                     )
             return np.concatenate(arrays, axis=0)
 
-        raise ValueError(f"Mixed dataset dimensionality across files: ndims={sorted(ndims)}")
+        raise ValueError(f"files disagree on dataset dimensionality: ndims={sorted(ndims)}")
 
-    raise TypeError("image_path must be a str or a sequence of str")
+    raise TypeError("image_path should be one path string or a sequence of them")
 
 
 def save_h5(data: np.ndarray, output_path: str | Path) -> None:
     """Save a 2D image or 3D stack to one HDF5 file (NX attrs, gzip-4,
     chunked). Refuses to overwrite an existing file."""
     if not isinstance(data, np.ndarray):
-        raise TypeError("data must be a numpy.ndarray")
+        raise TypeError("expected a numpy.ndarray to write")
     if data.ndim not in (2, 3):
         raise ValueError(f"data must be 2D or 3D, got ndim={data.ndim}")
 
     out = Path(output_path)
     if out.name == "":
-        raise ValueError("output_path must include a filename")
+        raise ValueError("output_path needs a file name component")
     if not out.parent.exists():
-        raise OSError(f"Invalid path: directory does not exist: {out.parent}")
+        raise OSError(f"cannot write here - parent directory does not exist: {out.parent}")
     if not out.parent.is_dir():
-        raise OSError(f"Invalid path: not a directory: {out.parent}")
+        raise OSError(f"cannot write here - parent path is not a directory: {out.parent}")
 
     if out.suffix.lower() not in {".h5", ".hdf5"}:
         out = out.with_suffix(".h5")
     if out.exists():
-        raise OSError(f"Refusing to overwrite existing file: {out}")
+        raise OSError(f"refusing to overwrite - file already exists: {out}")
 
     try:
         with h5py.File(out, "x") as f:
@@ -138,4 +138,4 @@ def save_h5(data: np.ndarray, output_path: str | Path) -> None:
                 chunks=True,
             )
     except OSError as e:
-        raise OSError(f"Failed to write HDF5 file: {out}") from e
+        raise OSError(f"could not write HDF5 file {out}") from e

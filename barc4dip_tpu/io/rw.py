@@ -58,7 +58,7 @@ def _infer_extension_from_paths(paths: Sequence[str]) -> str:
     exts = [_infer_extension_from_path(p) for p in paths]
     first = exts[0]
     if any(e != first for e in exts):
-        raise ValueError(f"Mixed file extensions in image_path sequence: {sorted(set(exts))}")
+        raise ValueError(f"image_path mixes file extensions: {sorted(set(exts))}")
     return first
 
 
@@ -84,29 +84,29 @@ def read_image(
         )
     elif isinstance(image_path, Sequence):
         if len(image_path) == 0:
-            raise ValueError("image_path sequence is empty")
+            raise ValueError("got an empty image_path sequence")
         ext = (
             _normalize_extension(file_extension)
             if file_extension
             else _infer_extension_from_paths(image_path)
         )
     else:
-        raise TypeError("image_path must be a str or a sequence of str")
+        raise TypeError("image_path should be one path string or a sequence of them")
 
     if not isinstance(image_path, str) and image_number is not None:
-        raise ValueError("image_number is only supported when image_path is a single file (str)")
+        raise ValueError("image_number applies only to a single-file image_path")
 
     kind = _READ_EXTS.get(ext)
     if kind is None:
-        raise ValueError(f"Unsupported read extension: '{ext}'")
+        raise ValueError(f"Unsupported input extension: '{ext}'")
 
     if kind == "tiff":
         if image_number is not None:
-            raise ValueError("image_number is only supported for HDF5 stacks (single-file .h5/.hdf5).")
+            raise ValueError("image_number applies only to single-file HDF5 stacks (.h5/.hdf5).")
         data = read_tiff(image_path)
     elif kind == "edf":
         if image_number is not None:
-            raise ValueError("image_number is only supported for HDF5 stacks (single-file .h5/.hdf5).")
+            raise ValueError("image_number applies only to single-file HDF5 stacks (.h5/.hdf5).")
         data = read_edf(image_path)
     elif kind == "h5":
         data = read_h5(image_path, image_number=image_number)
@@ -140,7 +140,7 @@ def write_image(
 ) -> None:
     """Write an image or stack to disk (TIFF / HDF5 by extension)."""
     if not isinstance(data, np.ndarray):
-        raise TypeError("data must be a numpy.ndarray")
+        raise TypeError("expected a numpy.ndarray to write")
 
     out = Path(output_path)
     ext = (
@@ -151,7 +151,7 @@ def write_image(
     kind = _WRITE_EXTS.get(ext)
 
     if kind is None:
-        raise ValueError(f"Unsupported write extension: '{ext}'")
+        raise ValueError(f"Unsupported output extension: '{ext}'")
     if kind == "edf":
         raise ValueError("Writing EDF is not supported (legacy read-only format).")
 

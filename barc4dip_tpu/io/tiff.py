@@ -46,13 +46,13 @@ def read_tiff(image_path: str | Sequence[str]) -> np.ndarray:
 
     if isinstance(image_path, Sequence):
         if len(image_path) == 0:
-            raise ValueError("image_path sequence is empty")
+            raise ValueError("got an empty image_path sequence")
 
         frames: list[np.ndarray] = []
         ref_shape: tuple[int, ...] | None = None
         for path in image_path:
             if not isinstance(path, str):
-                raise TypeError("All elements of image_path must be strings")
+                raise TypeError("image_path entries must all be path strings")
             arr = _read_one(path)
             if ref_shape is None:
                 ref_shape = arr.shape
@@ -64,7 +64,7 @@ def read_tiff(image_path: str | Sequence[str]) -> np.ndarray:
             frames.append(arr)
         return np.stack(frames, axis=0)
 
-    raise TypeError("image_path must be a str or a sequence of str")
+    raise TypeError("image_path should be one path string or a sequence of them")
 
 
 def save_tiff(data: np.ndarray, output_path: str | Path) -> None:
@@ -73,17 +73,17 @@ def save_tiff(data: np.ndarray, output_path: str | Path) -> None:
     Data is converted to uint16 via :func:`barc4dip_tpu.utils.to_uint16`.
     """
     if not isinstance(data, np.ndarray):
-        raise TypeError("data must be a numpy.ndarray")
+        raise TypeError("expected a numpy.ndarray to write")
     if data.ndim not in (2, 3):
         raise ValueError(f"data must be 2D or 3D, got ndim={data.ndim}")
 
     out = Path(output_path)
     if out.name == "":
-        raise ValueError("output_path must include a filename")
+        raise ValueError("output_path needs a file name component")
     if not out.parent.exists():
-        raise OSError(f"Invalid path: directory does not exist: {out.parent}")
+        raise OSError(f"cannot write here - parent directory does not exist: {out.parent}")
     if not out.parent.is_dir():
-        raise OSError(f"Invalid path: not a directory: {out.parent}")
+        raise OSError(f"cannot write here - parent path is not a directory: {out.parent}")
 
     suffix = out.suffix.lower()
     if suffix not in {".tif", ".tiff"}:
@@ -95,7 +95,7 @@ def save_tiff(data: np.ndarray, output_path: str | Path) -> None:
         try:
             Image.fromarray(img_u16).save(out.with_suffix(suffix))
         except OSError as e:
-            raise OSError(f"Failed to write TIFF file: {out}") from e
+            raise OSError(f"could not write TIFF file {out}") from e
         return
 
     base = out.with_suffix("")
@@ -104,4 +104,4 @@ def save_tiff(data: np.ndarray, output_path: str | Path) -> None:
         try:
             Image.fromarray(img_u16[i]).save(frame_path)
         except OSError as e:
-            raise OSError(f"Failed to write TIFF file: {frame_path}") from e
+            raise OSError(f"could not write TIFF file {frame_path}") from e
