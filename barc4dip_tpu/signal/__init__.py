@@ -12,6 +12,7 @@ from .fft import (
     psd1d,
     psd2d,
 )
+from .summary import spectral_summary
 from .tracking import phase_correlation, template_matching, track_translation
 
 __all__ = [
@@ -31,4 +32,5 @@ __all__ = [
     "template_matching",
     "phase_correlation",
     "pull_centrosymmetric",
+    "spectral_summary",
 ]

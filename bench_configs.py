@@ -88,6 +88,13 @@ def bench_tpu(field2d, stack):
 
     out["C_device_resident_2k"] = _timeit(config_c_device)
 
+    def config_c_fused():
+        # the same quick-look as ONE executable from ONE upload
+        # (signal.spectral_summary); maps stay device-resident
+        dip.signal.spectral_summary(field2d)
+
+    out["C_fused_summary_2k"] = _timeit(config_c_fused)
+
     T = stack.shape[0]
     def config_d():
         dip.speckle_stack_stats(
@@ -218,6 +225,7 @@ def main() -> int:
             ("E_full_chained_2k", "E_preprocess_report_2k"),
             ("C_quantized_pull_2k", "C_fourier_radial_2k"),
             ("C_device_resident_2k", "C_fourier_radial_2k"),
+            ("C_fused_summary_2k", "C_fourier_radial_2k"),
         ):
             if tpu_key in results["tpu_seconds"] and cpu_key in results["cpu_seconds"]:
                 results["speedup"][tpu_key] = round(

@@ -116,6 +116,30 @@ class TestPullCentrosymmetric:
         with pytest.raises(ValueError):
             mirror_centrosymmetric(np.zeros((5, 16)), 16)
 
+    def test_spectral_summary_matches_separate_calls(self):
+        from barc4dip_tpu import maths
+        from barc4dip_tpu.signal import autocorr2d, psd2d, spectral_summary
+
+        rng = np.random.default_rng(11)
+        img = rng.normal(size=(96, 80)).astype(np.float32) + 2.0
+        s = spectral_summary(img, dx=0.5, dy=0.25)
+
+        P, fx, fy = psd2d(img, dx=0.5, dy=0.25)
+        ac, xlag, ylag = autocorr2d(img, dx=0.5, dy=0.25)
+        rb, r_b = maths.radial_mean_binned(np.asarray(ac))
+        ri, r_i = maths.radial_mean_interpolated(np.asarray(ac))
+
+        np.testing.assert_allclose(np.asarray(s["psd"]), np.asarray(P), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(s["autocorr"]), np.asarray(ac), rtol=1e-6, atol=1e-7)
+        np.testing.assert_array_equal(s["fx"], fx)
+        np.testing.assert_array_equal(s["fy"], fy)
+        np.testing.assert_array_equal(s["xlag"], xlag)
+        np.testing.assert_array_equal(s["ylag"], ylag)
+        np.testing.assert_allclose(s["radial_binned"], np.asarray(rb), rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(s["radial_interpolated"], np.asarray(ri), rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(s["r_binned"], np.asarray(r_b))
+        np.testing.assert_allclose(s["r_interpolated"], np.asarray(r_i))
+
     def test_quantized_pull_error_bound(self):
         from barc4dip_tpu.signal import autocorr2d, pull_centrosymmetric
 
