@@ -275,6 +275,22 @@ def read_edf(
         fp = Path(p)
         if not fp.exists():
             raise FileNotFoundError(f"EDF file not found: '{p}'")
+        # Beamlines sometimes hand .edf paths whose payload is really a
+        # TIFF container (MarCCD frames are TIFF with a vendor header; the
+        # reference's vendored parser sniffs and wraps these,
+        # uti_EdfFile.py:175-320). Dispatch by magic, not extension.
+        if not str(fp).endswith((".gz", ".bz2")):
+            with open(fp, "rb") as fh:
+                magic = fh.read(4)
+            if magic[:2] in (b"II", b"MM") and len(magic) == 4 and magic[2:4] in (
+                b"\x2a\x00", b"\x00\x2a",
+            ):
+                from .tiff import read_tiff
+
+                arr = np.asarray(read_tiff(str(fp)))
+                if arr.ndim == 3:  # multi-page: first frame, like GetData(0)
+                    arr = arr[index] if index < arr.shape[0] else arr[0]
+                return np.asarray(arr, dtype=dtype)
         if native and not str(fp).endswith((".gz", ".bz2")):
             from .native import read_edf_native
 

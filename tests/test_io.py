@@ -163,6 +163,17 @@ def test_edf_get_region(tmp_path):
         f.GetRegion(0, (0, 0), (0, 3))
 
 
+def test_edf_wrapped_tiff_container(tmp_path):
+    """A .edf path whose payload is actually a TIFF (MarCCD-style) must
+    dispatch by magic and decode, like the reference's wrapping parser."""
+    img = (np.arange(48, dtype=np.uint16) * 100).reshape(6, 8)
+    wrapped = tmp_path / "marccd_like.edf"
+    save_tiff(img, tmp_path / "tmp.tif")
+    wrapped.write_bytes((tmp_path / "tmp.tif").read_bytes())
+    out = read_edf(str(wrapped))
+    np.testing.assert_allclose(out, img)
+
+
 def test_tiff_roundtrip_2d(tmp_path):
     img = (np.random.default_rng(1).integers(0, 60000, size=(32, 40))).astype(np.uint16)
     out = tmp_path / "img.tif"
