@@ -352,12 +352,24 @@ def eigenvalues_core(img, *, k: int = 5, eps: float = 1e-30) -> dict:
     denom = float(M * N - 1)
 
     G = jnp.matmul(J, J.T, precision="highest")
-    ev = jnp.linalg.eigvalsh(G)  # ascending
-    ev = jnp.flip(ev, axis=-1) / denom
-    ev = jnp.maximum(ev, 0.0)
 
     n_eig = min(M, N)
     k_use = min(int(k), n_eig)
+    k_want = max(k_use, 2)  # e1/e2 ride along even when k < 2
+
+    if n_eig >= 1024 and k_want <= 32:
+        # Large frames: dense eigvalsh computes the full spectrum with QR
+        # sweeps the MXU hates (~200 ms at 2048^2); blocked subspace
+        # iteration gets the same top-k to ~1e-6 rel in ~27 ms (measured on
+        # hardware — see ops/eig.py). Small frames/tiles keep the exact
+        # dense path.
+        from ..ops.eig import topk_eigvalsh_subspace
+
+        ev = topk_eigvalsh_subspace(G, k_want) / denom
+    else:
+        ev = jnp.flip(jnp.linalg.eigvalsh(G), axis=-1)[:k_want] / denom
+    ev = jnp.maximum(ev, 0.0)
+
     val = jnp.sum(ev[:k_use])
     e1 = ev[0] if n_eig >= 1 else jnp.zeros((), img.dtype)
     e2 = ev[1] if n_eig >= 2 else jnp.zeros((), img.dtype)

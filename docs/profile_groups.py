@@ -18,12 +18,20 @@ import numpy as np
 from bench import make_stack
 
 
+def _force(out):
+    # block_until_ready is not enough on the hosted backend: pull one
+    # scalar leaf to force execution end-to-end
+    leaves = jax.tree_util.tree_leaves(out)
+    np.asarray(leaves[0]).ravel()[:1]
+    jax.block_until_ready(out)
+
+
 def timeit(fn, *args, n=3):
-    fn(*args)  # compile
+    _force(fn(*args))  # compile
     best = np.inf
     for _ in range(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _force(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best
 

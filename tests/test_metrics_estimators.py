@@ -122,6 +122,31 @@ def test_eigenvalues_rejects_zero_image():
         eigenvalues(np.zeros((32, 32)))
 
 
+def test_eigenvalues_subspace_matches_dense_above_gate():
+    """Frames >= 1024 take the subspace-iteration top-k path; it must agree
+    with a dense solve at ~1e-6 (the advertised bound, ops/eig.py)."""
+    import jax.numpy as jnp
+
+    from barc4dip_tpu.ops.eig import topk_eigvalsh_subspace
+
+    rng = np.random.default_rng(17)
+    base = make_speckle(rng, shape=(1100, 1100), grain_px=7.0)
+    x = jnp.asarray(base)
+    x = x / jnp.sqrt(jnp.sum(x * x))
+    J = x - jnp.mean(x)
+    G = jnp.matmul(J, J.T, precision="highest")
+
+    dense = np.flip(np.linalg.eigvalsh(np.asarray(G)))[:5]
+    sub = np.asarray(topk_eigvalsh_subspace(G, 5))
+    np.testing.assert_allclose(sub, dense, rtol=5e-6)
+
+    # the public estimator (which routes through the gate at this size)
+    got = eigenvalues(base)
+    denom = base.size - 1
+    assert got["eigenvalues"] == pytest.approx(float(dense.sum() / denom), rel=1e-5)
+    assert got["e1"] == pytest.approx(float(dense[0] / denom), rel=1e-5)
+
+
 def test_distribution_moments_public(field):
     from scipy.stats import describe
 
