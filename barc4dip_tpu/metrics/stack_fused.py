@@ -125,6 +125,14 @@ def _make_track_frame_fn(H, W, s, starts, subpixel, method):
 # tracking therefore run as TWO programs per chunk sharing the same
 # device-resident float chunk (floats cross executable boundaries reliably;
 # complex64 does not — templates are rebuilt in-program from frame0).
+#
+# Second instance of the same family (round 2): vmapping the tracker over
+# MORE THAN 4 frames of 2048^2 in one executable silently corrupts the
+# shift outputs (bench gate reads ~317 px; 4-frame chunks are repeatedly
+# clean, CPU any size is clean). The tracker therefore never sees more
+# than _TRACK_SUB frames per program — larger frame chunks run the metrics
+# program at full width and slice the same device chunk for tracking.
+_TRACK_SUB = 4
 
 
 @lru_cache(maxsize=64)
@@ -312,7 +320,26 @@ def run_fused_speckle_stack(
         perf["chunks"] += 1
         t_disp = _time.perf_counter()
         metrics_dev = metrics_prog(chunk_dev)
-        track_dev, tail = track_prog(chunk_dev, prev_tail, frame0_dev, eps_t)
+        # tracker width is capped at _TRACK_SUB frames per executable on
+        # single-device runs (see backend note); the mesh path keeps full
+        # width (fake-mesh CPU is clean at any width, and splitting would
+        # slice across shards)
+        track_sub = B if mesh is not None else min(B, _TRACK_SUB)
+        if track_sub >= B:
+            track_dev, tail = track_prog(chunk_dev, prev_tail, frame0_dev, eps_t)
+        else:
+            sub_outs = []
+            sub_tail = prev_tail
+            for s0 in range(0, B, track_sub):
+                sub_out, sub_tail = track_prog(
+                    chunk_dev[s0 : min(s0 + track_sub, B)],
+                    sub_tail, frame0_dev, eps_t,
+                )
+                sub_outs.append(sub_out)
+            track_dev = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *sub_outs
+            )
+            tail = sub_tail
         perf["dispatch_s"] += _time.perf_counter() - t_disp
         out_dev = {"metrics": metrics_dev, "track": track_dev}
         if pending is not None:

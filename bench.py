@@ -190,7 +190,10 @@ def main() -> int:
     T = int(os.environ.get("BENCH_T", 16))
     side = int(os.environ.get("BENCH_SIZE", 2048))
     cpu_T = int(os.environ.get("BENCH_CPU_T", 2))
-    frame_chunk = int(os.environ.get("BENCH_CHUNK", 4))
+    # 8-frame chunks amortise the ~55 ms/launch floor; the tracker runs in
+    # 4-frame sub-programs inside (metrics/stack_fused.py backend note —
+    # wider tracking executables miscompile on this backend)
+    frame_chunk = int(os.environ.get("BENCH_CHUNK", 8))
 
     stack = make_stack(T, side)
 
