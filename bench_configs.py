@@ -211,8 +211,22 @@ def main() -> int:
 
     results = {"frame": f"{SIDE}x{SIDE}", "dtype": "uint16"}
     results["tpu_seconds"] = bench_tpu(field2d, stack)
-    if not skip_cpu:
+    if skip_cpu:
+        # reuse the previous sweep's CPU baseline (the reference's CPU time
+        # does not change run to run the way the hosted TPU tunnel does)
+        prev = REPO / "BENCH_DETAILS.json"
+        if prev.exists():
+            try:
+                cached = json.loads(prev.read_text()).get("cpu_seconds")
+                if cached:
+                    results["cpu_seconds"] = cached
+                    results["cpu_baseline"] = "cached from previous sweep"
+                    skip_cpu = False  # compute speedups below
+            except Exception:
+                pass
+    if not skip_cpu and "cpu_seconds" not in results:
         results["cpu_seconds"] = bench_cpu(field2d, stack)
+    if "cpu_seconds" in results:
         results["speedup"] = {
             k: round(results["cpu_seconds"][k] / v, 2)
             for k, v in results["tpu_seconds"].items()
