@@ -94,6 +94,111 @@ def test_pull_centrosymmetric_fuzz(rng):
             )
 
 
+def test_radial_mean_binned_fuzz(rng):
+    """Annular binning matches the plain bincount formulation on random
+    rectangular/odd/even shapes, including NaN-free adversarial content."""
+    from barc4dip_tpu.maths import radial_mean_binned
+
+    for trial in range(10):
+        ny = int(rng.integers(8, 70))
+        nx = int(rng.integers(8, 70))
+        kind = trial % 3
+        if kind == 0:
+            z = rng.normal(size=(ny, nx))
+        elif kind == 1:
+            z = np.full((ny, nx), 3.25)
+        else:
+            z = np.zeros((ny, nx)); z[ny // 2, nx // 2] = 1.0
+
+        got, r = radial_mean_binned(z)
+
+        yy = np.arange(ny) - ny // 2
+        xx = np.arange(nx) - nx // 2
+        R = np.hypot(yy[:, None], xx[None, :])
+        r_max = min(np.max(np.abs(yy)), np.max(np.abs(xx)))
+        nb = int(np.floor(r_max / 1.0)) + 1
+        ids = np.floor(R / 1.0).astype(int)  # reference floor-bin convention
+        sel = ids < nb
+        sums = np.bincount(ids[sel], weights=z[sel], minlength=nb)
+        cnts = np.bincount(ids[sel], minlength=nb)
+        want = np.divide(sums, cnts, out=np.full(nb, np.nan), where=cnts > 0)
+        np.testing.assert_allclose(
+            np.asarray(got), want, rtol=1e-9, atol=1e-12, equal_nan=True,
+            err_msg=f"trial {trial} shape=({ny},{nx})",
+        )
+
+
+def test_distribution_moments_fuzz(rng):
+    """Moments agree with float64 NumPy/SciPy on adversarial inputs: NaN
+    padding, constants, extreme magnitudes, saturation."""
+    from scipy.stats import describe
+
+    from barc4dip_tpu.metrics import distribution_moments
+
+    for trial in range(10):
+        n = int(rng.integers(64, 400))
+        m = int(rng.integers(64, 400))
+        kind = trial % 5
+        x = rng.normal(size=(n, m)) * 10.0 ** float(rng.integers(-3, 5)) + 10.0
+        if kind == 1:
+            x[rng.random(size=x.shape) < 0.25] = np.nan
+        elif kind == 2:
+            x = np.full((n, m), 17.5)
+        elif kind == 3:
+            x = np.clip(np.abs(x) * 1e3, 0, 65535.0)  # saturated tail
+        elif kind == 4:
+            x = np.abs(x)
+            x[0, 0] = 0.0
+
+        got = distribution_moments(x, verbose=False)
+        flat = x[np.isfinite(x)].astype(np.float64)
+        assert got["mean"] == pytest.approx(flat.mean(), rel=1e-9)
+        assert got["std"] == pytest.approx(flat.std(ddof=0), rel=1e-9, abs=1e-12)
+        if flat.std() > 0:
+            d = describe(flat)
+            assert got["skewness"] == pytest.approx(d.skewness, rel=1e-6, abs=1e-9)
+            assert got["kurtosis"] == pytest.approx(d.kurtosis, rel=1e-6, abs=1e-9)
+        assert got["frac_sat"] == pytest.approx(float(np.mean(flat >= 65535.0)))
+
+
+def test_median_filter_fuzz(rng):
+    """3x3 rank median matches scipy (reflect mode) on random shapes."""
+    from scipy.ndimage import median_filter
+
+    from barc4dip_tpu.ops.rank import median_filter2d
+
+    for trial in range(8):
+        ny = int(rng.integers(5, 60))
+        nx = int(rng.integers(5, 60))
+        z = rng.normal(size=(ny, nx))
+        if trial % 3 == 1:
+            z = rng.integers(0, 7, size=(ny, nx)).astype(float)  # heavy ties
+        got = np.asarray(median_filter2d(jnp.asarray(z), size=3))
+        want = median_filter(z, size=3, mode="reflect")
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-12,
+                                   err_msg=f"trial {trial} ({ny},{nx})")
+
+
+def test_subpixel_taylor_quadratic_fuzz(rng):
+    """The 3x3 Taylor/Newton refinement recovers the analytic optimum of a
+    separable quadratic peak exactly (within float tolerance)."""
+    from barc4dip_tpu.ops import phasecorr as pc
+
+    for trial in range(12):
+        dy = float(rng.uniform(-0.45, 0.45))
+        dx = float(rng.uniform(-0.45, 0.45))
+        n = 15
+        yy = np.arange(n)[:, None] - n // 2
+        xx = np.arange(n)[None, :] - n // 2
+        corr = 1.0 - (yy - dy) ** 2 - (xx - dx) ** 2 + 0.1 * (yy - dy) * (xx - dx)
+        i, j = pc.argmax2d(jnp.asarray(corr))
+        di, dj = pc.subpixel_taylor(jnp.asarray(corr), i, j, convention="newton")
+        got_y = float(i) + float(di)
+        got_x = float(j) + float(dj)
+        assert got_y == pytest.approx(n // 2 + dy, abs=5e-6), trial
+        assert got_x == pytest.approx(n // 2 + dx, abs=5e-6), trial
+
+
 def test_ncc_affine_invariance_fuzz(rng):
     """NCC is invariant to affine rescaling of image and template (the
     property the reference's TM_CCOEFF_NORMED backend relies on)."""
