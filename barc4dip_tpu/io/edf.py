@@ -288,8 +288,14 @@ def read_edf(
                 from .tiff import read_tiff
 
                 arr = np.asarray(read_tiff(str(fp)))
-                if arr.ndim == 3:  # multi-page: first frame, like GetData(0)
-                    arr = arr[index] if index < arr.shape[0] else arr[0]
+                n_pages = arr.shape[0] if arr.ndim == 3 else 1
+                if index >= n_pages:  # same contract as EdfFile.GetData
+                    raise IndexError(
+                        f"Frame index {index} out of range "
+                        f"(wrapped TIFF '{p}' has {n_pages})."
+                    )
+                if arr.ndim == 3:
+                    arr = arr[index]
                 return np.asarray(arr, dtype=dtype)
         if native and not str(fp).endswith((".gz", ".bz2")):
             from .native import read_edf_native

@@ -334,13 +334,22 @@ def spectral_entropy_core(
     return {"spectral_entropy": Hn}
 
 
-def eigenvalues_core(img, *, k: int = 5, eps: float = 1e-30) -> dict:
+def eigenvalues_core(
+    img, *, k: int = 5, eps: float = 1e-30, eig_method: str = "auto"
+) -> dict:
     """(STA2) Sum of the top-k eigenvalues of the image covariance.
 
     TPU-native route: instead of LAPACK SVD (reference
     metrics/sharpness.py:839), form the (M, M) Gram matrix J J^T on the MXU
     and take eigvalsh — the eigenvalues are exactly the squared singular
     values, and symmetric eigendecomposition maps far better onto TPU.
+
+    ``eig_method``: "auto" (subspace iteration above 1024 px, exact dense
+    below — the default), "dense" (always exact), or "subspace" (always
+    iterative). Subspace iteration is ~1e-6 on decaying/speckle spectra but
+    degrades to ~1e-3 on perfectly flat (white-noise) spectra, where the
+    top eigenvalues carry no structure anyway; pass "dense" when ranking
+    near-identical noise-dominated frames matters more than speed.
     """
     x = img
     energy = jnp.sqrt(jnp.sum(x * x))
@@ -357,12 +366,18 @@ def eigenvalues_core(img, *, k: int = 5, eps: float = 1e-30) -> dict:
     k_use = min(int(k), n_eig)
     k_want = max(k_use, 2)  # e1/e2 ride along even when k < 2
 
-    if n_eig >= 1024 and k_want <= 32:
+    if eig_method not in ("auto", "dense", "subspace"):
+        raise ValueError("eig_method must be 'auto', 'dense' or 'subspace'.")
+    use_subspace = (
+        eig_method == "subspace"
+        or (eig_method == "auto" and n_eig >= 1024 and k_want <= 32)
+    )
+    if use_subspace:
         # Large frames: dense eigvalsh computes the full spectrum with QR
         # sweeps the MXU hates (~200 ms at 2048^2); blocked subspace
         # iteration gets the same top-k to ~1e-6 rel in ~27 ms (measured on
-        # hardware — see ops/eig.py). Small frames/tiles keep the exact
-        # dense path.
+        # hardware — see ops/eig.py, incl. the flat-spectrum caveat).
+        # Small frames/tiles keep the exact dense path.
         from ..ops.eig import topk_eigvalsh_subspace
 
         ev = topk_eigvalsh_subspace(G, k_want) / denom

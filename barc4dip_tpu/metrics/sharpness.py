@@ -292,12 +292,21 @@ def inverse_autocorr_width(
 
 
 @lru_cache(maxsize=32)
-def _eig_jit(k: int, eps: float):
-    return jax.jit(lambda x: eigenvalues_core(x, k=k, eps=eps))
+def _eig_jit(k: int, eps: float, eig_method: str = "auto"):
+    return jax.jit(lambda x: eigenvalues_core(x, k=k, eps=eps, eig_method=eig_method))
 
 
-def eigenvalues(image, *, k: int = 5, eps: float = 1e-30, verbose: bool = False) -> dict:
-    """(STA2) Sum of the top-k covariance eigenvalues (plus e1, e2, e1/e2)."""
+def eigenvalues(
+    image, *, k: int = 5, eps: float = 1e-30, eig_method: str = "auto",
+    verbose: bool = False,
+) -> dict:
+    """(STA2) Sum of the top-k covariance eigenvalues (plus e1, e2, e1/e2).
+
+    ``eig_method``: "auto" (default; MXU subspace iteration above 1024 px),
+    "dense" (always-exact eigvalsh) or "subspace" — see
+    :func:`barc4dip_tpu.ops.eig.topk_eigvalsh_subspace` for the accuracy
+    trade-off on flat (noise-only) spectra.
+    """
     data = np.asarray(image)
     if data.ndim != 2:
         raise ValueError(f"Expected 2D array, got ndim={data.ndim}")
@@ -312,7 +321,7 @@ def eigenvalues(image, *, k: int = 5, eps: float = 1e-30, verbose: bool = False)
     if not np.any(data != 0):
         raise ValueError("eigenvalues cannot normalize an all-zero image.")
 
-    out = _eig_jit(int(k), float(eps))(_device_float(data))
+    out = _eig_jit(int(k), float(eps), str(eig_method))(_device_float(data))
     res = {key: float(v) for key, v in out.items()}
     if verbose:
         logger.info(

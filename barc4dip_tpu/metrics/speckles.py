@@ -96,10 +96,11 @@ _GRAIN_MIN_PX = 128
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=128)
-def _speckle_program(
-    groups: tuple, mode: str, sat: float | None, eps: float, half_maps: bool = False
-):
-    fn = _speckle_device_fn(frozenset(groups), mode, sat, eps, True, half_maps)
+def _speckle_program(groups: tuple, mode: str, sat: float | None, eps: float):
+    # Maps never ride the scalar program: the grain autocorr leaf attaches
+    # as a lazy view that re-derives from the caller's image on first
+    # access, so no device buffer stays pinned to the stats dict.
+    fn = _speckle_device_fn(frozenset(groups), mode, sat, eps, False)
 
     def cast_fn(img):
         if img.dtype not in (jnp.float32, jnp.float64):
@@ -178,8 +179,13 @@ def _attach_lazy_grain_maps(
     from ..ops.symmetry import mirror_centrosymmetric
     from ..utils.lazy import LazyMapStack
 
+    from ..signal.common import lag_axis_from_step
+
     _, _, N = square_embed_slices((int(H), int(W)))
-    compute_dtype = np.float64 if stack.dtype == np.float64 else np.float32
+    # what the device program will actually emit (x64 may be disabled)
+    compute_dtype = np.dtype(
+        jnp.result_type(np.float64 if stack.dtype == np.float64 else np.float32)
+    )
     half = on_tpu()
     program = _grain_map_program(bool(flip), half)
 
@@ -188,7 +194,7 @@ def _attach_lazy_grain_maps(
         out = np.asarray(program(jnp.asarray(frame)))
         return mirror_centrosymmetric(out, N) if half else out
 
-    lag = ((np.arange(N) - N // 2) * 1.0).astype(compute_dtype)
+    lag = lag_axis_from_step(N, 1.0).astype(compute_dtype)
     grain_out["autocorr"] = LazyMapStack(T, (N, N), compute_dtype, fetch)
     grain_out["xlag"] = np.broadcast_to(lag, (T, N)).copy()
     grain_out["ylag"] = np.broadcast_to(lag, (T, N)).copy()
@@ -369,33 +375,16 @@ def speckle_stats(
     from ..config import on_tpu
     from ..ops.symmetry import mirror_centrosymmetric
 
-    half_maps = on_tpu()  # halve map transfers over the device link
     program = _speckle_program(
         tuple(sorted(groups)),
         mode,
         None if saturation_value is None else float(saturation_value),
         float(eps),
-        half_maps,
     )
     # upload in the image's own dtype (uint16 detector frames ship half the
     # bytes); the program casts on device
     dev_img = image if is_device else jnp.asarray(np.ascontiguousarray(image))
-    raw_dev = program(dev_img)
-
-    # Detach the (N, N) autocorr map before the host pull: scalars transfer
-    # now, the map stays device-resident behind a lazy leaf and only crosses
-    # the link if a consumer actually reads it (the report/CLI path never
-    # does — reference report/markdown.py formats scalars only).
-    map_dev = None
-    map_is_half = False
-    if "grain" in groups:
-        g_dev = raw_dev["full"]["grain"]
-        if "autocorr_half" in g_dev:
-            map_dev = g_dev.pop("autocorr_half")
-            map_is_half = True
-        elif "autocorr" in g_dev:
-            map_dev = g_dev.pop("autocorr")
-    raw = jax.device_get(raw_dev)
+    raw = jax.device_get(program(dev_img))
 
     if is_device:
         if "amplitude" in groups and not np.isfinite(
@@ -420,23 +409,34 @@ def speckle_stats(
     if "amplitude" in groups:
         out["full"]["amplitude"] = {k: float(v) for k, v in full["amplitude"].items()}
     if "grain" in groups:
+        from ..geometry.masks import square_embed_slices
+        from ..signal.common import lag_axis_from_step
         from ..utils.lazy import LazyMap
 
         g = full["grain"]
-        N = int(np.asarray(g["xlag"]).shape[-1])
+        _, _, N = square_embed_slices((int(h), int(w)))
 
-        def _pull_map(dev=map_dev, half=map_is_half, n=N):
-            arr = np.asarray(dev, dtype=float)
+        # Lazy map leaf that pins NOTHING on the device: first access
+        # re-derives the autocorrelation from the caller's (already
+        # display-flipped) image, pulling only the redundancy-free half.
+        def _fetch_map(img=image, half=on_tpu(), n=N):
+            prog = _grain_map_program(False, half)
+            arr = np.asarray(
+                prog(img if isinstance(img, jax.Array)
+                     else jnp.asarray(np.ascontiguousarray(img))),
+                dtype=np.float64,
+            )
             return mirror_centrosymmetric(arr, n) if half else arr
 
+        lag = lag_axis_from_step(N, 1.0)
         out["full"]["grain"] = {
             "lx": float(g["lx"]),
             "ly": float(g["ly"]),
             "leq": float(g["leq"]),
             "r": float(g["r"]),
-            "autocorr": LazyMap((N, N), np.float64, _pull_map),
-            "xlag": np.asarray(g["xlag"], dtype=float),
-            "ylag": np.asarray(g["ylag"], dtype=float),
+            "autocorr": LazyMap((N, N), np.float64, _fetch_map),
+            "xlag": lag,
+            "ylag": lag.copy(),
         }
     if "stats" in groups:
         out["full"]["stats"] = {k: float(v) for k, v in full["stats"].items()}

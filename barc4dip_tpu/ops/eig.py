@@ -11,8 +11,12 @@ re-orthonormalise, then Rayleigh-Ritz an (r, r) problem.
 
 Convergence: eigenvalue i's error decays like (lambda_{r+1}/lambda_i)^(2q).
 With the defaults (p=27, q=16) speckle-like covariance spectra agree with
-dense eigvalsh to float32 resolution; callers gate usage to large M where
-the dense path is the bottleneck and spectra decay.
+dense eigvalsh to float32 resolution (measured 2e-6 rel on a clustered
+2048^2 speckle Gram). The honest limit: a perfectly FLAT spectrum (pure
+white noise, lambda ratios ~1) defeats any power method — measured ~1e-3
+rel there. Flat-spectrum frames carry no sharpness structure, but callers
+ranking near-identical noise-dominated frames should request the exact
+dense path (``eig_method="dense"`` on the public estimators).
 """
 from __future__ import annotations
 

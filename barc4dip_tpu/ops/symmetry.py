@@ -66,16 +66,31 @@ def pull_centrosymmetric(device_map, *, quantize: str = "none") -> np.ndarray:
     if quantize not in ("none", "u16"):
         raise ValueError("quantize must be 'none' or 'u16'")
     N0 = int(device_map.shape[-2])
-    half_dev = device_map[..., : HALF_ROWS(N0), :]
     if quantize == "u16":
-        import jax.numpy as jnp
+        import jax
 
-        lo = jnp.min(half_dev)
-        hi = jnp.max(half_dev)
-        span = jnp.where(hi > lo, hi - lo, 1.0)
-        codes = jnp.round((half_dev - lo) * (65535.0 / span)).astype(jnp.uint16)
-        lo_h, span_h = float(np.asarray(lo)), float(np.asarray(span))
-        half = np.asarray(codes).astype(np.float32) * (span_h / 65535.0) + lo_h
+        codes, meta = _quantize_half_program(N0)(device_map)
+        # one device_get for both leaves — no extra link round trips
+        codes, meta = jax.device_get((codes, meta))
+        lo, span = (float(v) for v in meta)
+        half = codes.astype(np.float32) * (span / 65535.0) + lo
     else:
-        half = np.asarray(half_dev)
+        half = np.asarray(device_map[..., : HALF_ROWS(N0), :])
     return mirror_centrosymmetric(half, N0)
+
+
+def _quantize_half_program(N0: int):
+    """jitted: full map -> (uint16 codes of the leading half, [lo, span])."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def program(full):
+        half = full[..., : HALF_ROWS(N0), :]
+        lo = jnp.min(half)
+        hi = jnp.max(half)
+        span = jnp.where(hi > lo, hi - lo, 1.0)
+        codes = jnp.round((half - lo) * (65535.0 / span)).astype(jnp.uint16)
+        return codes, jnp.stack([lo, span])
+
+    return program

@@ -92,14 +92,75 @@ class _LazyArrayBase:
     def __rtruediv__(self, o):
         return self._bin(o, lambda a, b: b / a)
 
+    def __floordiv__(self, o):
+        return self._bin(o, lambda a, b: a // b)
+
+    def __rfloordiv__(self, o):
+        return self._bin(o, lambda a, b: b // a)
+
+    def __pow__(self, o):
+        return self._bin(o, lambda a, b: a**b)
+
+    def __rpow__(self, o):
+        return self._bin(o, lambda a, b: b**a)
+
+    def __mod__(self, o):
+        return self._bin(o, lambda a, b: a % b)
+
+    def __matmul__(self, o):
+        return self._bin(o, lambda a, b: a @ b)
+
+    def __rmatmul__(self, o):
+        return self._bin(o, lambda a, b: b @ a)
+
+    def __and__(self, o):
+        return self._bin(o, lambda a, b: a & b)
+
+    def __rand__(self, o):
+        return self._bin(o, lambda a, b: b & a)
+
+    def __or__(self, o):
+        return self._bin(o, lambda a, b: a | b)
+
+    def __ror__(self, o):
+        return self._bin(o, lambda a, b: b | a)
+
+    def __xor__(self, o):
+        return self._bin(o, lambda a, b: a ^ b)
+
     def __neg__(self):
         return -self.materialize()
 
-    def __eq__(self, o):  # noqa: E721 — elementwise, ndarray-style
+    def __pos__(self):
+        return +self.materialize()
+
+    def __abs__(self):
+        return abs(self.materialize())
+
+    def __invert__(self):
+        return ~self.materialize()
+
+    def __float__(self):
+        return float(self.materialize())
+
+    # elementwise comparisons, ndarray-style
+    def __eq__(self, o):  # noqa: E721
         return self.materialize() == o
 
     def __ne__(self, o):
         return self.materialize() != o
+
+    def __lt__(self, o):
+        return self.materialize() < o
+
+    def __le__(self, o):
+        return self.materialize() <= o
+
+    def __gt__(self, o):
+        return self.materialize() > o
+
+    def __ge__(self, o):
+        return self.materialize() >= o
 
     __hash__ = None  # type: ignore[assignment]
 

@@ -124,6 +124,12 @@ def run_pipeline_tpu(
         stages["upload_eff_MBps"] = round(
             perf["upload_bytes"] / 1e6 / perf["upload_s"], 1
         )
+    # JAX dispatch is asynchronous: upload_s/dispatch_s measure the
+    # (mostly synchronous-transfer) enqueue side, while device COMPUTE time
+    # is realised inside pull_wait_s when results are fetched. The split
+    # distinguishes link-bound (upload_s or upload_eff_MBps collapse) from
+    # compute-bound (pull_wait_s dominates with tiny pull_MB) regimes.
+    stages["note"] = "pull_wait_s includes device compute (async dispatch)"
 
     # hardware-level correctness gate: the synthetic stack's motion is known
     T = stack.shape[0]

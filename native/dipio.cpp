@@ -186,7 +186,9 @@ bool scan_edf(EdfFile* f, const char* path) {
       set_error("EDF header missing Dim_1/Dim_2");
       return false;
     }
-    if (info.dim1 <= 0 || info.dim2 <= 0) {
+    if (info.dim1 <= 0 || info.dim2 <= 0 ||
+        info.dim1 > (int64_t{1} << 28) || info.dim2 > (int64_t{1} << 28)) {
+      // upper bound keeps dim1*dim2*itemsize far from int64 wraparound
       set_error("invalid EDF dimensions Dim_1=" + std::to_string(info.dim1) +
                 ", Dim_2=" + std::to_string(info.dim2));
       return false;
@@ -452,13 +454,18 @@ bool scan_tiff(TiffFile* f, const char* path) {
       return false;
     }
     (void)rows_per_strip;  // implied by byte counts for uncompressed data
-    fr.nbytes = fr.width * fr.height * dtype_size(fr.dtype);
-    if (fr.nbytes > fsize) {
-      // uncompressed pixels can never outnumber the file's bytes; bounds
-      // the frame-buffer allocation against crafted width/height tags
-      set_error("TIFF dimensions exceed file size (corrupt header)");
-      return false;
+    // Overflow-safe bound BEFORE computing nbytes: uncompressed pixels can
+    // never outnumber the file's bytes, and width*height*isz can wrap
+    // int64 for crafted 2^31-scale tags, which would bypass the check.
+    {
+      const int64_t isz = dtype_size(fr.dtype);
+      if (fr.width > fsize || fr.height > fsize ||
+          fr.width > fsize / (fr.height * isz)) {
+        set_error("TIFF dimensions exceed file size (corrupt header)");
+        return false;
+      }
     }
+    fr.nbytes = fr.width * fr.height * dtype_size(fr.dtype);
     int64_t available = 0;
     for (int64_t bc : fr.strip_bytecounts) available += bc;
     if (available < fr.nbytes) {

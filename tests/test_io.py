@@ -172,6 +172,8 @@ def test_edf_wrapped_tiff_container(tmp_path):
     wrapped.write_bytes((tmp_path / "tmp.tif").read_bytes())
     out = read_edf(str(wrapped))
     np.testing.assert_allclose(out, img)
+    with pytest.raises(IndexError):
+        read_edf(str(wrapped), index=3)  # single page: same contract as EDF
 
 
 def test_tiff_roundtrip_2d(tmp_path):

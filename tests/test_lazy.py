@@ -26,6 +26,17 @@ def test_lazy_map_defers_then_caches():
     assert len(calls) == 1, "fetch must run exactly once"
 
 
+def test_lazy_map_full_operator_surface():
+    m = LazyMap((2, 2), np.float64, lambda: np.array([[1.0, 2.0], [3.0, 4.0]]))
+    np.testing.assert_array_equal(m > 2.0, [[False, False], [True, True]])
+    np.testing.assert_array_equal(m <= 1.0, [[True, False], [False, False]])
+    np.testing.assert_array_equal(abs(-1.0 * m), [[1, 2], [3, 4]])
+    np.testing.assert_array_equal(m ** 2, [[1, 4], [9, 16]])
+    np.testing.assert_array_equal((m > 1) & (m < 4), [[False, True], [True, False]])
+    np.testing.assert_array_equal(m @ np.eye(2), [[1, 2], [3, 4]])
+    np.testing.assert_array_equal(m // 2, [[0, 1], [1, 2]])
+
+
 def test_lazy_map_shape_mismatch_raises():
     m = LazyMap((3, 3), np.float32, lambda: np.zeros((2, 2), np.float32))
     with pytest.raises(RuntimeError):
