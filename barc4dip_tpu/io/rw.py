@@ -1,8 +1,11 @@
 # SPDX-License-Identifier: CECILL-2.1
-"""Public image I/O dispatchers (parity with reference io/rw.py:66-189).
+"""Top-level image I/O: one reader and one writer, routed by extension.
 
-Extension-based routing: read .tif/.tiff/.edf/.h5/.hdf5 (plus .edf.gz/.bz2),
-write .tif/.h5; EDF writing is blocked (legacy read-only format).
+Behavioural contract follows reference io/rw.py:66-189 — readable formats
+are TIFF/EDF/HDF5 (this package adds .edf.gz/.edf.bz2), writable formats
+are TIFF/HDF5, and asking to write EDF is refused rather than silently
+routed elsewhere. ``image_number`` only ever applies to a single HDF5
+file; ``mean=True`` collapses a loaded stack to its average frame.
 """
 from __future__ import annotations
 
@@ -18,48 +21,41 @@ from .tiff import read_tiff, save_tiff
 
 __all__ = ["read_image", "write_image"]
 
-_READ_EXTS = {
-    "tif": "tiff",
-    "tiff": "tiff",
-    "edf": "edf",
-    "h5": "h5",
-    "hdf5": "h5",
+# extension (lowercase, no dot) -> reader callable; HDF5 is the only
+# format whose reader understands frame selection
+_READERS = {
+    "tif": read_tiff,
+    "tiff": read_tiff,
+    "edf": read_edf,
+    "h5": read_h5,
+    "hdf5": read_h5,
 }
 
-_WRITE_EXTS = {
-    "tif": "tiff",
-    "tiff": "tiff",
-    "h5": "h5",
-    "hdf5": "h5",
-    "edf": "edf",  # explicitly blocked
+_WRITERS = {
+    "tif": save_tiff,
+    "tiff": save_tiff,
+    "h5": save_h5,
+    "hdf5": save_h5,
 }
 
-
-def _normalize_extension(ext: str) -> str:
-    return ext.lower().lstrip(".")
+_H5_EXTS = {"h5", "hdf5"}
 
 
-def _infer_extension_from_path(path: str) -> str:
-    name = Path(path).name
-    # tolerate compressed EDF (.edf.gz / .edf.bz2)
-    low = name.lower()
-    if low.endswith((".edf.gz", ".edf.bz2")):
+def _extension_of(path: str, override: str | None) -> str:
+    """Lowercased extension, honouring an explicit override and the
+    double-suffix compressed-EDF spellings."""
+    if override:
+        return override.lower().lstrip(".")
+    lowered = Path(path).name.lower()
+    if lowered.endswith((".edf.gz", ".edf.bz2")):
         return "edf"
     suffix = Path(path).suffix
-    if suffix == "":
+    if not suffix:
         raise ValueError(
             "Cannot infer file extension from path (no suffix). "
             "Provide file_extension explicitly."
         )
-    return _normalize_extension(suffix)
-
-
-def _infer_extension_from_paths(paths: Sequence[str]) -> str:
-    exts = [_infer_extension_from_path(p) for p in paths]
-    first = exts[0]
-    if any(e != first for e in exts):
-        raise ValueError(f"image_path mixes file extensions: {sorted(set(exts))}")
-    return first
+    return suffix.lower().lstrip(".")
 
 
 def read_image(
@@ -70,48 +66,43 @@ def read_image(
     mean: bool = False,
     verbose: bool = False,
 ) -> np.ndarray:
-    """Read one image or a stack from disk (TIFF / EDF / HDF5 by extension).
+    """Load one image or a (N, H, W) stack, dispatching on the extension.
 
-    ``image_number`` selects one frame of a 3D HDF5 dataset; ``mean=True``
-    collapses a loaded 3D stack to its mean frame.
+    A sequence of paths loads as a stack (all files must share one
+    format). ``image_number`` picks a single frame out of a 3D HDF5
+    dataset; ``mean=True`` averages a loaded stack down to 2D.
     """
     t0 = now()
-    if isinstance(image_path, str):
-        ext = (
-            _normalize_extension(file_extension)
-            if file_extension
-            else _infer_extension_from_path(image_path)
-        )
-    elif isinstance(image_path, Sequence):
+
+    single = isinstance(image_path, str)
+    if single:
+        ext = _extension_of(image_path, file_extension)
+    else:
+        if not isinstance(image_path, Sequence):
+            raise TypeError(
+                "image_path should be one path string or a sequence of them"
+            )
         if len(image_path) == 0:
             raise ValueError("got an empty image_path sequence")
-        ext = (
-            _normalize_extension(file_extension)
-            if file_extension
-            else _infer_extension_from_paths(image_path)
-        )
-    else:
-        raise TypeError("image_path should be one path string or a sequence of them")
+        if image_number is not None:
+            raise ValueError("image_number applies only to a single-file image_path")
+        per_file = {_extension_of(p, file_extension) for p in image_path}
+        if len(per_file) > 1:
+            raise ValueError(f"image_path mixes file extensions: {sorted(per_file)}")
+        ext = per_file.pop()
 
-    if not isinstance(image_path, str) and image_number is not None:
-        raise ValueError("image_number applies only to a single-file image_path")
-
-    kind = _READ_EXTS.get(ext)
-    if kind is None:
+    reader = _READERS.get(ext)
+    if reader is None:
         raise ValueError(f"Unsupported input extension: '{ext}'")
 
-    if kind == "tiff":
+    if ext in _H5_EXTS:
+        data = reader(image_path, image_number=image_number)
+    else:
         if image_number is not None:
-            raise ValueError("image_number applies only to single-file HDF5 stacks (.h5/.hdf5).")
-        data = read_tiff(image_path)
-    elif kind == "edf":
-        if image_number is not None:
-            raise ValueError("image_number applies only to single-file HDF5 stacks (.h5/.hdf5).")
-        data = read_edf(image_path)
-    elif kind == "h5":
-        data = read_h5(image_path, image_number=image_number)
-    else:  # pragma: no cover - dispatch table is closed
-        raise RuntimeError(f"Unhandled reader kind: {kind}")
+            raise ValueError(
+                "image_number applies only to single-file HDF5 stacks (.h5/.hdf5)."
+            )
+        data = reader(image_path)
 
     if mean and data.ndim == 3:
         data = data.mean(axis=0)
@@ -119,13 +110,10 @@ def read_image(
             print("Collapsed 3D stack to mean image along axis 0.")
 
     if verbose:
-        if data.ndim == 2:
-            n_img = 1
-            h, w = data.shape
-        else:
-            n_img, h, w = data.shape
-        mem_gb = data.nbytes / (1024**3)
-        print(f"> {n_img} image(s) ({h} x {w}), {mem_gb:.2f} Gb in memory")
+        n_img, (h, w) = (1, data.shape) if data.ndim == 2 else (
+            data.shape[0], data.shape[1:],
+        )
+        print(f"> {n_img} image(s) ({h} x {w}), {data.nbytes / 1024**3:.2f} Gb in memory")
         elapsed_time(t0)
 
     return data
@@ -138,29 +126,19 @@ def write_image(
     file_extension: str | None = None,
     verbose: bool = False,
 ) -> None:
-    """Write an image or stack to disk (TIFF / HDF5 by extension)."""
+    """Persist an image or stack; the extension picks the container."""
     if not isinstance(data, np.ndarray):
         raise TypeError("expected a numpy.ndarray to write")
 
-    out = Path(output_path)
-    ext = (
-        _normalize_extension(file_extension)
-        if file_extension
-        else _infer_extension_from_path(str(out))
-    )
-    kind = _WRITE_EXTS.get(ext)
+    target = Path(output_path)
+    ext = _extension_of(str(target), file_extension)
 
-    if kind is None:
-        raise ValueError(f"Unsupported output extension: '{ext}'")
-    if kind == "edf":
+    if ext == "edf":
         raise ValueError("Writing EDF is not supported (legacy read-only format).")
+    writer = _WRITERS.get(ext)
+    if writer is None:
+        raise ValueError(f"Unsupported output extension: '{ext}'")
 
-    if kind == "tiff":
-        save_tiff(data, out)
-    elif kind == "h5":
-        save_h5(data, out)
-    else:  # pragma: no cover - dispatch table is closed
-        raise RuntimeError(f"Unhandled writer kind: {kind}")
-
+    writer(data, target)
     if verbose:
-        print(f"Data written successfully to '{out}'")
+        print(f"Data written successfully to '{target}'")
