@@ -94,6 +94,13 @@ def _autocorr_widths(img, *, fraction: float, standardize: bool, radial_method: 
     ac = autocorr2d_core(
         data, remove_mean=True, standardize=standardize, normalize="peak"
     )
+    lx, ly, leq = _widths_from_autocorr(ac, fraction=fraction, radial_method=radial_method)
+    return lx, ly, leq, ac, ac.shape[-1]
+
+
+def _widths_from_autocorr(ac, *, fraction: float, radial_method: str):
+    """argmax -> axis cuts -> 1/e widths -> radial 1/e diameter, given the
+    peak-normalized autocorrelation map."""
     N = ac.shape[-1]
 
     flat_idx = jnp.argmax(ac)
@@ -122,7 +129,7 @@ def _autocorr_widths(img, *, fraction: float, standardize: bool, radial_method: 
 
     dist, _ = distance_at_fraction_core(rad, fraction=fraction, peak_index=0)
     leq = 2.0 * dist * dr
-    return lx, ly, leq, ac, N
+    return lx, ly, leq
 
 
 def grain_core(
@@ -206,6 +213,12 @@ def bandwidth_core(img) -> dict:
     data = data - mu
 
     P = psd2d_core(data, step_x=1.0, step_y=1.0, scale=True)
+    return _bandwidth_from_psd(P)
+
+
+def _bandwidth_from_psd(P) -> dict:
+    """The bandwidth metric body, given the scaled shifted PSD of the
+    mean-removed padded image (shared by the fused grain+bandwidth core)."""
     N = int(P.shape[-1])
     P = jnp.nan_to_num(P, nan=0.0, posinf=0.0, neginf=0.0)
     P = P.at[N // 2, N // 2].set(0.0)

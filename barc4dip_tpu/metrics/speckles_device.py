@@ -22,7 +22,14 @@ def speckle_device_fn(
 
     ``full_maps=False`` drops the (N, N) autocorrelation map and lag axes
     from the full-frame grain block — a large-transfer opt-out for stack
-    runs (the map dominates device->host traffic at 2k^2)."""
+    runs (the map dominates device->host traffic at 2k^2).
+
+    Grain and bandwidth deliberately run their own forward FFTs: sharing
+    one power spectrum between the autocorrelation and the PSD measured
+    ~40% SLOWER end-to-end on the target backend (the saved rfft2 is
+    cheaper than materializing the shared half-spectrum for two consumers
+    plus the mirror's data movement) — docs/AXON_BACKEND_NOTES.md §4.
+    """
 
     def tile_fn(tile):
         vals: dict = {}
