@@ -55,13 +55,15 @@ def make_stack(T: int, side: int, grain_px: float = 8.0) -> np.ndarray:
     return frames
 
 
-def measure_link_mbps(nbytes: int = 8 << 20) -> dict:
+def measure_link_mbps(nbytes: int = 8 << 20, down_nbytes: int = 2 << 20) -> dict:
     """Measure effective host<->device link bandwidth (MB/s, one round).
 
     The hosted chip's HTTP tunnel fluctuates run to run (observed 10-50
     MB/s); reporting it alongside throughput makes vs_baseline swings
-    attributable to link state rather than code."""
-    import jax
+    attributable to link state rather than code. The downlink probe uses a
+    small buffer on purpose: the link has been seen collapsed to ~0.1 MB/s,
+    where an 8 MB probe would stall the benchmark for minutes (and the
+    pipeline itself no longer pulls anything big)."""
     import jax.numpy as jnp
 
     buf = np.zeros(nbytes, np.uint8)
@@ -70,9 +72,11 @@ def measure_link_mbps(nbytes: int = 8 << 20) -> dict:
     dev = jnp.asarray(buf)
     dev.block_until_ready()
     up = nbytes / (time.perf_counter() - t0) / 1e6
+    small = jnp.asarray(buf[:down_nbytes])
+    small.block_until_ready()
     t0 = time.perf_counter()
-    np.asarray(dev)
-    down = nbytes / (time.perf_counter() - t0) / 1e6
+    np.asarray(small)
+    down = down_nbytes / (time.perf_counter() - t0) / 1e6
     return {"up_MBps": round(up, 1), "down_MBps": round(down, 1)}
 
 
