@@ -59,6 +59,35 @@ def test_speckle_stack_resume_matches(tmp_path):
             )
 
 
+def test_partial_resume_after_lost_chunks(tmp_path):
+    """Crash-recovery shape: some chunk files vanish (killed mid-run, disk
+    cleanup) — the rerun recomputes exactly the missing chunks and the
+    result still matches a fresh run, including the cross-chunk
+    incremental-tracking chain."""
+    stack = _stack()
+    kwargs = dict(metrics="amplitude,stats", tiles=False, verbose=False, frame_chunk=2)
+
+    fresh = speckle_stack_stats(stack, **kwargs)
+    speckle_stack_stats(stack, checkpoint_dir=tmp_path, **kwargs)
+    files = sorted(tmp_path.glob("*.npz"))
+    assert len(files) >= 3
+    files[0].unlink()   # first chunk gone
+    files[-1].unlink()  # last chunk gone
+
+    resumed = speckle_stack_stats(stack, checkpoint_dir=tmp_path, **kwargs)
+    for g in fresh["full"]:
+        for k in fresh["full"][g]:
+            np.testing.assert_allclose(resumed["full"][g][k], fresh["full"][g][k])
+    for blk in ("abs", "inc"):
+        for k in ("dx", "dy"):
+            np.testing.assert_allclose(
+                resumed["temporal"][blk][k], fresh["temporal"][blk][k],
+                rtol=1e-5, atol=1e-5,
+            )
+    # the recomputed chunks were re-persisted
+    assert len(sorted(tmp_path.glob("*.npz"))) == len(files)
+
+
 def test_resume_ignores_stale_config(tmp_path):
     stack = _stack()
     kwargs = dict(metrics="stats", tiles=False, verbose=False, frame_chunk=2)
