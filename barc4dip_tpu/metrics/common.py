@@ -247,6 +247,27 @@ def tiled_scalar_fields(
 # Chunked stack execution
 # ---------------------------------------------------------------------------
 
+_PREFETCHER = None
+
+
+def loop_prefetcher():
+    """Process-wide single-worker pool for chunk preparation + upload.
+
+    A singleton (not per-call) so an exception mid-pipeline never strands a
+    fresh thread, and one upload rides the host->device link at a time even
+    with concurrent stack runs.  Used by every chunked stack loop
+    (run_stack_program, stack_fused) to hide transfer time — and, for lazy
+    file-backed stacks, decode time — behind device compute."""
+    global _PREFETCHER
+    if _PREFETCHER is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _PREFETCHER = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="barc4dip-upload"
+        )
+    return _PREFETCHER
+
+
 def run_stack_program(
     stack: np.ndarray, program, *, frame_chunk: int = 4, dtype=None, mesh=None,
     checkpoint=None,
@@ -277,7 +298,9 @@ def run_stack_program(
     # One-behind pipeline: dispatch chunk k+1 (async) before pulling chunk k,
     # overlapping device compute with host transfers (device_get is the
     # dominant cost on tunneled backends). Keeps at most 2 chunk outputs live.
-    # With a ChunkStore, completed chunks are persisted and skipped on resume.
+    # Chunk k+1's slice/decode + upload run on the prefetch thread while the
+    # host waits on chunk k. With a ChunkStore, completed chunks are
+    # persisted and skipped on resume.
     pieces: list = []
     pending = None  # (device_output, n_valid, chunk_start, piece_index)
 
@@ -288,6 +311,22 @@ def run_stack_program(
             checkpoint.save(c0, piece)
         pieces[slot] = piece
 
+    def _prepare(c0: int):
+        c1 = min(c0 + B, T)
+        chunk = np.asarray(stack[c0:c1], dtype=dtype)
+        if c1 - c0 < B:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], B - (c1 - c0), axis=0)], axis=0
+            )
+        dev = put(chunk)
+        try:
+            dev.block_until_ready()
+        except AttributeError:
+            pass
+        return dev
+
+    prefetch = loop_prefetcher()
+    uploads: dict = {}
     for c0 in range(0, T, B):
         c1 = min(c0 + B, T)
         n = c1 - c0
@@ -298,10 +337,13 @@ def run_stack_program(
             pieces[slot] = checkpoint.load(c0)
             continue
 
-        chunk = np.asarray(stack[c0:c1], dtype=dtype)
-        if n < B:
-            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], B - n, axis=0)], axis=0)
-        out = program(put(chunk))
+        fut = uploads.pop(c0, None)
+        if fut is None:
+            fut = prefetch.submit(_prepare, c0)
+        out = program(fut.result())
+        nxt = c0 + B
+        if nxt < T and not (checkpoint is not None and checkpoint.has(nxt)):
+            uploads[nxt] = prefetch.submit(_prepare, nxt)
         if pending is not None:
             _collect(*pending)
         pending = (out, n, c0, slot)

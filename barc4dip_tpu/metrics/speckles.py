@@ -11,7 +11,7 @@ reference's up-to-324 sequential estimator invocations per image
 (metrics/speckles.py:201-250 via common.py:363-371) become a handful of
 vmapped bucket evaluations fused by XLA. Stacks batch frames on top of that
 (see speckle_stack_stats), and tracking runs as batched FFT correlation
-(tracking_batch.py) instead of 18*T sequential OpenCV calls.
+(stack_fused.py) instead of 18*T sequential OpenCV calls.
 """
 from __future__ import annotations
 
@@ -504,7 +504,7 @@ def speckle_stack_stats(
     verbose: bool = True,
     parallel: bool = True,
     n_jobs: int | None = None,
-    frame_chunk: int = 8,
+    frame_chunk: int = 4,
     mesh=None,
     checkpoint_dir=None,
     grain_maps: bool = True,

@@ -12,7 +12,9 @@ per frame"):
   XLA program against that single copy;
 - the chunk's last frame stays device-resident as the next chunk's
   incremental-tracking tail (no host round-trip for the t-1 dependency);
-- chunk k+1 dispatches before chunk k's results are pulled (one-behind).
+- chunk k+1 dispatches before chunk k's results are pulled (one-behind);
+- chunk k+1's upload runs on a prefetch thread while the host waits on
+  chunk k's results, so transfer time hides behind device compute.
 """
 from __future__ import annotations
 
@@ -25,6 +27,7 @@ import numpy as np
 from ..ops import ncc as ncc_ops
 from ..ops import phasecorr as pc_ops
 from ..utils import progress_done, progress_update
+from .common import loop_prefetcher
 from .speckles_device import speckle_device_fn
 from .tracking_batch import _extract_tiles, _grid_geometry
 
@@ -206,7 +209,7 @@ def run_fused_speckle_stack(
     method: str = "template",
     subpixel: bool = True,
     track_eps: float = 1e-9,
-    frame_chunk: int = 8,
+    frame_chunk: int = 4,
     mesh=None,
     checkpoint=None,
     verbose: bool = False,
@@ -258,8 +261,25 @@ def run_fused_speckle_stack(
 
     perf = {
         "upload_s": 0.0, "dispatch_s": 0.0, "pull_wait_s": 0.0,
-        "upload_bytes": 0, "pull_bytes": 0, "chunks": 0,
+        "upload_io_s": 0.0, "upload_bytes": 0, "pull_bytes": 0, "chunks": 0,
     }
+
+    def _prepare_chunk(c0: int) -> tuple:
+        """Build (and pad) the host-side chunk array, then upload it.  Runs on
+        the prefetch thread; returns (device_array, nbytes, seconds_spent)."""
+        c1 = min(c0 + B, T)
+        chunk = stack[c0:c1]
+        if c1 - c0 < B:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], B - (c1 - c0), axis=0)], axis=0
+            )
+        t0 = _time.perf_counter()
+        dev = put_frames(chunk)
+        try:
+            dev.block_until_ready()
+        except AttributeError:
+            pass
+        return dev, chunk.nbytes, _time.perf_counter() - t0
 
     def _collect(out_dev, c0, c1, slot):
         t0 = _time.perf_counter()
@@ -282,6 +302,8 @@ def run_fused_speckle_stack(
     pending = None
     prev_tail = None
     last = -1
+    uploads: dict[int, object] = {}
+    prefetch = loop_prefetcher()
     for c0 in range(0, T, B):
         if verbose:
             last = progress_update("Speckle stack loop", c0, T, last)
@@ -301,10 +323,6 @@ def run_fused_speckle_stack(
             prev_tail = None  # force re-derivation from host for next chunk
             continue
 
-        chunk = stack[c0:c1]
-        if n < B:
-            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], B - n, axis=0)], axis=0)
-
         if prev_tail is None:
             # chunk 0: prev of frame c0 is frame max(c0-1, 0)
             prev_tail = put_repl(
@@ -312,11 +330,18 @@ def run_fused_speckle_stack(
             )
 
         # ONE upload per chunk; metrics and tracking consume the same
-        # device-resident array through two executables (see backend note)
+        # device-resident array through two executables (see backend note).
+        # The upload usually started on the prefetch thread while the host
+        # was waiting on the previous chunk's results — upload_s records the
+        # residual blocking wait, upload_io_s the actual transfer time.
         t_up = _time.perf_counter()
-        chunk_dev = put_frames(chunk)
+        fut = uploads.pop(c0, None)
+        if fut is None:
+            fut = prefetch.submit(_prepare_chunk, c0)
+        chunk_dev, nbytes, io_s = fut.result()
         perf["upload_s"] += _time.perf_counter() - t_up
-        perf["upload_bytes"] += chunk.nbytes
+        perf["upload_io_s"] += io_s
+        perf["upload_bytes"] += nbytes
         perf["chunks"] += 1
         t_disp = _time.perf_counter()
         metrics_dev = metrics_prog(chunk_dev)
@@ -342,6 +367,11 @@ def run_fused_speckle_stack(
             tail = sub_tail
         perf["dispatch_s"] += _time.perf_counter() - t_disp
         out_dev = {"metrics": metrics_dev, "track": track_dev}
+        nxt = c0 + B
+        if nxt < T and not (checkpoint is not None and checkpoint.has(nxt)):
+            # start the next upload now: it rides the link while the host
+            # blocks below on this/previous chunk's device compute
+            uploads[nxt] = prefetch.submit(_prepare_chunk, nxt)
         if pending is not None:
             _collect(*pending)
         pending = (out_dev, c0, c1, slot)

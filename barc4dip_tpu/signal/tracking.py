@@ -22,7 +22,7 @@ TPU-native departures:
 
 The scalar API here mirrors the reference for drop-in use; the batched
 stack-tracking path (T x 9 x 2 correlations in one program) lives in
-:mod:`barc4dip_tpu.metrics.tracking_batch`.
+:mod:`barc4dip_tpu.metrics.stack_fused`.
 """
 from __future__ import annotations
 

@@ -118,6 +118,7 @@ def run_pipeline_tpu(
             perf = dict(stack_fused.LAST_RUN_PERF)
     stages = {
         "upload_s": round(perf.get("upload_s", 0.0), 3),
+        "upload_io_s": round(perf.get("upload_io_s", 0.0), 3),
         "dispatch_s": round(perf.get("dispatch_s", 0.0), 3),
         "pull_wait_s": round(perf.get("pull_wait_s", 0.0), 3),
         "other_s": round(
@@ -130,16 +131,20 @@ def run_pipeline_tpu(
         "upload_MB": round(perf.get("upload_bytes", 0) / 1e6, 1),
         "pull_MB": round(perf.get("pull_bytes", 0) / 1e6, 3),
     }
-    if perf.get("upload_s"):
+    if perf.get("upload_io_s"):
         stages["upload_eff_MBps"] = round(
-            perf["upload_bytes"] / 1e6 / perf["upload_s"], 1
+            perf["upload_bytes"] / 1e6 / perf["upload_io_s"], 1
         )
     # JAX dispatch is asynchronous: upload_s/dispatch_s measure the
     # (mostly synchronous-transfer) enqueue side, while device COMPUTE time
     # is realised inside pull_wait_s when results are fetched. The split
     # distinguishes link-bound (upload_s or upload_eff_MBps collapse) from
     # compute-bound (pull_wait_s dominates with tiny pull_MB) regimes.
-    stages["note"] = "pull_wait_s includes device compute (async dispatch)"
+    stages["note"] = (
+        "pull_wait_s includes device compute (async dispatch); upload_s is "
+        "the residual blocking wait (transfers run on a prefetch thread, "
+        "actual wire time = upload_io_s)"
+    )
 
     # hardware-level correctness gate: the synthetic stack's motion is known
     T = stack.shape[0]
@@ -206,10 +211,11 @@ def main() -> int:
     T = int(os.environ.get("BENCH_T", 16))
     side = int(os.environ.get("BENCH_SIZE", 2048))
     cpu_T = int(os.environ.get("BENCH_CPU_T", 2))
-    # 8-frame chunks amortise the ~55 ms/launch floor; the tracker runs in
-    # 4-frame sub-programs inside (metrics/stack_fused.py backend note —
-    # wider tracking executables miscompile on this backend)
-    frame_chunk = int(os.environ.get("BENCH_CHUNK", 8))
+    # 4-frame chunks measured fastest with prefetch-overlapped uploads
+    # (finer chunks overlap transfers with compute better than the launch
+    # floor costs); also matches the 4-frame tracker sub-program cap
+    # (metrics/stack_fused.py backend note)
+    frame_chunk = int(os.environ.get("BENCH_CHUNK", 4))
 
     stack = make_stack(T, side)
 

@@ -99,7 +99,7 @@ def bench_tpu(field2d, stack):
     def config_d():
         dip.speckle_stack_stats(
             stack, metrics="all", tiles=True, tracking_backend="opencv",
-            verbose=False, frame_chunk=8,
+            verbose=False, frame_chunk=4,
         )
 
     out["D_stack_pipeline_per_frame"] = _timeit(config_d, repeats=2) / T
