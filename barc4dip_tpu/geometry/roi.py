@@ -63,8 +63,12 @@ def roi_slices(
         if y0 < 0 or y1 > H or x0 < 0 or x1 > W:
             raise ValueError("ROI exceeds image bounds.")
     else:
-        y0, y1 = max(0, y0), min(H, y1)
-        x0, x1 = max(0, x0), min(W, x1)
+        # clamp BOTH endpoints into [0, bound]: a center fully outside the
+        # image yields an empty ordered slice at the nearest edge instead of
+        # an inverted slice (reference quirk at geometry/roi.py:100-103;
+        # documented intent is "clipped to image bounds")
+        y0, y1 = min(max(0, y0), H), min(max(0, y1), H)
+        x0, x1 = min(max(0, x0), W), min(max(0, x1), W)
 
     return slice(y0, y1), slice(x0, x1)
 
