@@ -284,16 +284,46 @@ def deconvolve_psf(
     bal = jnp.float32(0.0 if balance is None else balance)
     feps = jnp.float32(0.0 if filter_epsilon is None else filter_epsilon)
 
-    chunks = []
-    B = max(1, int(frame_chunk))
-    for c0 in range(0, T, B):
-        chunk = frames[c0 : c0 + B]
-        done = program(chunk if device_in else jnp.asarray(chunk), bal, feps)
-        chunks.append(done if device_in else np.asarray(done))
+    B = max(1, min(int(frame_chunk), T))
     if device_in:
+        chunks = [program(frames[c0 : c0 + B], bal, feps) for c0 in range(0, T, B)]
         out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
     else:
-        out = np.concatenate(chunks, axis=0).astype(np.float32, copy=False)
+        # host input: prefetch-overlapped uploads, one-behind pull, tail
+        # padded so every chunk shares one compiled shape (same loop shape
+        # as metrics.common.run_stack_program)
+        from ..metrics.common import loop_prefetcher
+
+        def _prep(c0: int):
+            chunk = frames[c0 : c0 + B]
+            if chunk.shape[0] < B:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], B - chunk.shape[0], axis=0)],
+                    axis=0,
+                )
+            dev = jnp.asarray(chunk)
+            try:
+                dev.block_until_ready()
+            except AttributeError:
+                pass
+            return dev
+
+        prefetch = loop_prefetcher()
+        uploads: dict = {}
+        pieces: list = []
+        pending = None  # (device_output, n_valid)
+        for c0 in range(0, T, B):
+            fut = uploads.pop(c0, None)
+            if fut is None:
+                fut = prefetch.submit(_prep, c0)
+            done = program(fut.result(), bal, feps)
+            if c0 + B < T:
+                uploads[c0 + B] = prefetch.submit(_prep, c0 + B)
+            if pending is not None:
+                pieces.append(np.asarray(pending[0])[: pending[1]])
+            pending = (done, min(B, T - c0))
+        pieces.append(np.asarray(pending[0])[: pending[1]])
+        out = np.concatenate(pieces, axis=0).astype(np.float32, copy=False)
 
     if not is_stack:
         out = out[0]
