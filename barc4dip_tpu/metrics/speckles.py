@@ -508,6 +508,7 @@ def speckle_stack_stats(
     mesh=None,
     checkpoint_dir=None,
     grain_maps: bool = True,
+    tracking_search_radius: float | None = None,
 ) -> dict:
     """Per-frame speckle metrics stacked over time plus abs/inc translation
     tracking from a central 3x3 ROI grid.
@@ -518,6 +519,14 @@ def speckle_stack_stats(
     metrics/speckles.py:296-325). Metrics and tracking run as ONE fused
     program per chunk: each chunk uploads once in its original dtype and the
     incremental-tracking tail stays device-resident (metrics/stack_fused.py).
+
+    ``tracking_search_radius`` (px, opt-in, beyond the reference): restrict
+    each template correlation to a window of that radius around the tile's
+    home position instead of the reference's full-frame search
+    (metrics/speckles.py:347-386). Identical displacements whenever the
+    physical drift stays within the radius — NCC values don't depend on the
+    window, so the argmax and subpixel refinement match — at a small
+    fraction of the FFT cost on large frames. Template method only.
     """
     from .stack_fused import run_fused_speckle_stack
 
@@ -544,6 +553,18 @@ def speckle_stack_stats(
     method_norm = str(tracking_method).strip().lower()
     if method_norm not in ("template", "phase"):
         raise ValueError(f"Unsupported tracking method for stacks: {tracking_method!r}")
+
+    search_px: int | None = None
+    if tracking_search_radius is not None:
+        if method_norm != "template":
+            raise ValueError(
+                "tracking_search_radius requires tracking_method='template' "
+                "(windowed phase correlation would change its spectral "
+                "normalization semantics)."
+            )
+        if float(tracking_search_radius) < 1:
+            raise ValueError("tracking_search_radius must be >= 1 px.")
+        search_px = int(np.ceil(float(tracking_search_radius)))
 
     mode, _tile_shape = choose_tiling_mode(H, W, tiles=tiles, min_tile_px=MIN_TILE_PX)
 
@@ -585,6 +606,7 @@ def speckle_stack_stats(
             "eps": eps, "origin": display_origin, "chunk": frame_chunk,
             "roi": roi_side, "step": step, "method": tracking_method,
             "subpixel": bool(subpixel), "grain_maps": bool(grain_maps),
+            "search": search_px,
             "maps": "lazy-v2",  # maps left the chunk payload in round 2
         }
         ckpt = ChunkStore(checkpoint_dir, "speckle_fused", config)
@@ -610,6 +632,7 @@ def speckle_stack_stats(
         # so the hot loop's device->host traffic is scalars regardless of
         # link bandwidth.
         full_maps=False,
+        search_radius=search_px,
     )
     out_full, out_tiles = _assemble_stack_output(raw_metrics, groups, mode)
     if "grain" in groups and grain_maps:
@@ -661,7 +684,9 @@ def speckle_stack_stats(
             "backend": str(tracking_backend),
             "subpixel": bool(subpixel),
             "peak_mode": "abs",
-            "search_area": "full_frame",
+            "search_area": (
+                "full_frame" if search_px is None else f"window_r{search_px}px"
+            ),
             "normalization": {"template": "zscore_local", "search": "zscore_global"},
             "roi_grain_factor": float(roi_grain_factor),
             "roi_size_yx": tuple(int(v) for v in roi_size_yx),

@@ -46,7 +46,19 @@ def _to_compute(x):
     return x.astype(jnp.float32)
 
 
-def _make_track_frame_fn(H, W, s, starts, subpixel, method):
+def _search_windows(H, W, s, starts, search: int):
+    """Static per-tile search-window geometry: each tile's correlations run
+    inside a (w, w) window centred on the tile's home position, w = s + 2r,
+    clamped to stay in-frame (full frame if the window doesn't fit)."""
+    w = s + 2 * int(search)
+    if w >= min(H, W):
+        return None  # window would cover the frame — use the full search
+    wy0 = np.clip(starts[:, 0] - int(search), 0, H - w).astype(np.int32)
+    wx0 = np.clip(starts[:, 1] - int(search), 0, W - w).astype(np.int32)
+    return wy0, wx0, int(w)
+
+
+def _make_track_frame_fn(H, W, s, starts, subpixel, method, search=None):
     centers_y = (starts[:, 0] + (s - 1) / 2.0).astype(np.float64)
     centers_x = (starts[:, 1] + (s - 1) / 2.0).astype(np.float64)
 
@@ -56,14 +68,70 @@ def _make_track_frame_fn(H, W, s, starts, subpixel, method):
         zero = jnp.zeros((), corr.dtype)
         return zero, zero
 
+    def peak_of(corr):
+        i, j = pc_ops.argmax2d(corr)
+        di, dj = taylor(corr, i, j)
+        return i.astype(corr.dtype) + di, j.astype(corr.dtype) + dj
+
+    windows = (
+        _search_windows(H, W, s, starts, search)
+        if (method == "template" and search is not None)
+        else None
+    )
+
+    if method == "template" and windows is not None:
+        # Windowed search (opt-in, beyond the reference): NCC runs only in a
+        # per-tile window around the template's home position — identical
+        # output to the full-frame search whenever the physical displacement
+        # stays within ``search`` px (NCC values are window-independent; the
+        # global argmax lands in-window), at a fraction of the FFT cost.
+        wy0s, wx0s, w = windows
+
+        def frame_fn(img, prev, tpl_arg, eps):
+            wins = jnp.stack(
+                [img[y0 : y0 + w, x0 : x0 + w] for y0, x0 in zip(wy0s, wx0s)]
+            )
+
+            def prep_arrays(win):
+                # array leaves only: the static shape/hw ints must not ride
+                # through vmap (they'd become tracers and break the FFT size)
+                p = ncc_ops.zncc_prepare_image(win, s, s, eps=eps)
+                return {"F": p["F"], "s1": p["s1"], "var_sum": p["var_sum"]}
+
+            def with_shape(p):
+                return {**p, "shape": (w, w), "hw": (s, s)}
+
+            preps = jax.vmap(prep_arrays)(wins)
+            tpl_inc = _extract_tiles(prev, starts, s)
+
+            def run_abs(prep, tp):
+                return peak_of(
+                    ncc_ops.ncc_valid_from_preps(with_shape(prep), tp, eps=eps)
+                )
+
+            def run_inc(prep, tpl):
+                return peak_of(
+                    ncc_ops.ncc_valid_from_prepared(with_shape(prep), tpl, eps=eps)
+                )
+
+            py_a, px_a = jax.vmap(run_abs)(preps, tpl_arg)
+            py_i, px_i = jax.vmap(run_inc)(preps, tpl_inc)
+
+            half = (s - 1) / 2.0
+            cy = jnp.asarray(centers_y, dtype=img.dtype)
+            cx = jnp.asarray(centers_x, dtype=img.dtype)
+            oy = jnp.asarray(wy0s, dtype=img.dtype)
+            ox = jnp.asarray(wx0s, dtype=img.dtype)
+            return (
+                py_a + oy + half - cy, px_a + ox + half - cx,
+                py_i + oy + half - cy, px_i + ox + half - cx,
+            )
+
+        return frame_fn
+
     if method == "template":
         def frame_fn(img, prev, tpl_arg, eps):
             prep = ncc_ops.zncc_prepare_image(img, s, s, eps=eps)
-
-            def peak_of(corr):
-                i, j = pc_ops.argmax2d(corr)
-                di, dj = taylor(corr, i, j)
-                return i.astype(corr.dtype) + di, j.astype(corr.dtype) + dj
 
             def run_prep(tp):
                 return peak_of(ncc_ops.ncc_valid_from_preps(prep, tp, eps=eps))
@@ -156,15 +224,22 @@ def _metrics_chunk_program(
 
 @lru_cache(maxsize=64)
 def _track_chunk_program(
-    method: str, subpixel: bool, H: int, W: int, s: int, starts_key: tuple
+    method: str, subpixel: bool, H: int, W: int, s: int, starts_key: tuple,
+    search: int | None = None,
 ):
     starts = np.asarray(starts_key, np.int32).reshape(-1, 2)
-    track_fn = _make_track_frame_fn(H, W, s, starts, subpixel, method)
+    track_fn = _make_track_frame_fn(H, W, s, starts, subpixel, method, search)
+    windows = (
+        _search_windows(H, W, s, starts, search)
+        if (method == "template" and search is not None)
+        else None
+    )
+    corr_w = windows[2] if windows is not None else None
 
     @jax.jit
     def chunk(chunk_raw, prev_tail, frame0, track_eps):
         frames = _to_compute(chunk_raw)
-        tpl_arg = _build_tpl0(frame0, starts, s, H, W, method, track_eps)
+        tpl_arg = _build_tpl0(frame0, starts, s, H, W, method, track_eps, corr_w)
         prevs = jnp.concatenate([prev_tail[None], frames[:-1]], axis=0)
         dy_a, dx_a, dy_i, dx_i = jax.vmap(
             lambda im, pr: track_fn(im, pr, tpl_arg, track_eps)
@@ -177,13 +252,16 @@ def _track_chunk_program(
     return chunk
 
 
-def _build_tpl0(frame0, starts, s, H, W, method, eps):
+def _build_tpl0(frame0, starts, s, H, W, method, eps, corr_w=None):
     """Frame-0 template bank (template: NCC preps; phase: whitened spectra),
-    built in-program from the float frame."""
+    built in-program from the float frame.  ``corr_w`` sizes the template
+    spectra for windowed search (correlations run at (corr_w, corr_w))."""
     frame0 = _to_compute(frame0)
     tiles = _extract_tiles(frame0, starts, s)
     if method == "template":
-        return jax.vmap(lambda t: ncc_ops.prep_template(t, H, W))(tiles)
+        fft_h = H if corr_w is None else corr_w
+        fft_w = W if corr_w is None else corr_w
+        return jax.vmap(lambda t: ncc_ops.prep_template(t, fft_h, fft_w))(tiles)
     tiles_z = jax.vmap(lambda t: pc_ops.zscore2d(t, eps=eps))(tiles)
     emb = jnp.stack(
         [
@@ -214,6 +292,7 @@ def run_fused_speckle_stack(
     checkpoint=None,
     verbose: bool = False,
     full_maps: bool = True,
+    search_radius: int | None = None,
 ):
     """Run the fused metrics+tracking pipeline over a (T, H, W) stack.
 
@@ -248,7 +327,8 @@ def run_fused_speckle_stack(
         on_tpu(),  # halve autocorr-map transfers over the device link
     )
     track_prog = _track_chunk_program(
-        method, bool(subpixel), H, W, s, starts_key
+        method, bool(subpixel), H, W, s, starts_key,
+        None if search_radius is None else int(search_radius),
     )
 
     dy_abs = np.empty((T, 9), np.float32)

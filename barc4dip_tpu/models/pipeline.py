@@ -94,6 +94,7 @@ class SpeckleStackPipeline:
         frame_chunk: int = 8,
         mesh=None,
         display_origin: Literal["upper", "lower"] = "lower",
+        tracking_search_radius: float | None = None,
     ):
         self.metrics = metrics
         self.tiles = tiles
@@ -103,6 +104,7 @@ class SpeckleStackPipeline:
         self.frame_chunk = frame_chunk
         self.mesh = mesh
         self.display_origin = display_origin
+        self.tracking_search_radius = tracking_search_radius
 
     def __call__(
         self,
@@ -127,6 +129,7 @@ class SpeckleStackPipeline:
             display_origin=self.display_origin,
             verbose=verbose,
             checkpoint_dir=checkpoint_dir,
+            tracking_search_radius=self.tracking_search_radius,
         )
 
     def run_edf_files(
@@ -153,6 +156,7 @@ class SpeckleStackPipeline:
             display_origin=self.display_origin,
             verbose=verbose,
             checkpoint_dir=checkpoint_dir,
+            tracking_search_radius=self.tracking_search_radius,
         )
 
     def run_hdf5(
@@ -192,6 +196,7 @@ class SpeckleStackPipeline:
                 display_origin=self.display_origin,
                 verbose=verbose,
                 checkpoint_dir=checkpoint_dir,
+                tracking_search_radius=self.tracking_search_radius,
             )
         except Exception:
             f.close()

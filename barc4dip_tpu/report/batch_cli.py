@@ -48,6 +48,13 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--npz", default=None, help="Write full outputs as .npz.")
     p.add_argument("--report", default=None, help="Write a Markdown report.")
     p.add_argument("--tracking-method", default="template", choices=("template", "phase"))
+    p.add_argument(
+        "--search-radius", type=float, default=None,
+        help="Restrict tracking correlations to a window of this radius (px) "
+        "around each tile instead of the full-frame search; identical "
+        "results while the drift stays inside the window (template method "
+        "only).",
+    )
     return p
 
 
@@ -152,6 +159,7 @@ def main(argv: list[str] | None = None) -> int:
             metrics=args.metrics, tiles=args.tiles,
             tracking_method=args.tracking_method,
             frame_chunk=args.frame_chunk, mesh=mesh,
+            tracking_search_radius=args.search_radius,
         )
         if single_h5:
             out = pipe.run_hdf5(

@@ -305,3 +305,48 @@ def test_half_map_transfer_matches_full(field, monkeypatch):
         half_out["full"]["grain"]["autocorr"], ref_out["full"]["grain"]["autocorr"],
         rtol=0, atol=1e-12,
     )
+
+
+def test_windowed_search_matches_full_frame():
+    """Opt-in tracking_search_radius reproduces the full-frame search
+    exactly while the physical drift stays inside the window — including
+    tiles whose window clamps at the frame edge."""
+    rng = np.random.default_rng(77)
+    base = make_speckle(rng, shape=(160, 160), grain_px=5.0)
+    T = 5
+    ts = np.arange(T)
+    dys = 1.1 * ts * np.cos(ts)
+    dxs = 1.1 * ts * np.sin(ts)
+    stack = np.stack(
+        [_shifted_frame(base, dy, dx) for dy, dx in zip(dys, dxs)]
+    ).astype(np.float64)
+
+    kw = dict(metrics="amplitude,stats", tiles=False, verbose=False)
+    full = speckle_stack_stats(stack, **kw)
+    # radius 24 on a 160-px frame clamps the outer tiles' windows at the
+    # frame boundary (window side = roi + 48), exercising the clip path
+    win = speckle_stack_stats(stack, tracking_search_radius=24, **kw)
+
+    for blk in ("abs", "inc"):
+        for comp in ("dy", "dx"):
+            np.testing.assert_allclose(
+                win["temporal"][blk][comp], full["temporal"][blk][comp],
+                rtol=0, atol=1e-5,
+            )
+    assert win["meta"]["tracking"]["search_area"] == "window_r24px"
+    assert full["meta"]["tracking"]["search_area"] == "full_frame"
+
+
+def test_windowed_search_validation():
+    rng = np.random.default_rng(5)
+    stack = np.abs(rng.normal(1000, 100, size=(3, 160, 160))).astype(np.float32)
+    with pytest.raises(ValueError, match="template"):
+        speckle_stack_stats(
+            stack, metrics="stats", tiles=False, verbose=False,
+            tracking_method="phase", tracking_search_radius=16,
+        )
+    with pytest.raises(ValueError, match=">= 1"):
+        speckle_stack_stats(
+            stack, metrics="stats", tiles=False, verbose=False,
+            tracking_search_radius=0.2,
+        )
