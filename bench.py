@@ -254,6 +254,15 @@ def main() -> int:
                     "tracking_max_err_px": round(track_err, 4),
                     "stages": stages,
                     "link": link,
+                    # upload-wire roofline: with every other stage hidden, the
+                    # run cannot beat total_bytes / wire_rate — how close the
+                    # pipeline gets tells whether remaining headroom is code
+                    # or link
+                    "upload_roofline_mpix_s": round(
+                        mpix_total / stages["upload_io_s"], 2
+                    )
+                    if stages.get("upload_io_s")
+                    else None,
                     "pipeline": "speckle_stack_stats: all metric groups + tiles + abs/inc tracking",
                 },
             }

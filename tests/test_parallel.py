@@ -184,3 +184,22 @@ def test_sharded_tracking_recovers_shifts(stack):
     np.testing.assert_allclose(
         dx, [0.0, -0.5, 1.0, 2.0, 0.5, -2.0, -1.5, 2.5], atol=0.25
     )
+
+
+def test_speckle_stack_windowed_search_under_mesh(stack_256):
+    """tracking_search_radius composes with frame-axis sharding: sharded
+    windowed tracking matches the single-device full-frame search."""
+    mesh = frame_mesh()
+    kwargs = dict(metrics="amplitude,stats", tiles=False, verbose=False,
+                  frame_chunk=4)
+    single_full = speckle_stack_stats(stack_256, **kwargs)
+    sharded_win = speckle_stack_stats(
+        stack_256, mesh=mesh, tracking_search_radius=20, **kwargs
+    )
+    for blk in ("abs", "inc"):
+        for k in ("dx", "dy"):
+            np.testing.assert_allclose(
+                sharded_win["temporal"][blk][k],
+                single_full["temporal"][blk][k],
+                rtol=0, atol=1e-5,
+            )
