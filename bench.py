@@ -60,20 +60,31 @@ def measure_link_mbps(nbytes: int = 8 << 20, down_nbytes: int = 2 << 20) -> dict
 
     The hosted chip's HTTP tunnel fluctuates run to run (observed 10-50
     MB/s); reporting it alongside throughput makes vs_baseline swings
-    attributable to link state rather than code. The downlink probe uses a
-    small buffer on purpose: the link has been seen collapsed to ~0.1 MB/s,
-    where an 8 MB probe would stall the benchmark for minutes (and the
-    pipeline itself no longer pulls anything big)."""
+    attributable to link state rather than code.
+
+    Transfers on this backend are DEFERRED: ``device_put`` (and even
+    ``block_until_ready`` on an idle device) can return before the bytes
+    moved, so a naive probe reads 200+ MB/s while the pipeline's true wire
+    rate is ~40-50 MB/s. The probe therefore times upload-until-CONSUMED
+    (a jitted sum whose result is pulled forces residency; the sum itself
+    is sub-ms). The downlink probe uses a small buffer on purpose: the
+    link has been seen collapsed to ~0.1 MB/s, where an 8 MB probe would
+    stall the benchmark for minutes (and the pipeline itself no longer
+    pulls anything big)."""
+    import jax
     import jax.numpy as jnp
 
+    consume = jax.jit(lambda x: x.astype(jnp.uint32).sum())
     buf = np.zeros(nbytes, np.uint8)
-    jnp.asarray(buf[: 1 << 20]).block_until_ready()  # absorb warmup
+    float(consume(jnp.asarray(buf)))  # warm: wire + compile at probe shape
     t0 = time.perf_counter()
     dev = jnp.asarray(buf)
-    dev.block_until_ready()
+    float(consume(dev))
     up = nbytes / (time.perf_counter() - t0) / 1e6
+
+    small_c = jax.jit(lambda x: x.astype(jnp.uint32).sum())
     small = jnp.asarray(buf[:down_nbytes])
-    small.block_until_ready()
+    float(small_c(small))  # ensure the buffer is genuinely device-resident
     t0 = time.perf_counter()
     np.asarray(small)
     down = down_nbytes / (time.perf_counter() - t0) / 1e6

@@ -57,6 +57,21 @@ def main(out_dir=None):
     print(f"tracked {len(dys)} frames; max trajectory error: {err:.3f} px")
     print("grain(t=0):", out["meta"]["grain0"])
 
+    # Bounded-drift shortcut (beyond the reference): when the physical
+    # motion is known to stay within a radius, windowed search gives the
+    # same displacements with ~25x less correlation FFT work.
+    win = dip.speckle_stack_stats(
+        stack, metrics="amplitude,stats", tiles=False, verbose=False,
+        mesh=mesh, tracking_search_radius=16,
+    )
+    dwin = np.max(
+        np.hypot(
+            win["temporal"]["abs"]["dy"] - got_dy,
+            win["temporal"]["abs"]["dx"] - got_dx,
+        )
+    )
+    print(f"windowed search (r=16 px) vs full-frame: max delta {dwin:.2e} px")
+
     if out_dir:
         from barc4dip_tpu.plotting import plt_displacement, plt_stack_metric, savefig
 
