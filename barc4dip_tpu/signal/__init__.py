@@ -14,6 +14,7 @@ from .fft import (
 )
 from .summary import spectral_summary
 from .tracking import phase_correlation, template_matching, track_translation
+from .xst import track_displacement_field, wavefront_from_displacements
 
 __all__ = [
     "fft1d",
@@ -33,4 +34,6 @@ __all__ = [
     "phase_correlation",
     "pull_centrosymmetric",
     "spectral_summary",
+    "track_displacement_field",
+    "wavefront_from_displacements",
 ]
