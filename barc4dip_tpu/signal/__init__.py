@@ -14,7 +14,11 @@ from .fft import (
 )
 from .summary import spectral_summary
 from .tracking import phase_correlation, template_matching, track_translation
-from .xst import track_displacement_field, wavefront_from_displacements
+from .xst import (
+    track_displacement_field,
+    track_displacement_stack,
+    wavefront_from_displacements,
+)
 
 __all__ = [
     "fft1d",
@@ -35,5 +39,6 @@ __all__ = [
     "pull_centrosymmetric",
     "spectral_summary",
     "track_displacement_field",
+    "track_displacement_stack",
     "wavefront_from_displacements",
 ]

@@ -24,7 +24,11 @@ import jax.numpy as jnp
 from ..maths.integrate import integrate_gradients
 from ..ops.densetrack import dense_track_program
 
-__all__ = ["track_displacement_field", "wavefront_from_displacements"]
+__all__ = [
+    "track_displacement_field",
+    "track_displacement_stack",
+    "wavefront_from_displacements",
+]
 
 
 def track_displacement_field(
@@ -92,6 +96,73 @@ def track_displacement_field(
     }
 
 
+def track_displacement_stack(
+    stack,
+    ref=None,
+    *,
+    tile_size: int = 33,
+    step: int = 16,
+    search_radius: int = 10,
+    subpixel: bool = True,
+    eps: float = 1e-9,
+    method: str = "auto",
+) -> dict:
+    """Dense displacement fields for every frame of a (T, H, W) stack.
+
+    Each frame is tracked against ``ref`` (default: frame 0) with ONE
+    compiled program reused across the scan; the device runs one frame
+    ahead of the host pull (one-behind pipelining). Returns the same dict
+    as :func:`track_displacement_field` with a leading T axis on
+    ``dy``/``dx``/``peak``.
+    """
+    stack = np.asarray(stack) if not hasattr(stack, "devices") else stack
+    if stack.ndim != 3:
+        raise ValueError(f"stack must be 3D (T, H, W); got ndim={stack.ndim}")
+    T, H, W = (int(v) for v in stack.shape)
+    ref = stack[0] if ref is None else ref
+    ref = np.asarray(ref) if not hasattr(ref, "devices") else ref
+    if ref.shape != (H, W):
+        raise ValueError(f"ref shape {ref.shape} != frame shape {(H, W)}")
+
+    program, (y0s, x0s) = dense_track_program(
+        H, W, int(tile_size), int(search_radius), int(step), bool(subpixel),
+        str(method),
+    )
+    ref_dev = jnp.asarray(ref)
+    eps_dev = jnp.asarray(eps, jnp.float32)
+
+    dys, dxs, peaks = [], [], []
+    pending = None
+    for t in range(T):
+        out = program(jnp.asarray(stack[t]), ref_dev, eps_dev)
+        if pending is not None:
+            dy, dx, pk = (np.asarray(a, np.float32) for a in pending)
+            dys.append(dy); dxs.append(dx); peaks.append(pk)
+        pending = out
+    dy, dx, pk = (np.asarray(a, np.float32) for a in pending)
+    dys.append(dy); dxs.append(dx); peaks.append(pk)
+
+    half = (int(tile_size) - 1) / 2.0
+    return {
+        "dy": np.stack(dys),
+        "dx": np.stack(dxs),
+        "peak": np.stack(peaks),
+        "y": np.asarray(y0s, np.float64) + half,
+        "x": np.asarray(x0s, np.float64) + half,
+        "meta": {
+            "kind": "displacement_stack",
+            "stack_shape": (T, H, W),
+            "tile_size": int(tile_size),
+            "step": int(step),
+            "search_radius": int(search_radius),
+            "subpixel": bool(subpixel),
+            "method": str(method),
+            "grid_shape": (len(y0s), len(x0s)),
+            "units": {"dy": "px", "dx": "px", "peak": "1"},
+        },
+    }
+
+
 def wavefront_from_displacements(
     field: dict,
     *,
@@ -126,9 +197,19 @@ def wavefront_from_displacements(
     slope_x = np.asarray(field["dx"], np.float64) * pixel_size / distance
     grid_step = float(field["meta"]["step"]) * pixel_size
 
-    surface = np.asarray(
-        integrate_gradients(slope_y, slope_x, dy=grid_step, dx=grid_step)
-    )
+    if slope_y.ndim == 3:  # displacement_stack: integrate per frame
+        surface = np.stack(
+            [
+                np.asarray(
+                    integrate_gradients(gy, gx, dy=grid_step, dx=grid_step)
+                )
+                for gy, gx in zip(slope_y, slope_x)
+            ]
+        )
+    else:
+        surface = np.asarray(
+            integrate_gradients(slope_y, slope_x, dy=grid_step, dx=grid_step)
+        )
     out = {
         "wavefront": surface,
         "slope_y": slope_y,

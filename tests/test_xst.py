@@ -152,16 +152,46 @@ def test_wavefront_validation(rng):
         )
 
 
-def test_conv_and_fft_methods_agree(rng):
-    """The MXU grouped-conv path and the batched-FFT path compute the same
-    NCC field (tiny grid so CPU's per-group conv lowering stays fast)."""
+def test_all_methods_agree(rng):
+    """The MXU grouped-conv path, the Pallas fused kernel (interpreted on
+    CPU), and the batched-FFT path compute the same NCC field (tiny grid so
+    CPU's per-group conv lowering stays fast)."""
     base = make_speckle(rng, shape=(96, 96), grain_px=3.0)
     img = _warp(base, np.full(base.shape, 0.8), np.full(base.shape, -0.6))
     kw = dict(tile_size=17, step=24, search_radius=4)
     a = track_displacement_field(img, base, method="fft", **kw)
-    b = track_displacement_field(img, base, method="conv", **kw)
-    np.testing.assert_allclose(b["dy"], a["dy"], rtol=0, atol=5e-4)
-    np.testing.assert_allclose(b["dx"], a["dx"], rtol=0, atol=5e-4)
-    np.testing.assert_allclose(b["peak"], a["peak"], rtol=0, atol=1e-4)
+    for method in ("conv", "pallas"):
+        b = track_displacement_field(img, base, method=method, **kw)
+        np.testing.assert_allclose(b["dy"], a["dy"], rtol=0, atol=5e-4,
+                                   err_msg=method)
+        np.testing.assert_allclose(b["dx"], a["dx"], rtol=0, atol=5e-4,
+                                   err_msg=method)
+        np.testing.assert_allclose(b["peak"], a["peak"], rtol=0, atol=1e-4,
+                                   err_msg=method)
     with pytest.raises(ValueError, match="method"):
         track_displacement_field(img, base, method="bogus", **kw)
+
+
+def test_displacement_stack_matches_per_frame(rng):
+    """track_displacement_stack equals per-frame track_displacement_field,
+    and the stacked result integrates per frame."""
+    from barc4dip_tpu.signal import track_displacement_stack
+
+    base = make_speckle(rng, shape=(160, 160), grain_px=3.0)
+    shifts = [(0.0, 0.0), (1.2, -0.7), (-0.8, 1.5)]
+    stack = np.stack([_warp(base, np.full(base.shape, sy), np.full(base.shape, sx))
+                      for sy, sx in shifts])
+    kw = dict(tile_size=25, step=16, search_radius=5)
+    out = track_displacement_stack(stack, **kw)
+    assert out["dy"].shape[0] == 3
+    for t in range(3):
+        single = track_displacement_field(stack[t], stack[0], **kw)
+        np.testing.assert_allclose(out["dy"][t], single["dy"], rtol=0, atol=1e-6)
+        np.testing.assert_allclose(out["dx"][t], single["dx"], rtol=0, atol=1e-6)
+    wf = wavefront_from_displacements(out, pixel_size=1e-6, distance=0.5)
+    assert wf["wavefront"].shape == out["dy"].shape
+
+    with pytest.raises(ValueError, match="3D"):
+        track_displacement_stack(base, **kw)
+    with pytest.raises(ValueError, match="ref shape"):
+        track_displacement_stack(stack, ref=base[:80, :80], **kw)
