@@ -27,7 +27,85 @@ from ..ops import ncc as ncc_ops
 from ..ops import phasecorr as pc_ops
 from ..preprocessing.normalize import flat_field_correction
 
-__all__ = ["SpeckleStackPipeline", "SharpnessScanPipeline", "full_step_fn"]
+__all__ = [
+    "SpeckleStackPipeline",
+    "SharpnessScanPipeline",
+    "WavefrontScanPipeline",
+    "full_step_fn",
+]
+
+
+class WavefrontScanPipeline:
+    """Dense XST wavefront sensing over a scan (extension; see signal/xst.py).
+
+    Configured once with the tracking grid + optics geometry; each call
+    takes a (T, H, W) stack (or 2D frame) plus a reference speckle image
+    and returns per-frame displacement fields, slopes, and integrated
+    wavefront/phase maps.
+    """
+
+    def __init__(
+        self,
+        *,
+        pixel_size: float,
+        distance: float,
+        wavelength: float | None = None,
+        tile_size: int = 33,
+        step: int = 16,
+        search_radius: int = 10,
+        subpixel: bool = True,
+        method: str = "auto",
+    ):
+        if pixel_size <= 0 or distance <= 0:
+            raise ValueError("pixel_size and distance must be positive.")
+        self.pixel_size = float(pixel_size)
+        self.distance = float(distance)
+        self.wavelength = None if wavelength is None else float(wavelength)
+        self.tile_size = int(tile_size)
+        self.step = int(step)
+        self.search_radius = int(search_radius)
+        self.subpixel = bool(subpixel)
+        self.method = str(method)
+
+    def __call__(self, stack, reference=None, *, verbose: bool = False) -> dict:
+        from ..signal.xst import (
+            track_displacement_field,
+            track_displacement_stack,
+            wavefront_from_displacements,
+        )
+
+        kw = dict(
+            tile_size=self.tile_size, step=self.step,
+            search_radius=self.search_radius, subpixel=self.subpixel,
+            method=self.method,
+        )
+        arr = stack if hasattr(stack, "ndim") else np.asarray(stack)
+        if arr.ndim == 2:
+            ref = arr if reference is None else reference
+            field = track_displacement_field(arr, ref, **kw)
+        else:
+            field = track_displacement_stack(arr, reference, **kw)
+        wf = wavefront_from_displacements(
+            field,
+            pixel_size=self.pixel_size,
+            distance=self.distance,
+            wavelength=self.wavelength,
+        )
+        out = {**field, **wf}
+        out["meta"] = {**field["meta"], **wf["meta"], "kind": "wavefront_scan"}
+        return out
+
+    def run_files(self, paths, reference_path=None, *, verbose: bool = False) -> dict:
+        """Wavefront scan from single-frame EDF/TIFF files (frames load
+        lazily per tracking call; first file is the reference if no
+        explicit reference_path)."""
+        from ..io import read_image
+
+        seq = _NdarrayView(_FrameSequence(list(paths)))
+        ref = None if reference_path is None else read_image(
+            reference_path, verbose=False
+        )
+        return self(seq, ref, verbose=verbose)
 
 
 class SharpnessScanPipeline:

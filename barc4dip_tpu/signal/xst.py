@@ -115,7 +115,8 @@ def track_displacement_stack(
     as :func:`track_displacement_field` with a leading T axis on
     ``dy``/``dx``/``peak``.
     """
-    stack = np.asarray(stack) if not hasattr(stack, "devices") else stack
+    if not hasattr(stack, "ndim"):  # keep lazy frame views lazy
+        stack = np.asarray(stack)
     if stack.ndim != 3:
         raise ValueError(f"stack must be 3D (T, H, W); got ndim={stack.ndim}")
     T, H, W = (int(v) for v in stack.shape)

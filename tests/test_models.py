@@ -1,6 +1,7 @@
 # SPDX-License-Identifier: CECILL-2.1
 """Model-layer tests: pipelines end-to-end."""
 import numpy as np
+import pytest
 from scipy.ndimage import gaussian_filter
 
 from barc4dip_tpu.models import SharpnessScanPipeline, SpeckleStackPipeline
@@ -139,3 +140,40 @@ def test_sharpness_run_files_streaming(tmp_path):
         out["full"]["gradient"]["tenengrad"],
         ram["full"]["gradient"]["tenengrad"], rtol=1e-6,
     )
+
+
+def test_wavefront_scan_pipeline(rng, tmp_path):
+    """WavefrontScanPipeline: 2D and stack inputs, plus the file-sequence
+    path with an explicit reference file."""
+    from barc4dip_tpu.io import write_image
+    from barc4dip_tpu.models import WavefrontScanPipeline
+
+    base = make_speckle(rng, shape=(160, 160), grain_px=3.0).astype(np.float32)
+    sample = np.roll(base, (2, -1), axis=(0, 1))
+    pipe = WavefrontScanPipeline(
+        pixel_size=1e-6, distance=0.5, tile_size=25, step=16, search_radius=5
+    )
+
+    single = pipe(sample, base)
+    assert single["meta"]["kind"] == "wavefront_scan"
+    np.testing.assert_allclose(single["dy"], 2.0, atol=0.1)
+    np.testing.assert_allclose(single["dx"], -1.0, atol=0.1)
+    assert single["wavefront"].shape == single["dy"].shape
+
+    stack = np.stack([base, sample])
+    stacked = pipe(stack)
+    assert stacked["dy"].shape[0] == 2
+    np.testing.assert_allclose(stacked["dy"][1], single["dy"], atol=1e-5)
+
+    ref_path = tmp_path / "ref.tif"
+    write_image(base, ref_path, verbose=False)
+    paths = []
+    for t, frame in enumerate(stack):
+        p = tmp_path / f"f{t}.tif"
+        write_image(frame, p, verbose=False)
+        paths.append(str(p))
+    from_files = pipe.run_files(paths, reference_path=str(ref_path))
+    assert from_files["dy"].shape[0] == 2
+
+    with pytest.raises(ValueError, match="positive"):
+        WavefrontScanPipeline(pixel_size=0, distance=1)

@@ -207,3 +207,30 @@ def test_batch_cli_sharpness_glob(tmp_path, capsys):
     summary = json.loads(out)
     assert summary["kind"] == "sharpness_stack_stats"
     assert summary["focus"]["best_frame"] == 1
+
+
+def test_batch_cli_search_radius(tmp_path, capsys):
+    """--search-radius routes into windowed tracking and matches the
+    default full-frame search on a drift-bounded stack."""
+    import json
+
+    from barc4dip_tpu.report.batch_cli import main as batch_main
+
+    rng = np.random.default_rng(44)
+    base = make_speckle(rng, shape=(160, 160), grain_px=6.0).astype(np.float32)
+    stack = np.stack([np.roll(base, (t, -t), axis=(0, 1)) for t in range(3)])
+    save_h5(stack, tmp_path / "run.h5")
+
+    outs = {}
+    for tag, extra in (("full", []), ("win", ["--search-radius", "12"])):
+        out_json = tmp_path / f"{tag}.json"
+        rc = batch_main([
+            str(tmp_path / "run.h5"), "--metrics", "amplitude,stats",
+            "--no-tiles", "--frame-chunk", "2", "--out", str(out_json),
+        ] + extra)
+        assert rc == 0
+        outs[tag] = json.loads(out_json.read_text())
+    t_full = outs["full"]["tracking"]
+    t_win = outs["win"]["tracking"]
+    for key in ("final_dy_px", "final_dx_px", "mean_r_px", "max_r_px"):
+        np.testing.assert_allclose(t_win[key], t_full[key], atol=1e-5)
