@@ -18,10 +18,29 @@ undetermined; the result is returned zero-mean).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["integrate_gradients"]
+
+
+@jax.jit
+def _fc_solve(gy, gx, dy, dx):
+    """One executable on purpose: the complex spectrum must not cross
+    program boundaries on the hosted TPU backend (complex64 corrupts /
+    raises UNIMPLEMENTED across executables — docs/AXON_BACKEND_NOTES.md
+    §1; eager mode makes every op its own executable)."""
+    ny, nx = gy.shape
+    ky = 2.0 * jnp.pi * jnp.fft.fftfreq(ny, d=dy)[:, None]
+    kx = 2.0 * jnp.pi * jnp.fft.fftfreq(nx, d=dx)[None, :]
+    k2 = ky * ky + kx * kx
+    # DC carries the undetermined piston: divide safely, zero it after.
+    k2_safe = jnp.where(k2 == 0.0, 1.0, k2)
+    Fz = -1j * (kx * jnp.fft.fft2(gx) + ky * jnp.fft.fft2(gy)) / k2_safe
+    Fz = Fz.at[0, 0].set(0.0)
+    z = jnp.real(jnp.fft.ifft2(Fz))
+    return z - jnp.mean(z)
 
 
 def integrate_gradients(gy, gx, *, dy: float = 1.0, dx: float = 1.0):
@@ -49,14 +68,7 @@ def integrate_gradients(gy, gx, *, dy: float = 1.0, dx: float = 1.0):
     if not (np.isfinite(dy) and np.isfinite(dx)) or dy <= 0 or dx <= 0:
         raise ValueError("dy and dx must be positive finite grid spacings.")
 
-    ny, nx = gy.shape
-    ky = 2.0 * jnp.pi * jnp.fft.fftfreq(ny, d=dy)[:, None]
-    kx = 2.0 * jnp.pi * jnp.fft.fftfreq(nx, d=dx)[None, :]
-    k2 = ky * ky + kx * kx
-    # DC carries the undetermined piston: divide safely, zero it after.
-    k2_safe = jnp.where(k2 == 0.0, 1.0, k2)
-
-    Fz = -1j * (kx * jnp.fft.fft2(gx) + ky * jnp.fft.fft2(gy)) / k2_safe
-    Fz = Fz.at[0, 0].set(0.0)
-    z = jnp.real(jnp.fft.ifft2(Fz))
-    return z - jnp.mean(z)
+    return _fc_solve(
+        gy, gx.astype(gy.dtype),
+        jnp.asarray(dy, gy.dtype), jnp.asarray(dx, gy.dtype),
+    )

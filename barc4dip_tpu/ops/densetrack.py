@@ -260,9 +260,16 @@ def dense_track_program(
             img = img.astype(jnp.float32)
         if ref.dtype != img.dtype:
             ref = ref.astype(img.dtype)
-        # global z-score per image: NCC-invariant, fixes f32 conditioning
-        img = (img - jnp.mean(img)) / (jnp.std(img) + eps)
-        ref = (ref - jnp.mean(ref)) / (jnp.std(ref) + eps)
+        # global z-score per image (nan-aware, like the stack tracker's
+        # prep): NCC-invariant, fixes f32 conditioning; dead pixels (NaN)
+        # become 0 = the global mean, the same neutral fill the reference's
+        # flat-field repair converges to
+        img = jnp.nan_to_num(
+            (img - jnp.nanmean(img)) / (jnp.nanstd(img) + eps)
+        )
+        ref = jnp.nan_to_num(
+            (ref - jnp.nanmean(ref)) / (jnp.nanstd(ref) + eps)
+        )
 
         if method == "pallas":
             # node-last end to end: no large-array transpose anywhere

@@ -195,3 +195,20 @@ def test_displacement_stack_matches_per_frame(rng):
         track_displacement_stack(base, **kw)
     with pytest.raises(ValueError, match="ref shape"):
         track_displacement_stack(stack, ref=base[:80, :80], **kw)
+
+
+def test_dense_tracking_tolerates_dead_pixels(rng):
+    """NaN dead pixels don't poison the displacement field (nan-aware
+    z-score fills them with the neutral global mean)."""
+    base = make_speckle(rng, shape=(192, 192), grain_px=3.0)
+    img = _warp(base, np.full(base.shape, 1.0), np.full(base.shape, -1.0))
+    img = img.copy()
+    base = base.copy()
+    dead = rng.random(base.shape) < 0.001
+    img[dead] = np.nan
+    base[rng.random(base.shape) < 0.001] = np.nan
+    out = track_displacement_field(img, base, tile_size=25, step=16,
+                                   search_radius=5)
+    assert np.isfinite(out["dy"]).all() and np.isfinite(out["dx"]).all()
+    np.testing.assert_allclose(np.median(out["dy"]), 1.0, atol=0.1)
+    np.testing.assert_allclose(np.median(out["dx"]), -1.0, atol=0.1)
