@@ -2,7 +2,12 @@
 """Host-side matplotlib visualization (images, spectra, stacks, styles)."""
 from .image import plt_histogram, plt_image, plt_tiles_metric
 from .spectral import plt_spectrum1d, plt_spectrum2d
-from .stack import plt_displacement, plt_stack_metric, plt_tiles_metric_stack
+from .stack import (
+    plt_displacement,
+    plt_displacement_field,
+    plt_stack_metric,
+    plt_tiles_metric_stack,
+)
 from .style import (
     close,
     igor_cmap,
@@ -20,6 +25,7 @@ __all__ = [
     "plt_spectrum1d",
     "plt_spectrum2d",
     "plt_displacement",
+    "plt_displacement_field",
     "plt_stack_metric",
     "plt_tiles_metric_stack",
     "start_plotting",

@@ -16,7 +16,7 @@ from mpl_toolkits.axes_grid1 import make_axes_locatable
 
 from .style import start_plotting
 
-__all__ = ["plt_displacement", "plt_stack_metric", "plt_tiles_metric_stack"]
+__all__ = ["plt_displacement", "plt_displacement_field", "plt_stack_metric", "plt_tiles_metric_stack"]
 
 _TemporalKey = Literal["abs", "inc"]
 _ViewKind = Literal["trajectory", "timeseries"]
@@ -475,3 +475,67 @@ def plt_tiles_metric_stack(
         im.save(p)
         paths.append(str(p))
     return paths
+
+
+def plt_displacement_field(
+    field: dict,
+    *,
+    frame: int | None = None,
+    k: float = 1.0,
+    cmap: str = "viridis",
+    quiver_step: int = 1,
+    quiver_color: str = "white",
+    title: str | None = None,
+) -> Figure:
+    """Dense displacement field (signal.track_displacement_field /
+    track_displacement_stack output): |d| magnitude map with a quiver
+    overlay of the (dx, dy) vectors at the grid nodes.
+
+    ``frame`` selects one frame of a displacement_stack result;
+    ``quiver_step`` thins the arrow grid for dense fields.
+    """
+    dy = np.asarray(field["dy"], dtype=float)
+    dx = np.asarray(field["dx"], dtype=float)
+    if dy.ndim == 3:
+        if frame is None:
+            raise ValueError(
+                "field holds a (T, gy, gx) displacement stack: pass frame=."
+            )
+        dy = dy[int(frame)]
+        dx = dx[int(frame)]
+    elif frame is not None:
+        raise ValueError("frame= is only meaningful for displacement stacks.")
+    if dy.ndim != 2:
+        raise ValueError(f"expected 2D displacement maps; got ndim={dy.ndim}")
+
+    ys = np.asarray(field.get("y", np.arange(dy.shape[0])), dtype=float)
+    xs = np.asarray(field.get("x", np.arange(dy.shape[1])), dtype=float)
+    mag = np.hypot(dy, dx)
+
+    start_plotting(k)
+    fig, ax = plt.subplots()
+    im = ax.imshow(
+        mag,
+        origin="lower",
+        cmap=cmap,
+        extent=(xs[0], xs[-1], ys[0], ys[-1]),
+        aspect="equal",
+    )
+    q = max(1, int(quiver_step))
+    ax.quiver(
+        xs[::q],
+        ys[::q],
+        dx[::q, ::q],
+        dy[::q, ::q],
+        color=quiver_color,
+        angles="xy",
+        width=0.003,
+    )
+    divider = make_axes_locatable(ax)
+    cax = divider.append_axes("right", size="4%", pad=0.08)
+    fig.colorbar(im, cax=cax, label="|d| [px]")
+    ax.set_xlabel("x [px]")
+    ax.set_ylabel("y [px]")
+    ax.set_title(title or "displacement field")
+    fig.tight_layout()
+    return fig

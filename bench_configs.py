@@ -152,6 +152,14 @@ def bench_tpu(field2d, stack):
         dip.logbook_report(stats)
 
     out["E_full_chained_2k"] = _timeit(config_e_full_chained, repeats=2)
+
+    def config_f():
+        # extension workload: dense XST displacement field (Pallas kernel)
+        dip.signal.track_displacement_field(
+            stack[1], field2d, tile_size=33, step=16, search_radius=10
+        )
+
+    out["F_xst_dense_track_2k"] = _timeit(config_f, repeats=2)
     return out
 
 
@@ -200,6 +208,40 @@ def bench_cpu(field2d, stack):
         ref.logbook_report(stats)
 
     out["E_preprocess_report_2k"] = _timeit(config_e, repeats=2)
+
+    def config_f():
+        # no reference counterpart (extension): an equivalent, well-
+        # vectorised NumPy implementation of the same dense windowed ZNCC
+        # (batched rfft2 numerator + cumsum integral-image window sums)
+        img = field2d.astype(np.float64)
+        ref_img = stack[1].astype(np.float64)
+        s, r, step = 33, 10, 16
+        w = s + 2 * r
+        y0s = np.arange(r, SIDE - s - r + 1, step)
+        x0s = y0s
+        ty = y0s[:, None] + np.arange(s)
+        wy = y0s[:, None] - r + np.arange(w)
+        tiles = ref_img[ty[:, None, :, None], ty[None, :, None, :]]
+        wins = img[wy[:, None, :, None], wy[None, :, None, :]]
+        N = len(y0s) * len(x0s)
+        t = tiles.reshape(N, s, s)
+        t = t - t.mean(axis=(1, 2), keepdims=True)
+        energy = np.sum(t * t, axis=(1, 2))
+        win = wins.reshape(N, w, w)
+        Ft = np.fft.rfft2(t, s=(w, w))
+        num = np.fft.irfft2(np.fft.rfft2(win) * np.conj(Ft), s=(w, w))[
+            :, : 2 * r + 1, : 2 * r + 1
+        ]
+        ii = np.pad(np.cumsum(np.cumsum(win, axis=1), axis=2), ((0, 0), (1, 0), (1, 0)))
+        s1 = ii[:, s:, s:] - ii[:, :-s, s:] - ii[:, s:, :-s] + ii[:, :-s, :-s]
+        ii2 = np.pad(np.cumsum(np.cumsum(win * win, axis=1), axis=2), ((0, 0), (1, 0), (1, 0)))
+        s2 = ii2[:, s:, s:] - ii2[:, :-s, s:] - ii2[:, s:, :-s] + ii2[:, :-s, :-s]
+        var = np.maximum(s2 - s1 * s1 / (s * s), 0.0)
+        corr = num / np.sqrt(var * energy[:, None, None] + 1e-9)
+        k = corr.reshape(N, -1).argmax(axis=1)
+        return k
+
+    out["F_xst_dense_track_2k"] = _timeit(config_f, repeats=1)
     return out
 
 
@@ -251,7 +293,12 @@ def main() -> int:
             "E": "E_preprocess_report_2k is like-for-like (no deconvolution "
                  "on either side: the reference needs scikit-image, "
                  "unavailable here); E_full_with_deconv_2k adds native "
-                 "Wiener deconvolution on the TPU side only."
+                 "Wiener deconvolution on the TPU side only.",
+            "F": "extension workload (no reference counterpart): dense XST "
+                 "displacement field, 15.6k windowed ZNCCs at 2048². CPU "
+                 "side is an equivalent vectorised NumPy implementation "
+                 "(batched FFT numerator + integral-image sums, argmax "
+                 "only); TPU side includes subpixel refinement.",
         }
 
     (REPO / "BENCH_DETAILS.json").write_text(json.dumps(results, indent=2))

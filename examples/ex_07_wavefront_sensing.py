@@ -72,13 +72,14 @@ def main(out_dir=None):
     assert abs(R_fit - R_TRUE) / R_TRUE < 0.1, "curvature fit off by >10%"
 
     if out_dir:
-        from barc4dip_tpu.plotting import plt_image, savefig
+        from barc4dip_tpu.plotting import plt_displacement_field, plt_image, savefig
 
         savefig(plt_image(out["wavefront"] * 1e9,
                           title="recovered wavefront [nm]"),
                 f"{out_dir}/ex07_wavefront.png")
-        savefig(plt_image(out["dx"], title="dx [px]"),
-                f"{out_dir}/ex07_dx.png")
+        savefig(plt_displacement_field(out, quiver_step=3,
+                                       title="speckle displacements"),
+                f"{out_dir}/ex07_displacements.png")
         print(f"wrote plots to {out_dir}")
 
 

@@ -168,3 +168,30 @@ def test_plt_tiles_metric_stack_gif_and_png(tmp_path):
         plt_tiles_metric_stack(stack, stats, "amplitude.nope", str(gif))
     with pytest.raises(ValueError):
         plt_tiles_metric_stack(stack[:2], stats, "amplitude.visibility", str(gif))
+
+
+def test_plt_displacement_field(tmp_path):
+    from barc4dip_tpu.plotting import plt_displacement_field, savefig
+
+    gy, gx = 9, 11
+    field = {
+        "dy": np.random.default_rng(0).normal(size=(gy, gx)),
+        "dx": np.random.default_rng(1).normal(size=(gy, gx)),
+        "y": np.linspace(20, 200, gy),
+        "x": np.linspace(20, 240, gx),
+    }
+    fig = plt_displacement_field(field, quiver_step=2, title="test field")
+    savefig(fig, str(tmp_path / "field.png"))
+    assert (tmp_path / "field.png").exists()
+
+    stack_field = {
+        "dy": np.stack([field["dy"]] * 3),
+        "dx": np.stack([field["dx"]] * 3),
+        "y": field["y"], "x": field["x"],
+    }
+    fig = plt_displacement_field(stack_field, frame=1)
+    assert fig is not None
+    with pytest.raises(ValueError, match="frame="):
+        plt_displacement_field(stack_field)
+    with pytest.raises(ValueError, match="displacement stacks"):
+        plt_displacement_field(field, frame=0)
