@@ -597,3 +597,89 @@ def _logbook_speckle_stack(stats: dict, *, complete: bool = False, notes: bool =
         lines.append("")
 
     return "\n".join(lines).rstrip() + "\n"
+
+
+@register_formatter("wavefront_scan")
+@register_formatter("displacement_field")
+@register_formatter("displacement_stack")
+def _logbook_wavefront(stats: dict, *, complete: bool = False, notes: bool = False) -> str:
+    """Logbook block for dense XST results (signal.xst /
+    models.WavefrontScanPipeline output dicts — extension kinds)."""
+    meta = stats.get("meta", {})
+    heading = (
+        "# Wavefront scan summary"
+        if "wavefront" in stats
+        else "# Displacement field summary"
+    )
+    lines = [
+        heading,
+        f"{datetime.fromtimestamp(now()).strftime('%Y-%m-%d | %H:%M:%S')}",
+        "",
+        "## Metadata",
+    ]
+    grid = meta.get("grid_shape")
+    if isinstance(grid, (tuple, list)) and len(grid) == 2:
+        lines.append(f"- Tracking grid: {int(grid[0])} x {int(grid[1])} nodes")
+    lines.append(
+        f"- Tile {meta.get('tile_size')} px | step {meta.get('step')} px | "
+        f"search radius {meta.get('search_radius')} px"
+    )
+    if "pixel_size" in meta:
+        lines.append(
+            f"- Optics: pixel {meta['pixel_size']:.3e} | "
+            f"distance {meta['distance']:.3e}"
+            + (
+                f" | wavelength {meta['wavelength']:.3e}"
+                if meta.get("wavelength")
+                else ""
+            )
+        )
+    lines.append("")
+
+    dy = np.asarray(stats.get("dy", []), dtype=float)
+    dx = np.asarray(stats.get("dx", []), dtype=float)
+    peak = np.asarray(stats.get("peak", []), dtype=float)
+    if dy.size:
+        mag = np.hypot(dy, dx)
+        lines.append("## Displacements")
+        lines.append("```")
+        lines.append(
+            f"> |d|: mean={np.nanmean(mag):.3f} px | max={np.nanmax(mag):.3f} px | "
+            f"dy range=[{np.nanmin(dy):.3f}, {np.nanmax(dy):.3f}] | "
+            f"dx range=[{np.nanmin(dx):.3f}, {np.nanmax(dx):.3f}]"
+        )
+        if peak.size:
+            lines.append(
+                f"> NCC peak: median={np.nanmedian(peak):.3f} | "
+                f"min={np.nanmin(peak):.3f} "
+                f"(fraction >0.5: {float(np.mean(peak > 0.5)):.2f})"
+            )
+        lines.append("```")
+        lines.append("")
+
+    wf = stats.get("wavefront")
+    if wf is not None:
+        wf = np.asarray(wf, dtype=float)
+        lines.append("## Wavefront")
+        lines.append("```")
+        lines.append(
+            f"> height PV={np.nanmax(wf) - np.nanmin(wf):.3e} | "
+            f"rms={np.nanstd(wf):.3e} (piston removed)"
+        )
+        if "phase" in stats:
+            ph = np.asarray(stats["phase"], dtype=float)
+            lines.append(
+                f"> phase PV={np.nanmax(ph) - np.nanmin(ph):.3f} rad | "
+                f"rms={np.nanstd(ph):.3f} rad"
+            )
+        lines.append("```")
+        lines.append("")
+    if notes:
+        lines.append(
+            "- Notes: displacements are sample-relative-to-reference [px]; "
+            "wavefront height integrates the slope field (Frankot-Chellappa, "
+            "piston removed)."
+        )
+        lines.append("")
+
+    return "\n".join(lines).rstrip() + "\n"

@@ -234,3 +234,26 @@ def test_batch_cli_search_radius(tmp_path, capsys):
     t_win = outs["win"]["tracking"]
     for key in ("final_dy_px", "final_dx_px", "mean_r_px", "max_r_px"):
         np.testing.assert_allclose(t_win[key], t_full[key], atol=1e-5)
+
+
+def test_logbook_wavefront_kinds(rng):
+    """The extension kinds (displacement_field / wavefront_scan) format
+    through the registry with displacement, quality, and wavefront blocks."""
+    from barc4dip_tpu.models import WavefrontScanPipeline
+    from barc4dip_tpu.signal import track_displacement_field
+
+    base = make_speckle(rng, shape=(160, 160), grain_px=3.0).astype(np.float32)
+    sample = np.roll(base, (2, -1), axis=(0, 1))
+
+    field = track_displacement_field(sample, base, tile_size=25, step=16,
+                                     search_radius=5)
+    text = logbook_report(field)
+    assert text.startswith("# Displacement field summary")
+    assert "## Displacements" in text and "NCC peak" in text
+
+    pipe = WavefrontScanPipeline(pixel_size=1e-6, distance=0.5,
+                                 wavelength=1e-10, tile_size=25, step=16,
+                                 search_radius=5)
+    text = logbook_report(pipe(sample, base), notes=True)
+    assert text.startswith("# Wavefront scan summary")
+    assert "## Wavefront" in text and "phase PV" in text and "Notes:" in text
