@@ -250,6 +250,34 @@ def tiled_scalar_fields(
 _PREFETCHER = None
 
 
+def upload_padded_chunk(source, c0: int, B: int, T: int, put, dtype=None):
+    """Slice frames [c0, min(c0+B, T)) from ``source`` (optionally cast),
+    pad the tail by repeating the last frame so every chunk shares one
+    compiled shape, upload via ``put`` and wait for residency.
+
+    The single implementation behind every chunked loop's prefetch stage
+    (run_stack_program, the fused speckle stack, host-side deconvolution).
+    Returns (device_array, nbytes, upload_seconds).
+    """
+    import time as _time
+
+    c1 = min(c0 + B, T)
+    chunk = source[c0:c1]
+    if dtype is not None:
+        chunk = np.asarray(chunk, dtype=dtype)
+    if c1 - c0 < B:
+        chunk = np.concatenate(
+            [chunk, np.repeat(chunk[-1:], B - (c1 - c0), axis=0)], axis=0
+        )
+    t0 = _time.perf_counter()
+    dev = put(chunk)
+    try:
+        dev.block_until_ready()
+    except AttributeError:
+        pass
+    return dev, chunk.nbytes, _time.perf_counter() - t0
+
+
 def loop_prefetcher():
     """Process-wide single-worker pool for chunk preparation + upload.
 
@@ -312,17 +340,7 @@ def run_stack_program(
         pieces[slot] = piece
 
     def _prepare(c0: int):
-        c1 = min(c0 + B, T)
-        chunk = np.asarray(stack[c0:c1], dtype=dtype)
-        if c1 - c0 < B:
-            chunk = np.concatenate(
-                [chunk, np.repeat(chunk[-1:], B - (c1 - c0), axis=0)], axis=0
-            )
-        dev = put(chunk)
-        try:
-            dev.block_until_ready()
-        except AttributeError:
-            pass
+        dev, _, _ = upload_padded_chunk(stack, c0, B, T, put, dtype=dtype)
         return dev
 
     prefetch = loop_prefetcher()

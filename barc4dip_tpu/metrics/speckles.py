@@ -684,8 +684,14 @@ def speckle_stack_stats(
             "backend": str(tracking_backend),
             "subpixel": bool(subpixel),
             "peak_mode": "abs",
+            # same fit condition as stack_fused._search_windows: an
+            # oversized window silently falls back to the full search, and
+            # the provenance record must say what actually ran
             "search_area": (
-                "full_frame" if search_px is None else f"window_r{search_px}px"
+                f"window_r{search_px}px"
+                if search_px is not None
+                and roi_side + 2 * search_px < min(H, W)
+                else "full_frame"
             ),
             "normalization": {"template": "zscore_local", "search": "zscore_global"},
             "roi_grain_factor": float(roi_grain_factor),

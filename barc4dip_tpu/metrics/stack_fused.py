@@ -27,7 +27,7 @@ import numpy as np
 from ..ops import ncc as ncc_ops
 from ..ops import phasecorr as pc_ops
 from ..utils import progress_done, progress_update
-from .common import loop_prefetcher
+from .common import loop_prefetcher, upload_padded_chunk
 from .speckles_device import speckle_device_fn
 from .tracking_batch import _extract_tiles, _grid_geometry
 
@@ -345,21 +345,9 @@ def run_fused_speckle_stack(
     }
 
     def _prepare_chunk(c0: int) -> tuple:
-        """Build (and pad) the host-side chunk array, then upload it.  Runs on
-        the prefetch thread; returns (device_array, nbytes, seconds_spent)."""
-        c1 = min(c0 + B, T)
-        chunk = stack[c0:c1]
-        if c1 - c0 < B:
-            chunk = np.concatenate(
-                [chunk, np.repeat(chunk[-1:], B - (c1 - c0), axis=0)], axis=0
-            )
-        t0 = _time.perf_counter()
-        dev = put_frames(chunk)
-        try:
-            dev.block_until_ready()
-        except AttributeError:
-            pass
-        return dev, chunk.nbytes, _time.perf_counter() - t0
+        """Pad + upload one chunk (original dtype — half the wire bytes for
+        uint16 detector frames). Runs on the prefetch thread."""
+        return upload_padded_chunk(stack, c0, B, T, put_frames)
 
     def _collect(out_dev, c0, c1, slot):
         t0 = _time.perf_counter()

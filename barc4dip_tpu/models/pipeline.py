@@ -81,8 +81,12 @@ class WavefrontScanPipeline:
         )
         arr = stack if hasattr(stack, "ndim") else np.asarray(stack)
         if arr.ndim == 2:
-            ref = arr if reference is None else reference
-            field = track_displacement_field(arr, ref, **kw)
+            if reference is None:
+                raise ValueError(
+                    "a single 2D frame needs an explicit reference image "
+                    "(tracking a frame against itself measures nothing)"
+                )
+            field = track_displacement_field(arr, reference, **kw)
         else:
             field = track_displacement_stack(arr, reference, **kw)
         wf = wavefront_from_displacements(
@@ -92,7 +96,15 @@ class WavefrontScanPipeline:
             wavelength=self.wavelength,
         )
         out = {**field, **wf}
-        out["meta"] = {**field["meta"], **wf["meta"], "kind": "wavefront_scan"}
+        out["meta"] = {
+            **field["meta"],
+            **wf["meta"],
+            "kind": "wavefront_scan",
+            "units": {
+                **field["meta"].get("units", {}),
+                **wf["meta"].get("units", {}),
+            },
+        }
         return out
 
     def run_files(self, paths, reference_path=None, *, verbose: bool = False) -> dict:
@@ -169,7 +181,7 @@ class SpeckleStackPipeline:
         tracking_method: str = "template",
         tracking_backend: str = "skimage",
         subpixel: bool = True,
-        frame_chunk: int = 8,
+        frame_chunk: int = 4,
         mesh=None,
         display_origin: Literal["upper", "lower"] = "lower",
         tracking_search_radius: float | None = None,

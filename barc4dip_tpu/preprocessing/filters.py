@@ -292,20 +292,10 @@ def deconvolve_psf(
         # host input: prefetch-overlapped uploads, one-behind pull, tail
         # padded so every chunk shares one compiled shape (same loop shape
         # as metrics.common.run_stack_program)
-        from ..metrics.common import loop_prefetcher
+        from ..metrics.common import loop_prefetcher, upload_padded_chunk
 
         def _prep(c0: int):
-            chunk = frames[c0 : c0 + B]
-            if chunk.shape[0] < B:
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[-1:], B - chunk.shape[0], axis=0)],
-                    axis=0,
-                )
-            dev = jnp.asarray(chunk)
-            try:
-                dev.block_until_ready()
-            except AttributeError:
-                pass
+            dev, _, _ = upload_padded_chunk(frames, c0, B, T, jnp.asarray)
             return dev
 
         prefetch = loop_prefetcher()

@@ -600,6 +600,7 @@ def _logbook_speckle_stack(stats: dict, *, complete: bool = False, notes: bool =
 
 
 @register_formatter("wavefront_scan")
+@register_formatter("wavefront")
 @register_formatter("displacement_field")
 @register_formatter("displacement_stack")
 def _logbook_wavefront(stats: dict, *, complete: bool = False, notes: bool = False) -> str:

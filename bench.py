@@ -82,9 +82,8 @@ def measure_link_mbps(nbytes: int = 8 << 20, down_nbytes: int = 2 << 20) -> dict
     float(consume(dev))
     up = nbytes / (time.perf_counter() - t0) / 1e6
 
-    small_c = jax.jit(lambda x: x.astype(jnp.uint32).sum())
     small = jnp.asarray(buf[:down_nbytes])
-    float(small_c(small))  # ensure the buffer is genuinely device-resident
+    float(consume(small))  # ensure the buffer is genuinely device-resident
     t0 = time.perf_counter()
     np.asarray(small)
     down = down_nbytes / (time.perf_counter() - t0) / 1e6

@@ -177,3 +177,8 @@ def test_wavefront_scan_pipeline(rng, tmp_path):
 
     with pytest.raises(ValueError, match="positive"):
         WavefrontScanPipeline(pixel_size=0, distance=1)
+    with pytest.raises(ValueError, match="reference"):
+        pipe(sample)  # a single frame against itself measures nothing
+    # merged meta keeps BOTH unit families
+    assert single["meta"]["units"]["dy"] == "px"
+    assert "wavefront" in single["meta"]["units"]

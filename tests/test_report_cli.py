@@ -257,3 +257,8 @@ def test_logbook_wavefront_kinds(rng):
     text = logbook_report(pipe(sample, base), notes=True)
     assert text.startswith("# Wavefront scan summary")
     assert "## Wavefront" in text and "phase PV" in text and "Notes:" in text
+
+    from barc4dip_tpu.signal import wavefront_from_displacements
+
+    wf = wavefront_from_displacements(field, pixel_size=1e-6, distance=0.5)
+    assert logbook_report(wf).startswith("# Wavefront scan summary")
