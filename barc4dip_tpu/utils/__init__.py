@@ -6,9 +6,13 @@ from .range import (
     filtered_minmax_range_streaming,
     percentile_minmax_range,
 )
+from .synthetic import speckle_field, speckle_stack, spiral_motion
 from .time import elapsed_time, now, progress_done, progress_update
 
 __all__ = [
+    "speckle_field",
+    "speckle_stack",
+    "spiral_motion",
     "to_uint16",
     "round_uint16_bounds",
     "filtered_minmax_range",

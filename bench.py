@@ -31,28 +31,20 @@ BASELINE_CACHE = REPO / ".bench_baseline.json"
 
 
 def make_stack(T: int, side: int, grain_px: float = 8.0) -> np.ndarray:
-    """Synthetic speckle stack with spiral motion (ex_04-style workload)."""
-    rng = np.random.default_rng(1234)
-    a = rng.normal(size=(side, side)) + 1j * rng.normal(size=(side, side))
-    f = np.fft.fftfreq(side)
-    fx, fy = f[None, :], f[:, None]
-    sigma_f = 1.0 / (2.0 * np.pi * (grain_px / 2.355))
-    H = np.exp(-(fx**2 + fy**2) / (2 * sigma_f**2))
-    base_F = np.fft.fft2(a) * H
+    """Synthetic speckle stack with spiral motion (ex_04-style workload).
 
-    ts = np.arange(T)
-    dys = 0.35 * ts * np.cos(ts * 0.7)
-    dxs = 0.35 * ts * np.sin(ts * 0.7)
+    Detector-realistic uint16 counts (what beamline cameras emit); both
+    implementations cast to float internally, and the TPU path ships half
+    the bytes per frame over the host->device link. Same generator as the
+    public ``barc4dip_tpu.utils.speckle_stack`` (fixed seed: the cached
+    CPU baseline is keyed to this data).
+    """
+    from barc4dip_tpu.utils import speckle_stack
 
-    # Detector-realistic uint16 counts (what beamline cameras emit); both
-    # implementations cast to float internally, and the TPU path ships half
-    # the bytes per frame over the host->device link.
-    frames = np.empty((T, side, side), np.uint16)
-    for t in range(T):
-        phase = np.exp(-2j * np.pi * (fy * dys[t] + fx * dxs[t]))
-        field = np.abs(np.fft.ifft2(base_F * phase)) ** 2
-        frames[t] = np.clip(field / field.mean() * 8000.0, 0, 65535).astype(np.uint16)
-    return frames
+    return speckle_stack(
+        T, (side, side), grain_px=grain_px, mean_counts=8000.0,
+        seed=np.random.default_rng(1234), dtype=np.uint16,
+    )
 
 
 def measure_link_mbps(nbytes: int = 8 << 20, down_nbytes: int = 2 << 20) -> dict:

@@ -33,22 +33,11 @@ def rng():
 
 
 def make_speckle(rng, shape=(256, 256), grain_px=6.0, dtype=np.float64):
-    """Synthetic speckle field with a known Gaussian correlation length.
+    """Synthetic speckle field with a known Gaussian correlation length
+    (delegates to the public generator, barc4dip_tpu.utils.speckle_field)."""
+    from barc4dip_tpu.utils import speckle_field
 
-    Smooth complex white noise with a Gaussian kernel of width ~grain_px and
-    take |field|^2 — a fully-developed speckle pattern whose autocorrelation
-    width tracks grain_px.
-    """
-    ny, nx = shape
-    a = rng.normal(size=shape) + 1j * rng.normal(size=shape)
-    fy = np.fft.fftfreq(ny)[:, None]
-    fx = np.fft.fftfreq(nx)[None, :]
-    sigma_f = 1.0 / (2.0 * np.pi * (grain_px / 2.355))
-    H = np.exp(-(fx**2 + fy**2) / (2 * sigma_f**2))
-    field = np.fft.ifft2(np.fft.fft2(a) * H)
-    speckle = np.abs(field) ** 2
-    speckle = speckle / speckle.mean() * 1000.0
-    return speckle.astype(dtype)
+    return speckle_field(shape, grain_px=grain_px, seed=rng, dtype=dtype)
 
 
 @pytest.fixture()
