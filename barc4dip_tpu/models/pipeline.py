@@ -55,6 +55,7 @@ class WavefrontScanPipeline:
         search_radius: int = 10,
         subpixel: bool = True,
         method: str = "auto",
+        mesh=None,
     ):
         if pixel_size <= 0 or distance <= 0:
             raise ValueError("pixel_size and distance must be positive.")
@@ -66,6 +67,7 @@ class WavefrontScanPipeline:
         self.search_radius = int(search_radius)
         self.subpixel = bool(subpixel)
         self.method = str(method)
+        self.mesh = mesh
 
     def __call__(self, stack, reference=None, *, verbose: bool = False) -> dict:
         from ..signal.xst import (
@@ -88,7 +90,7 @@ class WavefrontScanPipeline:
                 )
             field = track_displacement_field(arr, reference, **kw)
         else:
-            field = track_displacement_stack(arr, reference, **kw)
+            field = track_displacement_stack(arr, reference, mesh=self.mesh, **kw)
         wf = wavefront_from_displacements(
             field,
             pixel_size=self.pixel_size,

@@ -106,15 +106,22 @@ def track_displacement_stack(
     subpixel: bool = True,
     eps: float = 1e-9,
     method: str = "auto",
+    mesh=None,
 ) -> dict:
     """Dense displacement fields for every frame of a (T, H, W) stack.
 
     Each frame is tracked against ``ref`` (default: frame 0) with ONE
     compiled program reused across the scan; the device runs one frame
-    ahead of the host pull (one-behind pipelining). Returns the same dict
-    as :func:`track_displacement_field` with a leading T axis on
+    ahead of the host pull (one-behind pipelining). With ``mesh``, frames
+    round-robin across the mesh's devices (the reference image is placed
+    once per device) and the per-frame programs execute concurrently —
+    frames are independent, so this is plain data parallelism with no
+    cross-device communication. Returns the same dict as
+    :func:`track_displacement_field` with a leading T axis on
     ``dy``/``dx``/``peak``.
     """
+    import jax
+
     if not hasattr(stack, "ndim"):  # keep lazy frame views lazy
         stack = np.asarray(stack)
     if stack.ndim != 3:
@@ -129,19 +136,35 @@ def track_displacement_stack(
         H, W, int(tile_size), int(search_radius), int(step), bool(subpixel),
         str(method),
     )
-    ref_dev = jnp.asarray(ref)
     eps_dev = jnp.asarray(eps, jnp.float32)
 
+    if mesh is None:
+        devices = [None]
+        refs = [jnp.asarray(ref)]
+    else:
+        devices = list(np.asarray(mesh.devices).ravel())
+        refs = [jax.device_put(np.asarray(ref), d) for d in devices]
+
+    def _put(frame, slot):
+        arr = np.asarray(frame)
+        return jnp.asarray(arr) if devices[slot] is None else jax.device_put(
+            arr, devices[slot]
+        )
+
     dys, dxs, peaks = [], [], []
-    pending = None
+    # dispatch up to one frame per device before collecting (mesh) /
+    # one-behind on a single device
+    window = max(1, len(devices))
+    pending: list = []
     for t in range(T):
-        out = program(jnp.asarray(stack[t]), ref_dev, eps_dev)
-        if pending is not None:
-            dy, dx, pk = (np.asarray(a, np.float32) for a in pending)
+        out = program(_put(stack[t], t % window), refs[t % window], eps_dev)
+        pending.append(out)
+        if len(pending) > window:
+            dy, dx, pk = (np.asarray(a, np.float32) for a in pending.pop(0))
             dys.append(dy); dxs.append(dx); peaks.append(pk)
-        pending = out
-    dy, dx, pk = (np.asarray(a, np.float32) for a in pending)
-    dys.append(dy); dxs.append(dx); peaks.append(pk)
+    for out in pending:
+        dy, dx, pk = (np.asarray(a, np.float32) for a in out)
+        dys.append(dy); dxs.append(dx); peaks.append(pk)
 
     half = (int(tile_size) - 1) / 2.0
     return {

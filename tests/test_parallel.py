@@ -203,3 +203,18 @@ def test_speckle_stack_windowed_search_under_mesh(stack_256):
                 single_full["temporal"][blk][k],
                 rtol=0, atol=1e-5,
             )
+
+
+def test_displacement_stack_round_robin_mesh(stack_256):
+    """track_displacement_stack with a mesh round-robins frames across
+    devices and matches the single-device result exactly."""
+    from barc4dip_tpu.signal import track_displacement_stack
+
+    mesh = frame_mesh()
+    sub = np.ascontiguousarray(stack_256[:5], dtype=np.float64)
+    kw = dict(tile_size=25, step=24, search_radius=5, method="fft")
+    single = track_displacement_stack(sub, **kw)
+    meshy = track_displacement_stack(sub, mesh=mesh, **kw)
+    np.testing.assert_allclose(meshy["dy"], single["dy"], rtol=0, atol=1e-12)
+    np.testing.assert_allclose(meshy["dx"], single["dx"], rtol=0, atol=1e-12)
+    np.testing.assert_allclose(meshy["peak"], single["peak"], rtol=0, atol=1e-12)
