@@ -350,3 +350,23 @@ def test_windowed_search_validation():
             stack, metrics="stats", tiles=False, verbose=False,
             tracking_search_radius=0.2,
         )
+
+
+def test_stack_edge_dtypes_and_single_frame():
+    """uint8 detector data and a single-frame stack run the full pipeline
+    (casts happen on-device; T=1 has no incremental motion to speak of)."""
+    from barc4dip_tpu.utils import speckle_stack
+
+    u8 = speckle_stack(3, (160, 160), grain_px=5.0, mean_counts=120.0,
+                       dtype=np.uint8)
+    out = speckle_stack_stats(u8, metrics="amplitude,stats", tiles=False,
+                              verbose=False, frame_chunk=2)
+    assert np.isfinite(out["temporal"]["abs"]["r"]).all()
+
+    one = speckle_stack(1, (160, 160), grain_px=5.0, dys=[0.0], dxs=[0.0],
+                        dtype=np.float32)
+    out = speckle_stack_stats(one, metrics="amplitude,stats", tiles=False,
+                              verbose=False)
+    assert out["meta"]["n_frames"] == 1
+    assert out["temporal"]["abs"]["dx"].shape == (1,)
+    np.testing.assert_allclose(out["temporal"]["abs"]["r"][0], 0.0, atol=0.05)
