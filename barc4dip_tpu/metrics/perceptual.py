@@ -31,11 +31,17 @@ def _as_float_pair(a, b):
         raise ValueError(f"shapes must match; got {x.shape} and {y.shape}")
     if x.ndim != 2:
         raise ValueError("expected 2D images")
-    if not jnp.issubdtype(x.dtype, jnp.floating):
+    # cast EACH image independently: a mixed call (float processed vs
+    # uint16 raw) must not leave the integer one to wrap around in y*y
+    if not (
+        jnp.issubdtype(x.dtype, jnp.floating)
+        and jnp.issubdtype(y.dtype, jnp.floating)
+    ):
         from ..config import default_float
 
-        x = x.astype(default_float())
-        y = y.astype(default_float())
+        f = default_float()
+        x = x.astype(f) if not jnp.issubdtype(x.dtype, jnp.floating) else x
+        y = y.astype(f) if not jnp.issubdtype(y.dtype, jnp.floating) else y
     return x, y
 
 

@@ -504,7 +504,9 @@ def sharpness_stack_stats(
     )
 
     serial_mode = (not parallel) or (n_jobs is not None and int(n_jobs) <= 1)
-    tile_mode, tile_shape_px = choose_tiling_mode(H, W, tiles=tiles)
+    tile_mode, tile_shape_px = choose_tiling_mode(
+        H, W, tiles=tiles, min_tile_px=MIN_TILE_PX
+    )
 
     if "autocorrelation" in groups and min(H, W) < _IAW_MIN_PX:
         raise ValueError(

@@ -110,13 +110,7 @@ def _speckle_program(groups: tuple, mode: str, sat: float | None, eps: float):
     return jax.jit(cast_fn)
 
 
-@lru_cache(maxsize=128)
-def _speckle_stack_program(groups: tuple, mode: str, sat: float | None, eps: float):
-    """vmapped per-frame program: (B, H, W) -> pytree with leading B axis."""
-    return jax.jit(jax.vmap(_speckle_device_fn(frozenset(groups), mode, sat, eps)))
-
-
-def _assemble_stack_output(raw: dict, groups: set, mode: str) -> tuple[dict, dict | None]:
+def _assemble_stack_output(raw: dict, mode: str) -> tuple[dict, dict | None]:
     """Convert a stacked raw pytree into the reference (full, tiles) schema."""
     from ..ops.symmetry import mirror_centrosymmetric
 
@@ -634,7 +628,7 @@ def speckle_stack_stats(
         full_maps=False,
         search_radius=search_px,
     )
-    out_full, out_tiles = _assemble_stack_output(raw_metrics, groups, mode)
+    out_full, out_tiles = _assemble_stack_output(raw_metrics, mode)
     if "grain" in groups and grain_maps:
         _attach_lazy_grain_maps(
             out_full["grain"], stack, T, H, W,

@@ -413,11 +413,14 @@ def run_fused_speckle_stack(
         perf["chunks"] += 1
         t_disp = _time.perf_counter()
         metrics_dev = metrics_prog(chunk_dev)
-        # tracker width is capped at _TRACK_SUB frames per executable on
-        # single-device runs (see backend note); the mesh path keeps full
-        # width (fake-mesh CPU is clean at any width, and splitting would
-        # slice across shards)
-        track_sub = B if mesh is not None else min(B, _TRACK_SUB)
+        # tracker width is capped at _TRACK_SUB frames per executable (see
+        # backend note). Under a mesh the cap applies PER DEVICE — the
+        # miscompile lives in the per-device program, and the fake CPU mesh
+        # being clean at any width proves nothing about real chips — so a
+        # sharded chunk is sliced once each device's local share would
+        # exceed _TRACK_SUB frames.
+        n_dev = 1 if mesh is None else int(mesh.size)
+        track_sub = min(B, _TRACK_SUB * n_dev)
         if track_sub >= B:
             track_dev, tail = track_prog(chunk_dev, prev_tail, frame0_dev, eps_t)
         else:

@@ -72,31 +72,48 @@ def nanquantiles_exact(x, qs: tuple[float, ...]):
     """Exact nan-aware quantiles (q in [0, 1]) with linear interpolation.
 
     Returns an array of shape (len(qs),) in x's dtype. All-NaN input yields
-    NaNs.
+    NaNs. Like ``np.nanpercentile``, only NaNs are excluded — infinities
+    participate in the ranking (the bit-pattern total order places them at
+    the extremes). One deliberate improvement over numpy: an exact hit on
+    an infinite order statistic returns that infinity, where numpy's lerp
+    produces NaN (with RuntimeWarnings) from ``inf + 0*(inf - inf)``.
+
+    Rank arithmetic runs in float64 when x64 is enabled (bit-exact order
+    statistic selection at any size). On float32-only backends the rank
+    ``q*(n-1)`` itself rounds at ~2^22 elements, so for >4M-pixel inputs
+    the selected PAIR of order statistics can be off by one — a value-level
+    error bounded by one inter-sample gap at that quantile (negligible for
+    dense detector data, noted here for exactness bookkeeping).
     """
+    import jax
+
     x = x.reshape(-1)
     dtype = x.dtype
     nbits = 64 if dtype == jnp.float64 else 32
 
-    finite = jnp.isfinite(x)
-    n = jnp.sum(finite)
+    valid = ~jnp.isnan(x)
+    n = jnp.sum(valid)
     nf = jnp.maximum(n, 1)
 
-    u = _sortable_bits(jnp.where(finite, x, 0.0))
+    u = _sortable_bits(jnp.where(valid, x, 0.0))
 
-    qarr = jnp.asarray(qs, dtype=jnp.float64 if dtype == jnp.float64 else jnp.float32)
-    rank = qarr * (nf - 1).astype(qarr.dtype)
+    rank_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    qarr = jnp.asarray(qs, dtype=rank_dtype)
+    rank = qarr * (nf - 1).astype(rank_dtype)
     lo_k = jnp.floor(rank).astype(jnp.int64 if nbits == 64 else jnp.int32)
     hi_k = jnp.ceil(rank).astype(lo_k.dtype)
     frac = (rank - jnp.floor(rank)).astype(dtype)
 
     ks = jnp.concatenate([lo_k, hi_k])
-    vals_bits = _order_stats_bits(u, finite, ks, nbits)
+    vals_bits = _order_stats_bits(u, valid, ks, nbits)
     vals = _bits_to_float(vals_bits, dtype)
     R = len(qs)
     v_lo, v_hi = vals[:R], vals[R:]
 
     out = v_lo + frac * (v_hi - v_lo)
+    # equal endpoints short-circuit the lerp: keeps inf quantiles inf
+    # (inf + 0*(inf-inf) would be NaN) and exact-index picks exact
+    out = jnp.where(v_lo == v_hi, v_lo, out)
     return jnp.where(n > 0, out, jnp.nan).astype(dtype)
 
 

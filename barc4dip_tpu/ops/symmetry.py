@@ -15,6 +15,8 @@ computed one.
 """
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
+
 import numpy as np
 
 __all__ = ["HALF_ROWS", "mirror_centrosymmetric", "pull_centrosymmetric"]
@@ -79,8 +81,11 @@ def pull_centrosymmetric(device_map, *, quantize: str = "none") -> np.ndarray:
     return mirror_centrosymmetric(half, N0)
 
 
+@_lru_cache(maxsize=64)
 def _quantize_half_program(N0: int):
-    """jitted: full map -> (uint16 codes of the leading half, [lo, span])."""
+    """jitted: full map -> (uint16 codes of the leading half, [lo, span]).
+    Cached per map size: a fresh closure per call would recompile every
+    quantized pull."""
     import jax
     import jax.numpy as jnp
 

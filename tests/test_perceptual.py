@@ -80,3 +80,18 @@ def test_ms_ssim(pair):
     assert ms_ssim(blurrier, clean, data_range=1.0, levels=3) < v
     with pytest.raises(ValueError):
         ms_ssim(clean[:32, :32], clean[:32, :32], levels=5)
+
+
+def test_mixed_dtype_pair_does_not_wrap(rng):
+    """A float image compared against a raw integer reference must cast the
+    integer side too (uint16 y*y would wrap around inside the SSIM window
+    statistics)."""
+    from barc4dip_tpu.metrics.perceptual import psnr, ssim
+
+    raw = rng.integers(200, 4000, size=(64, 64)).astype(np.uint16)
+    as_float = raw.astype(np.float32)
+    s_mixed = float(ssim(as_float, raw))
+    s_float = float(ssim(as_float, as_float))
+    assert s_mixed == pytest.approx(s_float, abs=1e-6)
+    assert s_mixed == pytest.approx(1.0, abs=1e-6)
+    assert float(psnr(as_float, raw)) > 100.0  # identical content

@@ -61,3 +61,21 @@ def test_all_nan():
     x = np.full(10, np.nan)
     got = np.asarray(nanpercentiles_exact(jnp.asarray(x), (50.0,)))
     assert np.isnan(got).all()
+
+
+def test_infinities_rank_like_nanpercentile():
+    """Only NaNs are excluded: +/-inf participate in the ranking. Exact hits
+    on an infinite order statistic return +/-inf — the correct order
+    statistic, where numpy's lerp emits NaN with RuntimeWarnings — and
+    interior quantiles match numpy."""
+    import jax.numpy as jnp
+
+    from barc4dip_tpu.ops.quantile import nanpercentiles_exact
+
+    x = np.array([0.0, 1.0, 2.0, np.inf, np.nan, -np.inf])
+    got = np.asarray(nanpercentiles_exact(jnp.asarray(x), (0.0, 50.0, 100.0)))
+    np.testing.assert_array_equal(got, [-np.inf, 1.0, np.inf])
+    # interior quantile agrees with numpy (which is well-defined there)
+    np.testing.assert_allclose(
+        got[1], np.nanpercentile(x, 50.0), rtol=0, atol=0
+    )
