@@ -87,7 +87,9 @@ class EdfFile:
             raise OSError(
                 f"Truncated EDF data block in '{self.path}' (frame {index})."
             )
-        arr = np.frombuffer(raw, dtype=dtype).reshape(shape)
+        # copy: frombuffer over bytes is read-only, and callers expect a
+        # writable array (the native fast path returns one)
+        arr = np.frombuffer(raw, dtype=dtype).reshape(shape).copy()
         return arr
 
     def GetRegion(  # noqa: N802 - legacy API name
@@ -124,7 +126,7 @@ class EdfFile:
                 f"Truncated EDF data block in '{self.path}' (frame {index})."
             )
         band = np.frombuffer(raw, dtype=dtype).reshape(h, cols)
-        return band[:, x0 : x0 + w]
+        return band[:, x0 : x0 + w].copy()  # writable, like the full read
 
     # -- internals ----------------------------------------------------------
 
@@ -240,15 +242,9 @@ class EdfFile:
 
 
 def _use_native() -> bool:
-    import os
+    from .native import native_io_requested
 
-    if os.environ.get("BARC4DIP_TPU_NATIVE_IO", "").strip().lower() not in (
-        "1", "true", "yes", "on",
-    ):
-        return False
-    from .native import native_available
-
-    return native_available()
+    return native_io_requested()
 
 
 def read_edf(
@@ -285,17 +281,21 @@ def read_edf(
             if magic[:2] in (b"II", b"MM") and len(magic) == 4 and magic[2:4] in (
                 b"\x2a\x00", b"\x00\x2a",
             ):
-                from .tiff import read_tiff
+                # address the PAGE explicitly: PIL reads the current frame
+                # only, so a multi-page container needs a seek (read_tiff's
+                # 2D single-file contract would silently drop pages)
+                from PIL import Image
 
-                arr = np.asarray(read_tiff(str(fp)))
-                n_pages = arr.shape[0] if arr.ndim == 3 else 1
-                if index >= n_pages:  # same contract as EdfFile.GetData
-                    raise IndexError(
-                        f"Frame index {index} out of range "
-                        f"(wrapped TIFF '{p}' has {n_pages})."
-                    )
-                if arr.ndim == 3:
-                    arr = arr[index]
+                with Image.open(fp) as im:
+                    n_pages = int(getattr(im, "n_frames", 1))
+                    if index >= n_pages:  # same contract as EdfFile.GetData
+                        raise IndexError(
+                            f"Frame index {index} out of range "
+                            f"(wrapped TIFF '{p}' has {n_pages})."
+                        )
+                    if index:
+                        im.seek(index)
+                    arr = np.array(im)
                 return np.asarray(arr, dtype=dtype)
         if native and not str(fp).endswith((".gz", ".bz2")):
             from .native import read_edf_native

@@ -128,6 +128,18 @@ def native_available() -> bool:
     return _load() is not None
 
 
+def native_io_requested() -> bool:
+    """True when BARC4DIP_TPU_NATIVE_IO is truthy AND the runtime loads —
+    the single routing gate shared by the EDF and TIFF readers."""
+    import os
+
+    if os.environ.get("BARC4DIP_TPU_NATIVE_IO", "").strip().lower() not in (
+        "1", "true", "yes", "on",
+    ):
+        return False
+    return native_available()
+
+
 def _err(lib) -> str:
     return lib.dipio_last_error().decode("utf-8", "replace")
 
@@ -224,6 +236,8 @@ class AsyncStackLoader:
         self._paths = [str(p).encode() for p in paths]
         arr = (ctypes.c_char_p * len(self._paths))(*self._paths)
         self._handle = lib.dipio_prefetch_open(arr, len(self._paths), n_threads, window)
+        if not self._handle:
+            raise OSError(f"dipio: {_err(lib)} (prefetcher open failed)")
         self._n = len(self._paths)
         self._consumed = 0
         # generous per-frame capacity guess; grows on demand

@@ -11,7 +11,6 @@ reference, whose own loop re-writes the whole array each slice
 """
 from __future__ import annotations
 
-import os
 from collections.abc import Sequence
 from pathlib import Path
 
@@ -22,11 +21,10 @@ from ..utils.dtype import to_uint16
 
 __all__ = ["read_tiff", "save_tiff"]
 
-_TRUTHY = ("1", "true", "yes", "on")
-
-
 def _native_enabled() -> bool:
-    return os.environ.get("BARC4DIP_TPU_NATIVE_IO", "").strip().lower() in _TRUTHY
+    from .native import native_io_requested
+
+    return native_io_requested()
 
 
 def _decode(path: str) -> np.ndarray:

@@ -98,10 +98,20 @@ def correct_distortion(
         raise ValueError("image must be 2D or 3D (stack).")
     H, W = (int(s) for s in img.shape[-2:])
 
-    flat00, w, oob, _ = _warp_plan(
+    warp = _warp_program(
         (H, W), float(k1), float(k2), float(k3), float(p1), float(p2),
         None if center is None else (float(center[0]), float(center[1])),
+        float(fill_value),
     )
+    return warp(img if jnp.issubdtype(img.dtype, jnp.floating) else img.astype(jnp.float32))
+
+
+@lru_cache(maxsize=32)
+def _warp_program(shape, k1, k2, k3, p1, p2, center, fill_value):
+    """Cached jitted warp per (shape, coefficients): a fresh closure per
+    call would retrace and recompile the gather program every frame."""
+    H, W = shape
+    flat00, w, oob, _ = _warp_plan(shape, k1, k2, k3, p1, p2, center)
 
     @jax.jit
     def warp(x):
@@ -118,4 +128,4 @@ def correct_distortion(
         vals = jnp.where(jnp.asarray(oob), jnp.asarray(fill_value, vals.dtype), vals)
         return vals.reshape(x.shape)
 
-    return warp(img if jnp.issubdtype(img.dtype, jnp.floating) else img.astype(jnp.float32))
+    return warp

@@ -80,6 +80,13 @@ def spectral_summary(
     img = jnp.asarray(image) if not isinstance(image, jax.Array) else image
     if img.ndim != 2:
         raise ValueError("image must be a 2D array.")
+    if jnp.issubdtype(img.dtype, jnp.complexfloating):
+        # the fused program's float32 cast would silently drop the
+        # imaginary part; the separate calls handle complex fields properly
+        raise ValueError(
+            "spectral_summary expects a real-valued image; for complex "
+            "fields use signal.psd2d / signal.autocorr2d directly."
+        )
     ny, nx = (int(s) for s in img.shape)
     step_x, step_y = resolve_steps_2d(shape=(ny, nx), x=x, y=y, dx=dx, dy=dy)
 

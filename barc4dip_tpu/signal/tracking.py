@@ -32,9 +32,20 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from ..geometry.roi import roi_slices
 from ..ops import ncc as ncc_ops
 from ..ops import phasecorr as pc_ops
+
+
+def _centered_slices(H: int, W: int, h: int, w: int) -> tuple[slice, slice]:
+    """Default reference position: the template centred in the image.
+
+    Equivalent to geometry.roi_slices around the image centre for odd
+    sizes, but also valid for EVEN templates (roi_slices enforces its own
+    odd-symmetry invariant, which is not a tracker limitation — power-of-
+    two templates are common)."""
+    y0 = (H - h) // 2
+    x0 = (W - w) // 2
+    return slice(y0, y0 + h), slice(x0, x0 + w)
 from ..ops.upsampled_dft import phase_cross_correlation_upsampled
 
 __all__ = ["track_translation", "template_matching", "phase_correlation"]
@@ -123,11 +134,14 @@ def template_matching(
     h, w = (int(s) for s in tpl.shape)
     if h > H or w > W:
         raise ValueError(f"template shape {(h, w)} must fit inside image shape {(H, W)}")
-    if backend not in ("opencv", "skimage"):
-        raise ValueError("backend must be 'opencv' or 'skimage'.")
+    # "internal" (the dispatcher's default) resolves to the same device NCC
+    # kernel as the two reference backends — method="template" must work
+    # through track_translation without an explicit backend
+    if backend not in ("opencv", "skimage", "internal"):
+        raise ValueError("backend must be 'internal', 'opencv' or 'skimage'.")
 
     if slices_yx is None:
-        slices_yx = roi_slices((H, W), (h, w), center_yx=None, clip=False)
+        slices_yx = _centered_slices(H, W, h, w)
     sy_ref, sx_ref = slices_yx
     y0 = (sy_ref.start + sy_ref.stop - 1) / 2.0
     x0 = (sx_ref.start + sx_ref.stop - 1) / 2.0
@@ -194,7 +208,7 @@ def phase_correlation(
     h, w = (int(s) for s in tpl.shape)
 
     if slices_yx is None:
-        slices_yx = roi_slices((H, W), (h, w), center_yx=None, clip=False)
+        slices_yx = _centered_slices(H, W, h, w)
     sy, sx = slices_yx
     pad = ((sy.start, H - sy.stop), (sx.start, W - sx.stop))
 

@@ -27,17 +27,25 @@ def config_hash(config: dict) -> str:
 _SEP = "||"  # metric keys may contain "/" (e.g. "grain/lx"), "||" is safe
 
 
+#: key for a bare-array chunk (no dict structure): without a sentinel the
+#: round trip would come back as {'': array} instead of the array itself
+_LEAF_KEY = "__leaf__"
+
+
 def _flatten(tree, prefix="") -> dict[str, np.ndarray]:
     out: dict[str, np.ndarray] = {}
     if isinstance(tree, dict):
         for k in sorted(tree):
             out.update(_flatten(tree[k], f"{prefix}{k}{_SEP}"))
     else:
-        out[prefix[: -len(_SEP)] if prefix else prefix] = np.asarray(tree)
+        key = prefix[: -len(_SEP)] if prefix else _LEAF_KEY
+        out[key] = np.asarray(tree)
     return out
 
 
 def _unflatten(flat: dict[str, np.ndarray]):
+    if set(flat) == {_LEAF_KEY}:
+        return flat[_LEAF_KEY]
     root: dict = {}
     for key, value in flat.items():
         parts = key.split(_SEP)

@@ -113,3 +113,47 @@ def test_split_edges_properties():
                 assert b == c and b > a
     with pytest.raises(ValueError):
         split_edges(0, 3)
+
+
+def test_review3_regressions(tmp_path, rng):
+    """Regression pins for the io/signal/preprocessing review findings."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from barc4dip_tpu.io.edf import read_edf, save_edf
+    from barc4dip_tpu.signal import spectral_summary, track_translation
+    from barc4dip_tpu.utils.checkpoint import ChunkStore
+
+    # EDF reads are writable even on the dtype-match fast path
+    img = rng.normal(size=(16, 16)).astype(np.float32)
+    save_edf(img, tmp_path / "w.edf")
+    back = read_edf(str(tmp_path / "w.edf"))
+    back += 1.0  # raises ValueError on a read-only frombuffer view
+    np.testing.assert_allclose(back, img + 1.0, rtol=1e-6)
+
+    # wrapped multi-page TIFF behind a .edf name: pages addressable by index
+    pages = [Image.fromarray((np.full((8, 8), v)).astype(np.uint16)) for v in (1, 2, 3)]
+    p = tmp_path / "marccd.edf"
+    pages[0].save(p, format="TIFF", save_all=True, append_images=pages[1:])
+    assert float(read_edf(str(p), index=2).mean()) == 3.0
+    with pytest.raises(IndexError, match="has 3"):
+        read_edf(str(p), index=3)
+
+    # default dispatch works for method="template"; even templates track
+    image = rng.normal(size=(64, 64))
+    dy, dx, _, _ = track_translation(image[24:40, 24:40], image, method="template")
+    assert abs(dy) < 0.01 and abs(dx) < 0.01  # subpixel-refined zero shift
+
+    # complex input to the fused quick-look is rejected, not truncated
+    with pytest.raises(ValueError, match="real-valued"):
+        spectral_summary(jnp.ones((32, 32), jnp.complex64))
+
+    # bare-array checkpoint chunks round-trip
+    store = ChunkStore(tmp_path / "ck", "t", {"a": 1})
+    store.save(0, np.arange(3))
+    np.testing.assert_array_equal(store.load(0), np.arange(3))
+
+    # preprocessing exports the full documented surface
+    from barc4dip_tpu.preprocessing import (  # noqa: F401
+        clahe, correct_distortion, distortion_map,
+    )
