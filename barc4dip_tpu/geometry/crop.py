@@ -16,7 +16,17 @@ def crop_to_square_center(array, constant: float = 1.0):
 
     if square_size % 2 == 0:
         square_size -= 1
-    square_size = min(square_size, min_dim | 1)
+    # clamp to the largest odd side that FITS (the reference's `min_dim | 1`
+    # rounds an even min_dim UP, producing out-of-bounds negative starts and
+    # a non-square crop — geometry/crop.py:29; documented intent is an odd
+    # square inside the array)
+    fit = min_dim if min_dim % 2 else min_dim - 1
+    square_size = min(square_size, fit)
+    if square_size < 1:
+        raise ValueError(
+            f"constant={constant} gives a non-positive square side for "
+            f"shape {tuple(array.shape)}"
+        )
 
     center_y, center_x = array.shape[0] // 2, array.shape[1] // 2
     half = square_size // 2

@@ -141,8 +141,25 @@ class SharpnessScanPipeline:
         self.frame_chunk = frame_chunk
         self.mesh = mesh
 
-    def __call__(self, stack: np.ndarray, *, verbose: bool = False) -> dict:
-        from ..metrics.sharpness import sharpness_stack_stats
+    def __call__(
+        self, stack: np.ndarray, *, verbose: bool = False, checkpoint_dir=None
+    ) -> dict:
+        from ..metrics.common import normalize_groups
+        from ..metrics.sharpness import _ALL_SHARPNESS_GROUPS, sharpness_stack_stats
+
+        # validate the focus operator BEFORE the (potentially hours-long)
+        # scan runs: a focus group outside the selected metrics would only
+        # fail afterwards, losing all results
+        group, key = self.focus_metric
+        selected = normalize_groups(
+            self.metrics, all_groups=_ALL_SHARPNESS_GROUPS,
+            context="sharpness", param_name="metrics",
+        )
+        if group not in selected:
+            raise ValueError(
+                f"focus_metric group {group!r} is not among the selected "
+                f"metrics {sorted(selected)}"
+            )
 
         out = sharpness_stack_stats(
             stack if isinstance(stack, np.ndarray) else np.asarray(stack),
@@ -151,21 +168,26 @@ class SharpnessScanPipeline:
             frame_chunk=self.frame_chunk,
             mesh=self.mesh,
             verbose=verbose,
+            checkpoint_dir=checkpoint_dir,
         )
-        group, key = self.focus_metric
         series = np.asarray(out["full"][group][key], dtype=float)
+        degenerate = bool(np.all(np.isnan(series)))
         out["meta"]["focus"] = {
             "metric": f"{group}.{key}",
-            "best_frame": int(np.nanargmax(series)),
-            "series_min": float(np.nanmin(series)),
-            "series_max": float(np.nanmax(series)),
+            "best_frame": None if degenerate else int(np.nanargmax(series)),
+            "series_min": float("nan") if degenerate else float(np.nanmin(series)),
+            "series_max": float("nan") if degenerate else float(np.nanmax(series)),
         }
         return out
 
-    def run_files(self, paths, *, verbose: bool = False) -> dict:
+    def run_files(self, paths, *, verbose: bool = False, checkpoint_dir=None) -> dict:
         """Out-of-core focus scan from a sequence of single-frame EDF/TIFF
         files (frames load per-chunk on demand; formats may be mixed)."""
-        return self(_NdarrayView(_FrameSequence(paths)), verbose=verbose)
+        return self(
+            _NdarrayView(_FrameSequence(paths)),
+            verbose=verbose,
+            checkpoint_dir=checkpoint_dir,
+        )
 
 
 class SpeckleStackPipeline:
@@ -345,7 +367,12 @@ class _FrameSequence:
             if isinstance(t, (int, np.integer)):
                 frame = self._frame(int(t))
                 return frame[rest] if rest else frame
-            key = t  # (slice, ...) over frames: fall through
+            if rest:  # cropping while chunking: apply to each frame
+                if isinstance(t, slice):
+                    idx = range(*t.indices(len(self._paths)))
+                    return np.stack([self._frame(i)[rest] for i in idx])
+                raise TypeError(f"unsupported index {key!r}")
+            key = t  # (slice,) over frames: fall through
         if isinstance(key, slice):
             idx = range(*key.indices(len(self._paths)))
             return np.stack([self._frame(t) for t in idx])
@@ -391,6 +418,12 @@ def full_step_fn(roi_side: int, roi_starts: np.ndarray):
     This is the unit the driver compile-checks and dry-runs over a device
     mesh: flat-field (elementwise), speckle metrics (FFT autocorr + moments)
     and batched NCC tracking, fused end-to-end.
+
+    CAUTION (hosted axon TPU only): fusing metrics and the tracker into ONE
+    executable is exactly the structure that miscompiles tracking outputs
+    on that backend (docs/AXON_BACKEND_NOTES.md §2) — this function is for
+    compile checks and CPU-mesh dry runs; the production path
+    (metrics/stack_fused.py) runs the two stages as separate programs.
     """
     s = int(roi_side)
     starts = np.asarray(roi_starts, np.int32).reshape(-1, 2)

@@ -43,9 +43,16 @@ def _unit_step_slice(s: slice, *, n: int, name: str) -> slice:
     return slice(start, stop, 1)
 
 
-def _pixel_canvas(img: np.ndarray, *, fig_h: float = 5.0):
+def _pixel_canvas(img: np.ndarray, *, fig_h: float = 5.0, origin: str = "lower"):
+    """Figure + axes + an imshow extent that keeps NUMPY ROW COORDINATES on
+    the y axis for either origin: with "upper" the extent is inverted
+    (bottom=ny, top=0) so array row r displays at y=r — otherwise ROI
+    rectangles/zooms drawn in slice coordinates would mark the vertically
+    mirrored region."""
     ny, nx = img.shape
     fig, ax = plt.subplots(figsize=(fig_h * (nx / ny), fig_h))
+    if origin == "upper":
+        return fig, ax, (0.0, float(nx), float(ny), 0.0)
     return fig, ax, (0.0, float(nx), 0.0, float(ny))
 
 
@@ -84,7 +91,7 @@ def plt_image(
         raise ValueError(f"image expects a 2D array; got shape={img.shape!r}")
 
     start_plotting(k)
-    fig, ax, extent = _pixel_canvas(img)
+    fig, ax, extent = _pixel_canvas(img, origin=display_origin)
 
     im = ax.imshow(
         img,
@@ -231,7 +238,7 @@ def plt_tiles_metric(
         origin = "lower"
 
     start_plotting(k)
-    fig, ax, extent = _pixel_canvas(img)
+    fig, ax, extent = _pixel_canvas(img, origin=origin)
     im = ax.imshow(
         img,
         origin=origin,

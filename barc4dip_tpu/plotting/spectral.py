@@ -179,6 +179,12 @@ def _plot_map(image, extent, cmap, norm, vmin, vmax, xlabel, ylabel, title,
               xmin, xmax, ymin, ymax, display_origin) -> Figure:
     fig = plt.figure()
     ax = fig.add_subplot(111)
+    if display_origin == "upper":
+        # keep row r on axis value y[r] whichever way the axis runs: an
+        # ascending extent with origin="upper" would mirror the map against
+        # its own tick labels and the central-cut figures
+        left, right, bottom, top = extent
+        extent = (left, right, top, bottom)
     im = ax.imshow(
         image,
         origin=display_origin,

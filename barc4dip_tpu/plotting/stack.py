@@ -431,11 +431,19 @@ def plt_tiles_metric_stack(
     idx = list(range(T)) if frames is None else [int(t) for t in frames]
 
     if vmin is None or vmax is None:
-        sel = np.asarray(stack[idx], dtype=float)
+        # per-frame running extrema: list-indexing the stack would both
+        # materialise an out-of-core source in full and reject lazy frame
+        # sequences outright
+        lo = np.inf
+        hi = -np.inf
+        for t in idx:
+            frame = np.asarray(stack[t], dtype=float)
+            lo = min(lo, float(np.nanmin(frame)))
+            hi = max(hi, float(np.nanmax(frame)))
         if vmin is None:
-            vmin = float(np.nanmin(sel))
+            vmin = lo
         if vmax is None:
-            vmax = float(np.nanmax(sel))
+            vmax = hi
 
     user_title = tile_kwargs.pop("title", None)
     images: list[Image.Image] = []
@@ -514,11 +522,15 @@ def plt_displacement_field(
 
     start_plotting(k)
     fig, ax = plt.subplots()
+    # half-step margins so each magnitude CELL is centred on its node — the
+    # quiver arrows sit at node coordinates, not cell corners
+    hx = 0.5 * (1.0 if xs.size == 1 else float(np.mean(np.diff(xs))))
+    hy = 0.5 * (1.0 if ys.size == 1 else float(np.mean(np.diff(ys))))
     im = ax.imshow(
         mag,
         origin="lower",
         cmap=cmap,
-        extent=(xs[0], xs[-1], ys[0], ys[-1]),
+        extent=(xs[0] - hx, xs[-1] + hx, ys[0] - hy, ys[-1] + hy),
         aspect="equal",
     )
     q = max(1, int(quiver_step))

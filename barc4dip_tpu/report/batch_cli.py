@@ -144,16 +144,18 @@ def main(argv: list[str] | None = None) -> int:
         if single_h5:
             from ..io import read_h5
 
-            out = pipe(read_h5(inputs[0]))
+            out = pipe(read_h5(inputs[0]), checkpoint_dir=args.checkpoint_dir)
         elif all(
             p.lower().endswith((".edf", ".edf.gz", ".edf.bz2", ".tif", ".tiff"))
             for p in inputs
         ):
-            out = pipe.run_files(inputs)  # streaming out-of-core scan
+            out = pipe.run_files(  # streaming out-of-core scan
+                inputs, checkpoint_dir=args.checkpoint_dir
+            )
         else:
             from ..io import read_image
 
-            out = pipe(read_image(inputs))
+            out = pipe(read_image(inputs), checkpoint_dir=args.checkpoint_dir)
     else:
         pipe = SpeckleStackPipeline(
             metrics=args.metrics, tiles=args.tiles,

@@ -546,12 +546,15 @@ def _logbook_sharpness_stack(stats: dict, *, complete: bool = False, notes: bool
         y = np.asarray(blk.get(key, []), dtype=float)
         if y.size == 0:
             continue
-        best = int(np.nanargmax(y))
+        all_nan = bool(np.all(np.isnan(y)))  # degenerate frames: still report
+        best = "nan" if all_nan else f"frame {int(np.nanargmax(y))}"
         lines.append(f"## {label}")
         lines.append("```")
         lines.append(
-            f"> min={_f(float(np.nanmin(y)), nd)} | max={_f(float(np.nanmax(y)), nd)} | "
-            f"argmax=frame {best} | mean={_f(float(np.nanmean(y)), nd)}"
+            f"> min={_f(float(np.nanmin(y)) if not all_nan else float('nan'), nd)} | "
+            f"max={_f(float(np.nanmax(y)) if not all_nan else float('nan'), nd)} | "
+            f"argmax={best} | "
+            f"mean={_f(float(np.nanmean(y)) if not all_nan else float('nan'), nd)}"
         )
         lines.append("```")
         lines.append("")

@@ -157,3 +157,28 @@ def test_review3_regressions(tmp_path, rng):
     from barc4dip_tpu.preprocessing import (  # noqa: F401
         clahe, correct_distortion, distortion_map,
     )
+
+
+def test_review4_regressions(rng):
+    """Pins for the geometry/plotting/report review findings."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from barc4dip_tpu.geometry import crop_to_square_center
+    from barc4dip_tpu.plotting import plt_image
+
+    # even min_dim with constant > 1: largest odd square that FITS
+    out = crop_to_square_center(np.zeros((10, 20)), constant=1.2)
+    assert out.shape == (9, 9)
+    with pytest.raises(ValueError, match="non-positive"):
+        crop_to_square_center(np.zeros((10, 20)), constant=0.05)
+
+    # display_origin="upper": the ROI rectangle must cover the rows it names
+    img = np.zeros((100, 100))
+    img[10:30, 40:60] = 1.0
+    fig = plt_image(img, display_origin="upper", roi=(slice(10, 30), slice(40, 60)))
+    (rect,) = [p for p in fig.axes[0].patches]
+    # y axis runs downward (row coordinates): the rectangle sits at y=10..30
+    assert rect.get_y() == 10.0 and rect.get_height() == 20.0
+    lo, hi = fig.axes[0].get_ylim()
+    assert lo > hi  # inverted axis: row 0 at the top
