@@ -56,6 +56,64 @@ def _pixel_canvas(img: np.ndarray, *, fig_h: float = 5.0, origin: str = "lower")
     return fig, ax, (0.0, float(nx), 0.0, float(ny))
 
 
+def _draw_pixels(img, *, origin: str, cmap: str, vmin, vmax, k: float):
+    """Shared imshow setup for the pixel-coordinate image plots."""
+    start_plotting(k)
+    fig, ax, extent = _pixel_canvas(img, origin=origin)
+    im = ax.imshow(
+        img,
+        origin=origin,
+        cmap=resolve_cmap(cmap),
+        vmin=vmin,
+        vmax=vmax,
+        interpolation="none",
+        aspect="equal",
+        extent=extent,
+    )
+    ax.set_xlabel("x (px)")
+    ax.set_ylabel("y (px)")
+    return fig, ax, im
+
+
+def _split_metric_path(metric_path) -> tuple[str, str]:
+    """'grain.lx' / 'grain/lx' / ('grain', 'lx') -> (group, metric)."""
+    if isinstance(metric_path, str):
+        parts = tuple(p for p in metric_path.replace("/", ".").split(".") if p)
+    else:
+        parts = tuple(metric_path)
+    if len(parts) != 2:
+        raise ValueError("metric_path must be like ('grain','lx') or 'grain.lx'")
+    return parts
+
+
+def _metric_unit(meta: dict, group: str, metric: str):
+    units = meta.get("units", {})
+    if isinstance(units, dict) and isinstance(units.get(group), dict):
+        return units[group].get(metric)
+    return None
+
+
+def _tile_grids(tiles: dict, group: str, metric: str, *, need_std: bool):
+    """(3,3) mean/std grids for one tile metric, as float64."""
+    group_block = tiles.get(group)
+    if not isinstance(group_block, dict):
+        raise KeyError(f"tiles has no group {group!r}")
+    metric_block = group_block.get(metric)
+    if not isinstance(metric_block, dict):
+        raise KeyError(f"tiles[{group!r}] has no metric {metric!r}")
+
+    def grid_or_none(name, required):
+        g = metric_block.get(name)
+        ok = isinstance(g, np.ndarray) and g.shape == (3, 3)
+        if required and not ok:
+            raise ValueError(
+                f"tile {name} for {group}.{metric} must be a (3,3) array; "
+                f"got {type(g).__name__} / shape {getattr(g, 'shape', None)!r}"
+            )
+        return g.astype(np.float64, copy=False) if ok else None
+
+    return grid_or_none("mean", True), grid_or_none("std", need_std)
+
 def _size_matched_colorbar(fig: Figure, ax: Axes, im, label: str | None) -> None:
     divider = make_axes_locatable(ax)
     cax = divider.append_axes("right", size="5%", pad=0.05)
@@ -88,23 +146,11 @@ def plt_image(
     """Plot a 2D image in pixel coordinates with an optional size-matched
     colorbar and an optional ROI rectangle/zoom (numpy slice convention)."""
     if img.ndim != 2:
-        raise ValueError(f"image expects a 2D array; got shape={img.shape!r}")
+        raise ValueError(f"plt_image needs a 2D array, not shape {img.shape!r}")
 
-    start_plotting(k)
-    fig, ax, extent = _pixel_canvas(img, origin=display_origin)
-
-    im = ax.imshow(
-        img,
-        origin=display_origin,
-        cmap=resolve_cmap(cmap),
-        vmin=vmin,
-        vmax=vmax,
-        interpolation="none",
-        aspect="equal",
-        extent=extent,
+    fig, ax, im = _draw_pixels(
+        img, origin=display_origin, cmap=cmap, vmin=vmin, vmax=vmax, k=k
     )
-    ax.set_xlabel("x (px)")
-    ax.set_ylabel("y (px)")
     if title:
         ax.set_title(title, fontsize=15 * k)
 
@@ -170,56 +216,25 @@ def plt_tiles_metric(
     displayed values by the central (C) tile mean."""
     if not isinstance(img, np.ndarray) or img.ndim != 2:
         raise ValueError(
-            f"img must be a 2D numpy array; got {type(img)} shape={getattr(img, 'shape', None)!r}"
+            f"plt_tiles_metric needs a 2D numpy image, not "
+            f"{type(img).__name__} / shape {getattr(img, 'shape', None)!r}"
         )
 
     meta = stats.get("meta")
     tiles = stats.get("tiles")
     if not isinstance(meta, dict) or not isinstance(tiles, dict):
-        raise ValueError("stats must contain dict keys 'meta' and 'tiles'")
+        raise ValueError("a stats dict with 'meta' and 'tiles' blocks is required")
 
-    if isinstance(metric_path, str):
-        parts = tuple(p for p in metric_path.replace("/", ".").split(".") if p)
-    else:
-        parts = tuple(metric_path)
-    if len(parts) != 2:
-        raise ValueError("metric_path must be like ('grain','lx') or 'grain.lx'")
-    group, metric = parts
-
-    unit = None
-    units = meta.get("units", {})
-    if isinstance(units, dict) and isinstance(units.get(group), dict):
-        unit = units[group].get(metric)
-
-    group_block = tiles.get(group)
-    if not isinstance(group_block, dict):
-        raise KeyError(f"tiles has no group {group!r}")
-    metric_block = group_block.get(metric)
-    if not isinstance(metric_block, dict):
-        raise KeyError(f"tiles[{group!r}] has no metric {metric!r}")
-
-    mean = metric_block.get("mean")
-    std = metric_block.get("std")
-    if not (isinstance(mean, np.ndarray) and mean.shape == (3, 3)):
-        raise ValueError(
-            f"Expected mean array with shape (3,3); got {type(mean)} "
-            f"shape={getattr(mean, 'shape', None)!r}"
-        )
-    if show_std and not (isinstance(std, np.ndarray) and std.shape == (3, 3)):
-        raise ValueError(
-            f"Expected std array with shape (3,3); got {type(std)} "
-            f"shape={getattr(std, 'shape', None)!r}"
-        )
-
-    mean_disp = mean.astype(np.float64, copy=False)
-    std_disp = std.astype(np.float64, copy=False) if isinstance(std, np.ndarray) else None
+    group, metric = _split_metric_path(metric_path)
+    mean_disp, std_disp = _tile_grids(tiles, group, metric, need_std=show_std)
+    unit = _metric_unit(meta, group, metric)
 
     if normalize:
         center = float(mean_disp[1, 1])
         if not np.isfinite(center):
-            raise ValueError("Cannot normalize tile labels: central tile mean is not finite")
+            raise ValueError("normalize=True needs a finite central-tile mean")
         if np.isclose(center, 0.0):
-            raise ValueError("Cannot normalize tile labels: central tile mean is zero")
+            raise ValueError("normalize=True needs a nonzero central-tile mean")
         mean_disp = mean_disp / center
         if std_disp is not None:
             std_disp = std_disp / center
@@ -237,20 +252,9 @@ def plt_tiles_metric(
     if origin not in ("upper", "lower"):
         origin = "lower"
 
-    start_plotting(k)
-    fig, ax, extent = _pixel_canvas(img, origin=origin)
-    im = ax.imshow(
-        img,
-        origin=origin,
-        cmap=resolve_cmap(cmap),
-        vmin=vmin,
-        vmax=vmax,
-        interpolation="none",
-        aspect="equal",
-        extent=extent,
+    fig, ax, im = _draw_pixels(
+        img, origin=origin, cmap=cmap, vmin=vmin, vmax=vmax, k=k
     )
-    ax.set_xlabel("x (px)")
-    ax.set_ylabel("y (px)")
     ax.set_title(title if title is not None else metric_with_unit, fontsize=14 * k)
 
     x0, x1 = ax.get_xlim()
@@ -263,31 +267,21 @@ def plt_tiles_metric(
     for y in edges_y:
         ax.plot([x0, x1], [y, y], "-", lw=1.5, alpha=0.9, color="orange")
 
-    for iy in range(3):
-        for ix in range(3):
-            cx = 0.5 * (edges_x[ix] + edges_x[ix + 1])
-            cy = 0.5 * (edges_y[iy] + edges_y[iy + 1])
-            m = float(mean_disp[iy, ix])
+    box_style = dict(
+        boxstyle="round,pad=0.25", facecolor="black", alpha=0.60,
+        edgecolor="black", linewidth=0.0,
+    )
+    centers_x = 0.5 * (edges_x[:-1] + edges_x[1:])
+    centers_y = 0.5 * (edges_y[:-1] + edges_y[1:])
+    for iy, cy in enumerate(centers_y):
+        for ix, cx in enumerate(centers_x):
+            value = fmt.format(float(mean_disp[iy, ix]))
             if show_std:
-                txt = f"{labels[iy, ix]}\n{fmt.format(m)} ± {fmt.format(float(std_disp[iy, ix]))}"
-            else:
-                txt = f"{labels[iy, ix]}\n{fmt.format(m)}"
+                value += f" ± {fmt.format(float(std_disp[iy, ix]))}"
             ax.text(
-                cx,
-                cy,
-                txt,
-                ha="center",
-                va="center",
-                fontsize=10 * k,
-                color="w",
-                alpha=0.95,
-                bbox=dict(
-                    boxstyle="round,pad=0.25",
-                    facecolor="black",
-                    alpha=0.60,
-                    edgecolor="black",
-                    linewidth=0.0,
-                ),
+                cx, cy, f"{labels[iy, ix]}\n{value}",
+                ha="center", va="center", fontsize=10 * k,
+                color="w", alpha=0.95, bbox=box_style,
             )
 
     if colorbar:
@@ -312,13 +306,13 @@ def plt_histogram(
     """Histogram of finite pixel values with one bin per gray level, optional
     log-y, CDF twin axis and percentile markers."""
     if not isinstance(img, np.ndarray):
-        raise TypeError("histogram expects a numpy.ndarray")
+        raise TypeError("plt_histogram works on numpy arrays")
     if img.ndim != 2:
-        raise ValueError(f"histogram expects a 2D array; got shape={img.shape!r}")
+        raise ValueError(f"plt_histogram needs a 2D array, not shape {img.shape!r}")
     if not np.issubdtype(img.dtype, np.number):
-        raise TypeError(f"histogram expects a numeric array; got dtype={img.dtype}")
+        raise TypeError(f"plt_histogram needs numeric data, not dtype={img.dtype}")
     if bin_max <= bin_min:
-        raise ValueError("require bin_max > bin_min")
+        raise ValueError("bin_max must exceed bin_min")
 
     start_plotting(k)
 
