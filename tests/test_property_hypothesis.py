@@ -235,3 +235,58 @@ def test_roi_slices_clip_invariants(h, w, cy, cx, side):
         assert sy.stop - sy.start == size
     if 0 <= cx - size // 2 and cx + size // 2 < w:
         assert sx.stop - sx.start == size
+
+
+@given(
+    ny=st.integers(8, 48),
+    nx=st.integers(8, 48),
+    seed=st.integers(0, 2**31 - 1),
+    dx=st.floats(0.1, 10.0),
+    dy=st.floats(0.1, 10.0),
+)
+@settings(**COMMON)
+def test_psd_parseval_and_autocorr_invariants(ny, nx, seed, dx, dy):
+    """Physics invariants of the Fourier layer on arbitrary real fields:
+
+    - Parseval: sum(PSD(scale=False)) == N * sum(x²) for mean-kept input;
+    - the autocorrelation of a real field peaks at zero lag with value 1
+      (peak normalization) and is centro-symmetric.
+    """
+    from barc4dip_tpu.signal import autocorr2d, psd2d
+
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(ny, nx))
+
+    P, _, _ = psd2d(x, dx=dx, dy=dy, scale=False)
+    P = np.asarray(P)
+    np.testing.assert_allclose(
+        P.sum(), ny * nx * np.sum(x * x), rtol=1e-8, atol=1e-6
+    )
+
+    ac, xl, yl = autocorr2d(x)
+    ac = np.asarray(ac)
+    iy0, ix0 = ny // 2, nx // 2
+    assert float(xl[ix0]) == 0.0 and float(yl[iy0]) == 0.0
+    assert ac[iy0, ix0] == pytest.approx(1.0, abs=1e-9)  # peak-normalized
+    assert np.nanmax(np.abs(ac)) <= 1.0 + 1e-9
+    assert np.unravel_index(np.argmax(ac), ac.shape) == (iy0, ix0)
+
+
+@given(
+    n=st.integers(16, 96),
+    shift=st.integers(-5, 5),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(**COMMON)
+def test_xcorr_shift_theorem(n, shift, seed):
+    """Circular cross-correlation of a signal with its roll peaks at the
+    roll distance (reference lag convention: centered axis)."""
+    from barc4dip_tpu.signal import xcorr1d
+
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=n)
+    b = np.roll(a, shift)
+    corr, lags = xcorr1d(b, a, normalize="peak")
+    corr = np.asarray(corr)
+    k = int(np.argmax(np.abs(corr)))
+    assert float(lags[k]) == float(shift)
