@@ -74,14 +74,25 @@ def _load():
         out_dir.mkdir(parents=True, exist_ok=True)
         so = out_dir / "libdipio.so"
         if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+            # link to a private temp name and rename atomically: writing the
+            # shared cache path in place would truncate an inode another
+            # process may have dlopen'd (SIGBUS on its next call) or hand a
+            # concurrent loader a half-written file
+            tmp = out_dir / f"libdipio.{os.getpid()}.tmp.so"
             cmd = [
                 "g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-pthread",
-                str(src), "-o", str(so),
+                str(src), "-o", str(tmp),
             ]
             try:
                 subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+                os.replace(tmp, so)
             except Exception as exc:
-                _load_error = f"native build failed: {exc}"
+                stderr = getattr(exc, "stderr", b"") or b""
+                detail = stderr.decode("utf-8", "replace").strip()
+                _load_error = "native build failed: " + (
+                    f"{exc}\n{detail}" if detail else str(exc)
+                )
+                tmp.unlink(missing_ok=True)
                 return None
         try:
             lib = ctypes.CDLL(str(so))
@@ -131,8 +142,6 @@ def native_available() -> bool:
 def native_io_requested() -> bool:
     """True when BARC4DIP_TPU_NATIVE_IO is truthy AND the runtime loads —
     the single routing gate shared by the EDF and TIFF readers."""
-    import os
-
     if os.environ.get("BARC4DIP_TPU_NATIVE_IO", "").strip().lower() not in (
         "1", "true", "yes", "on",
     ):
@@ -163,22 +172,28 @@ class _NativeFrameFile:
             raise OSError(f"dipio: {_err(lib)} ({path})")
         self.path = Path(path)
 
+    def _live_handle(self):
+        if self._handle is None:
+            raise RuntimeError(f"{type(self).__name__} is closed")
+        return self._handle
+
     @property
     def NumImages(self) -> int:  # noqa: N802 - legacy API name
-        return int(self._fn["num_frames"](self._handle))
+        return int(self._fn["num_frames"](self._live_handle()))
 
     def GetNumImages(self) -> int:  # noqa: N802
         return self.NumImages
 
     def GetData(self, index: int) -> np.ndarray:  # noqa: N802
         lib = self._lib
+        handle = self._live_handle()
         d1 = ctypes.c_int64()
         d2 = ctypes.c_int64()
         dt = ctypes.c_int()
         le = ctypes.c_int()
         nb = ctypes.c_int64()
         if self._fn["frame_info"](
-            self._handle, index, ctypes.byref(d1), ctypes.byref(d2),
+            handle, index, ctypes.byref(d1), ctypes.byref(d2),
             ctypes.byref(dt), ctypes.byref(le), ctypes.byref(nb),
         ) != 0:
             raise IndexError(_err(lib))
@@ -187,7 +202,7 @@ class _NativeFrameFile:
             dtype = dtype.newbyteorder(">")
         out = np.empty((d2.value, d1.value), dtype=dtype)
         if self._fn["read_frame"](
-            self._handle, index, out.ctypes.data_as(ctypes.c_void_p), nb.value
+            handle, index, out.ctypes.data_as(ctypes.c_void_p), nb.value
         ) != 0:
             raise OSError(f"dipio: {_err(lib)}")
         return out
@@ -253,6 +268,10 @@ class AsyncStackLoader:
         if self._consumed >= self._n:
             self.close()
             raise StopIteration
+        if self._handle is None:
+            # a closed loader must fail as a Python error, not hand the C
+            # side a NULL pointer
+            raise RuntimeError("AsyncStackLoader is closed")
         lib = self._lib
         d1 = ctypes.c_int64()
         d2 = ctypes.c_int64()
@@ -265,10 +284,11 @@ class AsyncStackLoader:
             )
             if rc == 0:
                 break
-            msg = _err(lib)
-            if rc == -1 and "too small" in msg:
-                self._cap *= 4
+            if rc == 2:  # buffer too small: the call reported the geometry
+                need = d1.value * d2.value * _DTYPES[dt.value].itemsize
+                self._cap = max(int(need), self._cap)
                 continue
+            msg = _err(lib)
             self.close()
             if rc == 1:
                 raise StopIteration
@@ -276,7 +296,9 @@ class AsyncStackLoader:
         self._consumed += 1
         dtype = _DTYPES[dt.value]
         nbytes = d1.value * d2.value * dtype.itemsize
-        return buf[:nbytes].view(dtype).reshape(d2.value, d1.value).copy()
+        # the buffer is fresh per call: the reshaped view owns it, no second
+        # copy needed on this hot path
+        return buf[:nbytes].view(dtype).reshape(d2.value, d1.value)
 
     def close(self) -> None:
         if getattr(self, "_handle", None):

@@ -129,7 +129,12 @@ bool scan_edf(EdfFile* f, const char* path) {
     // skip whitespace between frames
     char c = 0;
     while (pos < fsize) {
-      if (::pread(f->fd, &c, 1, pos) != 1) return true;
+      if (::pread(f->fd, &c, 1, pos) != 1) {
+        // a read failure inside the file is an I/O error, not end-of-scan:
+        // returning success here would silently truncate the frame list
+        set_error("read failed while scanning EDF headers");
+        return false;
+      }
       if (c == '{') break;
       if (c == '\n' || c == '\r' || c == ' ' || c == '\t') { pos++; continue; }
       set_error("malformed EDF header (expected '{')");
@@ -214,6 +219,13 @@ bool scan_edf(EdfFile* f, const char* path) {
         if (declared < info.nbytes) {
           set_error("EDF header Size=" + std::to_string(declared) +
                     " smaller than payload " + std::to_string(info.nbytes));
+          return false;
+        }
+        if (declared > fsize) {
+          // also guards the signed addition below: a crafted Size near
+          // INT64_MAX would overflow data_offset + block (UB)
+          set_error("EDF header Size=" + std::to_string(declared) +
+                    " exceeds file size " + std::to_string(fsize));
           return false;
         }
         block = declared;
@@ -594,7 +606,13 @@ struct Prefetcher {
   std::atomic<bool> stop{false};
 
   ~Prefetcher() {
-    stop = true;
+    {
+      // set stop under the mutex: a worker between its wait-predicate check
+      // and the actual sleep would otherwise miss the notification (lost
+      // wakeup) and the join below would hang the process forever
+      std::lock_guard<std::mutex> lk(mu);
+      stop = true;
+    }
     cv_space.notify_all();
     for (auto& t : workers) {
       if (t.joinable()) t.join();
@@ -803,10 +821,16 @@ void* dipio_prefetch_open(const char** paths, int n_paths, int n_threads,
 
 // Blocks until the next in-order frame is ready; returns its geometry and
 // copies the payload. Returns 0 on success, 1 when the sequence is
-// exhausted, -1 on error.
+// exhausted, 2 when `cap` is too small (geometry is still filled so the
+// caller can allocate exactly and retry — the frame stays queued), -1 on
+// error.
 int dipio_prefetch_next(void* handle, void* out, int64_t cap, int64_t* dim1,
                         int64_t* dim2, int* dtype) {
   auto* p = static_cast<Prefetcher*>(handle);
+  if (p == nullptr) {
+    set_error("prefetcher handle is null (already closed?)");
+    return -1;
+  }
   if (p->next_consume >= p->paths.size()) return 1;
 
   size_t idx = p->next_consume;
@@ -818,8 +842,10 @@ int dipio_prefetch_next(void* handle, void* out, int64_t cap, int64_t* dim1,
     return -1;
   }
   if (cap < static_cast<int64_t>(s.data.size())) {
-    set_error("output buffer too small");
-    return -1;
+    *dim1 = s.dim1;
+    *dim2 = s.dim2;
+    *dtype = s.dtype;
+    return 2;  // distinct code, not a string-matched error message
   }
   std::memcpy(out, s.data.data(), s.data.size());
   *dim1 = s.dim1;

@@ -304,3 +304,35 @@ def test_async_loader_corrupt_file_mid_sequence(tmp_path):
     assert len(got) == 2
     for g, want in zip(got, arrs[:2]):
         np.testing.assert_array_equal(g, want)
+
+
+def test_prefetch_buffer_growth_and_closed_loader(tmp_path):
+    """Frames larger than the initial 1 MB capacity trigger the distinct
+    grow-and-retry return code; a closed loader raises instead of passing
+    NULL to the C side."""
+    if not native_available():
+        pytest.skip("native runtime unavailable")
+    from barc4dip_tpu.io.edf import save_edf
+    from barc4dip_tpu.io.native import AsyncStackLoader
+
+    rng = np.random.default_rng(0)
+    frames = [rng.normal(size=(600, 600)).astype(np.float64) for _ in range(2)]
+    paths = []
+    for i, f in enumerate(frames):  # 2.88 MB each > 1 MB initial cap
+        p = tmp_path / f"big{i}.edf"
+        save_edf(f, p)
+        paths.append(str(p))
+
+    loader = AsyncStackLoader(paths)
+    got = [next(loader) for _ in range(2)]
+    for a, b in zip(got, frames):
+        np.testing.assert_array_equal(a, b)
+    a0 = got[0]
+    a0[0, 0] = 1.0  # returned frames are writable views
+
+    # closing an UNconsumed loader: next() must be a Python error, never a
+    # NULL handle passed across the C ABI
+    fresh = AsyncStackLoader(paths)
+    fresh.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        next(fresh)
