@@ -56,10 +56,6 @@ def _env_flag(name: str, default: bool) -> bool:
     return v.strip().lower() in ("1", "true", "yes", "on")
 
 
-# When True, public aggregators block until device results are ready before
-# returning (useful for benchmarking); results are pulled to host anyway.
-SYNC_RESULTS: bool = _env_flag("BARC4DIP_TPU_SYNC", True)
-
 
 def _setup_debug_mode() -> None:
     """BARC4DIP_TPU_DEBUG=1 enables the numerical sanitizer: jax debug-nans

@@ -5,7 +5,6 @@ from .mesh import (
     frame_mesh,
     init_distributed,
     frames_sharding,
-    pad_to_multiple,
     replicated_sharding,
     shard_frames,
 )
@@ -17,5 +16,4 @@ __all__ = [
     "frames_sharding",
     "replicated_sharding",
     "shard_frames",
-    "pad_to_multiple",
 ]

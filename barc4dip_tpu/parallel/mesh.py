@@ -18,11 +18,12 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 __all__ = [
+    "FRAME_AXIS",
     "frame_mesh",
     "frames_sharding",
     "replicated_sharding",
     "shard_frames",
-    "pad_to_multiple",
+    "init_distributed",
 ]
 
 FRAME_AXIS = "frames"
@@ -62,15 +63,6 @@ def frames_sharding(mesh: Mesh) -> NamedSharding:
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
 
-
-def pad_to_multiple(arr: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:
-    """Pad the leading axis to a multiple (repeating the last frame);
-    returns (padded, original_length)."""
-    n = arr.shape[0]
-    pad = (-n) % multiple
-    if pad:
-        arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)], axis=0)
-    return arr, n
 
 
 def shard_frames(arr, mesh: Mesh):

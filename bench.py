@@ -13,8 +13,13 @@ Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "MP/s/chip", "vs_baseline": N}
 
 Environment knobs: BENCH_T (TPU frames, default 16), BENCH_SIZE (frame side,
-default 2048), BENCH_CPU_T (baseline frames, default 2),
-BENCH_FORCE_BASELINE=1 re-measures the CPU baseline.
+default 2048), BENCH_CHUNK (frames per device chunk, default 4 — the
+measured optimum with prefetch-overlapped uploads), BENCH_CPU_T (baseline
+frames, default 2), BENCH_FORCE_BASELINE=1 re-measures the CPU baseline.
+
+The run FAILS (exit 1, "gate_failed": true in the JSON) when the tracking
+error against the known synthetic motion exceeds 0.05 px — a throughput
+number from numerically wrong hardware output must not read as a win.
 """
 from __future__ import annotations
 
@@ -67,7 +72,9 @@ def measure_link_mbps(nbytes: int = 8 << 20, down_nbytes: int = 2 << 20) -> dict
     import jax.numpy as jnp
 
     consume = jax.jit(lambda x: x.astype(jnp.uint32).sum())
-    buf = np.zeros(nbytes, np.uint8)
+    # incompressible payload: an all-zeros buffer would let any compression
+    # in the HTTP tunnel report fantasy bandwidth vs the real speckle data
+    buf = np.random.default_rng(0).integers(0, 256, nbytes).astype(np.uint8)
     float(consume(jnp.asarray(buf)))  # warm: wire + compile at probe shape
     t0 = time.perf_counter()
     dev = jnp.asarray(buf)
@@ -236,10 +243,12 @@ def main() -> int:
     else:
         vs_baseline = float("nan")
 
+    gate_failed = not (track_err <= 0.05)  # NaN also fails
     print(
         json.dumps(
             {
                 "metric": "speckle_stack_pipeline_throughput",
+                "gate_failed": gate_failed,
                 "value": round(tpu_mpix_s, 3),
                 "unit": "MP/s/chip",
                 "vs_baseline": round(vs_baseline, 3)
@@ -270,7 +279,7 @@ def main() -> int:
             }
         )
     )
-    return 0
+    return 1 if gate_failed else 0
 
 
 if __name__ == "__main__":

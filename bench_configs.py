@@ -27,14 +27,21 @@ SIDE = 2048
 REPEATS = 3
 
 
-def _timeit(fn, repeats=REPEATS):
-    fn()  # warmup (compiles on the TPU side)
+def _timeit(fn, repeats=REPEATS, warmup=True):
+    if warmup:  # compiles on the TPU side; pure waste for the CPU reference
+        fn()
     best = np.inf
     for _ in range(repeats):
         t0 = time.perf_counter()
         fn()
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def _make_flat(shape):
+    """The synthetic flat-field used by config E on BOTH sides — one
+    definition so the comparison stays like-for-like."""
+    return np.random.default_rng(0).normal(2000, 50, size=shape).astype(np.float32)
 
 
 def bench_tpu(field2d, stack):
@@ -104,7 +111,7 @@ def bench_tpu(field2d, stack):
 
     out["D_stack_pipeline_per_frame"] = _timeit(config_d, repeats=2) / T
 
-    flat = (np.random.default_rng(0).normal(2000, 50, size=field2d.shape)).astype(np.float32)
+    flat = _make_flat(field2d.shape)
 
     def config_e_parity():
         # like-for-like with the CPU baseline (which cannot run skimage
@@ -171,11 +178,11 @@ def bench_cpu(field2d, stack):
     f64 = field2d.astype(np.float64)
 
     out["A_sharpness_stats_2k"] = _timeit(
-        lambda: ref.logbook_report(ref.sharpness_stats(f64, verbose=False)), repeats=1
+        lambda: ref.logbook_report(ref.sharpness_stats(f64, verbose=False)), repeats=1, warmup=False
     )
     out["B_speckle_stats_2k"] = _timeit(
         lambda: ref.speckle_stats(f64, metrics="all", tiles=True, verbose=False),
-        repeats=1,
+        repeats=1, warmup=False,
     )
 
     def config_c():
@@ -184,7 +191,7 @@ def bench_cpu(field2d, stack):
         ref.maths.radial.radial_mean_binned(ac)
         ref.maths.radial.radial_mean_interpolated(ac)
 
-    out["C_fourier_radial_2k"] = _timeit(config_c, repeats=1)
+    out["C_fourier_radial_2k"] = _timeit(config_c, repeats=1, warmup=False)
 
     cpu_T = min(2, stack.shape[0])
     def config_d():
@@ -193,9 +200,9 @@ def bench_cpu(field2d, stack):
             verbose=False, parallel=True, n_jobs=-1,
         )
 
-    out["D_stack_pipeline_per_frame"] = _timeit(config_d, repeats=1) / cpu_T
+    out["D_stack_pipeline_per_frame"] = _timeit(config_d, repeats=1, warmup=False) / cpu_T
 
-    flat = (np.random.default_rng(0).normal(2000, 50, size=field2d.shape)).astype(np.float32)
+    flat = _make_flat(field2d.shape)
     # reference deconvolution requires scikit-image (absent here); Config E
     # baseline covers flat-field + stats + report only; noted in output.
     def config_e():
@@ -207,7 +214,7 @@ def bench_cpu(field2d, stack):
         )
         ref.logbook_report(stats)
 
-    out["E_preprocess_report_2k"] = _timeit(config_e, repeats=2)
+    out["E_preprocess_report_2k"] = _timeit(config_e, repeats=2, warmup=False)
 
     def config_f():
         # no reference counterpart (extension): an equivalent, well-
@@ -241,7 +248,7 @@ def bench_cpu(field2d, stack):
         k = corr.reshape(N, -1).argmax(axis=1)
         return k
 
-    out["F_xst_dense_track_2k"] = _timeit(config_f, repeats=1)
+    out["F_xst_dense_track_2k"] = _timeit(config_f, repeats=1, warmup=False)
     return out
 
 
