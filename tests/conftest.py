@@ -10,8 +10,18 @@
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+import re
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if "xla_force_host_platform_device_count" in flags:
+    # an inherited count != 8 would fail every mesh test confusingly:
+    # replace it rather than keeping the stale value
+    os.environ["XLA_FLAGS"] = re.sub(
+        r"--xla_force_host_platform_device_count=\d+",
+        "--xla_force_host_platform_device_count=8",
+        flags,
+    )
+else:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()

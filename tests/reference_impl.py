@@ -1,7 +1,16 @@
 # SPDX-License-Identifier: CECILL-2.1
-"""Independent NumPy/SciPy formulations of the metric definitions, used as
-golden references by the test suite. Written from the documented math (see
-SURVEY.md §2.5-2.6), not ported code."""
+"""Plain NumPy/SciPy formulations of the metric definitions, used as golden
+references by the test suite.
+
+Written against the documented algorithms (SURVEY.md §2.5-2.6) in this
+file's own style, but NOT fully independent of the reference package: the
+output contract pins some of its unpublished choices — the polar sampling
+density ntheta = int(2*pi*180) (reference maths/radial.py:149), the
+effective no-pad behavior of spectral entropy (reference
+metrics/sharpness.py:590-591), and the walkers' clamped edge semantics —
+so bugs inherent to those *documented-behavior* choices would not be
+caught here. Structural/arithmetic mistakes in barc4dip_tpu still are.
+"""
 from __future__ import annotations
 
 import numpy as np
@@ -40,7 +49,9 @@ def width_at_fraction(p, fraction, center_index=None):
     i_right = next((i for i in range(c, p.size) if p[i] < thr), None)
     if i_left is None or i_right is None:
         return float(p.size), True
-    y0, y1 = p[i_left], p[i_left + 1]
+    # clamp the i_left == n-1 corner (negative peak at the last sample):
+    # the flat fallback then applies, matching ops/widths.py
+    y0, y1 = p[i_left], p[min(i_left + 1, p.size - 1)]
     x_left = float(i_left) if y1 == y0 else i_left + (thr - y0) / (y1 - y0)
     y0, y1 = p[i_right - 1], p[i_right]
     x_right = float(i_right) if y1 == y0 else (i_right - 1) + (thr - y0) / (y1 - y0)
