@@ -342,3 +342,93 @@ def dense_track_program(
         )
 
     return program, (y0s, x0s)
+
+
+@lru_cache(maxsize=16)
+def dense_track_stack_program(
+    H: int, W: int, tile: int, search: int, step: int, subpixel: bool, F: int
+):
+    """Batched variant of :func:`dense_track_program` for scans: ONE jitted
+    program tracks ``F`` frames against a shared reference.
+
+    (frames (F, H, W), ref (H, W), eps) -> (dy, dx, peak), each (F, gy, gx).
+
+    In the node-on-lane layout frames simply multiply the lane count: each
+    frame's windows append along the node axis (lane index f*N + n) and the
+    reference tile bank tiles F times, so the Pallas kernel runs unchanged
+    at F*N nodes. This amortises the per-call costs that dominate small
+    grids — the launch floor, the reference z-score/patch pass, and the
+    result pull — across the batch (pallas method only; the per-frame
+    program remains the general path).
+    """
+    s, r = int(tile), int(search)
+    w = s + 2 * r
+    y0s, x0s = grid_starts(H, W, s, r, step)
+    gy, gx = len(y0s), len(x0s)
+    N = gy * gx
+    NB = 128
+    Np = -(-(F * N) // NB) * NB
+
+    def node_last_stack(frames, base_y, base_x, side):
+        crop = lax.dynamic_slice(
+            frames, (0, base_y, base_x),
+            (F, (gy - 1) * step + side, (gx - 1) * step + side),
+        )
+        patches = lax.conv_general_dilated_patches(
+            crop[:, None], (side, side), (step, step), "VALID"
+        )  # (F, side*side, gy, gx)
+        # lane (last) axis stays innermost: this relayout is cheap, unlike
+        # moving the node axis itself (see the module docstring dead ends)
+        arr = patches.reshape(F, side, side, N)
+        return jnp.moveaxis(arr, 0, 2).reshape(side, side, F * N)
+
+    @jax.jit
+    def program(frames, ref, eps):
+        if frames.dtype not in (jnp.float32, jnp.float64):
+            frames = frames.astype(jnp.float32)
+        if ref.dtype != frames.dtype:
+            ref = ref.astype(frames.dtype)
+        # per-frame nan-aware z-score (NCC-invariant, f32 conditioning)
+        m = jnp.nanmean(frames, axis=(1, 2), keepdims=True)
+        sd = jnp.nanstd(frames, axis=(1, 2), keepdims=True)
+        frames = jnp.nan_to_num((frames - m) / (sd + eps))
+        ref = jnp.nan_to_num((ref - jnp.nanmean(ref)) / (jnp.nanstd(ref) + eps))
+
+        w_nl = node_last_stack(frames, int(y0s[0]) - r, int(x0s[0]) - r, w)
+
+        crop_r = lax.dynamic_slice(
+            ref, (int(y0s[0]), int(x0s[0])),
+            ((gy - 1) * step + s, (gx - 1) * step + s),
+        )
+        t_patches = lax.conv_general_dilated_patches(
+            crop_r[None, None], (s, s), (step, step), "VALID"
+        )
+        t_nl = t_patches[0].reshape(s, s, N)
+        t_nl = t_nl - jnp.mean(t_nl, axis=(0, 1), keepdims=True)
+        energy = jnp.sum(t_nl * t_nl, axis=(0, 1))
+        t_all = jnp.concatenate([t_nl] * F, axis=-1)       # lane = f*N + n
+        e_all = jnp.concatenate([energy] * F, axis=-1)
+
+        pad = ((0, 0), (0, 0), (0, Np - F * N))
+        from ..config import on_tpu
+
+        num_nl, s1_nl, s2_nl = _pallas_ncc_sums(
+            jnp.pad(t_all, pad, mode="edge").astype(jnp.float32),
+            jnp.pad(w_nl, pad, mode="edge").astype(jnp.float32),
+            s, w, r, not on_tpu(),
+        )
+        num_nl = num_nl[..., : F * N].astype(frames.dtype)
+        s1 = s1_nl[..., : F * N].astype(frames.dtype)
+        s2 = s2_nl[..., : F * N].astype(frames.dtype)
+        var_sum = jnp.maximum(s2 - (s1 * s1) / float(s * s), 0.0)
+        denom = jnp.sqrt(var_sum * e_all[None, None, :])
+        safe = denom > eps
+        corr = jnp.where(safe, num_nl / jnp.where(safe, denom, 1.0), 0.0)
+        dy, dx, peak = _peaks_node_last(corr, r, subpixel)
+        return (
+            dy.reshape(F, gy, gx),
+            dx.reshape(F, gy, gx),
+            peak.reshape(F, gy, gx),
+        )
+
+    return program, (y0s, x0s)

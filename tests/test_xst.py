@@ -212,3 +212,22 @@ def test_dense_tracking_tolerates_dead_pixels(rng):
     assert np.isfinite(out["dy"]).all() and np.isfinite(out["dx"]).all()
     np.testing.assert_allclose(np.median(out["dy"]), 1.0, atol=0.1)
     np.testing.assert_allclose(np.median(out["dx"]), -1.0, atol=0.1)
+
+
+def test_stack_batched_program_matches_per_frame(rng):
+    """The frame-batched Pallas scan path (frames appended along the node
+    axis) equals the per-frame path — including the padded tail batch."""
+    base = make_speckle(rng, shape=(128, 128), grain_px=3.0)
+    stack = np.stack([np.roll(base, (t, -t), axis=(0, 1)) for t in range(5)])
+    kw = dict(tile_size=17, step=24, search_radius=4)
+
+    from barc4dip_tpu.signal import track_displacement_stack
+
+    per_frame = track_displacement_stack(stack, method="fft", **kw)
+    batched = track_displacement_stack(
+        stack, method="pallas", frame_batch=2, **kw  # T=5: tail pads to 6
+    )
+    np.testing.assert_allclose(batched["dy"], per_frame["dy"], rtol=0, atol=5e-4)
+    np.testing.assert_allclose(batched["dx"], per_frame["dx"], rtol=0, atol=5e-4)
+    np.testing.assert_allclose(batched["peak"], per_frame["peak"], rtol=0, atol=1e-4)
+    assert batched["meta"]["frame_batch"] == 2
