@@ -61,9 +61,12 @@ def integrate_gradients(gy, gx, *, dy: float = 1.0, dx: float = 1.0):
     """
     gy = jnp.asarray(gy)
     gx = jnp.asarray(gx)
-    if not jnp.issubdtype(gy.dtype, jnp.inexact):
-        # integer gradients would also truncate the (float) grid spacings
-        gy = gy.astype(jnp.promote_types(gy.dtype, jnp.float32))
+    # promote over BOTH inputs (int gy + f64 gx must compute in f64, and
+    # integer gradients would truncate the float grid spacings)
+    dtype = jnp.promote_types(gy.dtype, gx.dtype)
+    if not jnp.issubdtype(dtype, jnp.inexact):
+        dtype = jnp.promote_types(dtype, jnp.float32)
+    gy = gy.astype(dtype)
     if gy.ndim != 2 or gy.shape != gx.shape:
         raise ValueError(
             f"gy and gx must be equal-shape 2D arrays; got {gy.shape} vs {gx.shape}"

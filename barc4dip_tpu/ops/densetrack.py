@@ -46,7 +46,7 @@ from jax import lax
 from . import ncc as ncc_ops
 from . import phasecorr as pc_ops
 
-__all__ = ["grid_starts", "dense_track_program"]
+__all__ = ["grid_starts", "dense_track_program", "resolve_track_method"]
 
 
 def grid_starts(
@@ -185,7 +185,19 @@ def _peaks_node_last(corr, r: int, subpixel: bool):
     return fi + di_ - float(r), fj + dj_ - float(r), peak
 
 
-@lru_cache(maxsize=32)
+def resolve_track_method(method: str = "auto") -> str:
+    """Resolve ``"auto"`` to the backend-appropriate concrete method."""
+    from ..config import on_tpu
+
+    if method == "auto":
+        method = "pallas" if on_tpu() else "fft"
+    if method not in ("pallas", "conv", "fft"):
+        raise ValueError(
+            f"method must be 'auto', 'pallas', 'conv' or 'fft'; got {method!r}"
+        )
+    return method
+
+
 def dense_track_program(
     H: int, W: int, tile: int, search: int, step: int, subpixel: bool,
     method: str = "auto",
@@ -201,16 +213,26 @@ def dense_track_program(
     correlation), "fft" (fastest on CPU), or "auto" (backend-appropriate
     choice). All produce the same NCC map to float tolerance; see the
     module docstring for measured rates.
+
+    ``"auto"`` and the Pallas interpret flag are resolved HERE, before the
+    program cache, so the cache key is always the concrete backend — a
+    later platform toggle in the same process gets a fresh program instead
+    of a stale one.
     """
     from ..config import on_tpu
 
-    if method == "auto":
-        method = "pallas" if on_tpu() else "fft"
-    if method not in ("pallas", "conv", "fft"):
-        raise ValueError(
-            f"method must be 'auto', 'pallas', 'conv' or 'fft'; got {method!r}"
-        )
-    pallas_interpret = method == "pallas" and not on_tpu()
+    method = resolve_track_method(method)
+    return _dense_track_program(
+        H, W, tile, search, step, subpixel, method,
+        method == "pallas" and not on_tpu(),
+    )
+
+
+@lru_cache(maxsize=32)
+def _dense_track_program(
+    H: int, W: int, tile: int, search: int, step: int, subpixel: bool,
+    method: str, pallas_interpret: bool,
+):
     s, r = int(tile), int(search)
     w = s + 2 * r
     y0s, x0s = grid_starts(H, W, s, r, step)
@@ -344,9 +366,23 @@ def dense_track_program(
     return program, (y0s, x0s)
 
 
-@lru_cache(maxsize=16)
 def dense_track_stack_program(
     H: int, W: int, tile: int, search: int, step: int, subpixel: bool, F: int
+):
+    """See :func:`_dense_track_stack_program`; the Pallas interpret flag is
+    resolved before the cache boundary (same rationale as
+    :func:`dense_track_program`)."""
+    from ..config import on_tpu
+
+    return _dense_track_stack_program(
+        H, W, tile, search, step, subpixel, F, not on_tpu()
+    )
+
+
+@lru_cache(maxsize=16)
+def _dense_track_stack_program(
+    H: int, W: int, tile: int, search: int, step: int, subpixel: bool, F: int,
+    pallas_interpret: bool,
 ):
     """Batched variant of :func:`dense_track_program` for scans: ONE jitted
     program tracks ``F`` frames against a shared reference.
@@ -410,12 +446,10 @@ def dense_track_stack_program(
         e_all = jnp.concatenate([energy] * F, axis=-1)
 
         pad = ((0, 0), (0, 0), (0, Np - F * N))
-        from ..config import on_tpu
-
         num_nl, s1_nl, s2_nl = _pallas_ncc_sums(
             jnp.pad(t_all, pad, mode="edge").astype(jnp.float32),
             jnp.pad(w_nl, pad, mode="edge").astype(jnp.float32),
-            s, w, r, not on_tpu(),
+            s, w, r, pallas_interpret,
         )
         num_nl = num_nl[..., : F * N].astype(frames.dtype)
         s1 = s1_nl[..., : F * N].astype(frames.dtype)

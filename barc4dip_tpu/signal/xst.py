@@ -22,7 +22,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..maths.integrate import integrate_gradients
-from ..ops.densetrack import dense_track_program
+from ..ops.densetrack import dense_track_program, resolve_track_method
 
 __all__ = [
     "track_displacement_field",
@@ -67,9 +67,10 @@ def track_displacement_field(
         )
     H, W = (int(v) for v in img.shape)
 
-    program, (y0s, x0s) = dense_track_program(
+    method = resolve_track_method(str(method))  # resolved once: meta records
+    program, (y0s, x0s) = dense_track_program(  # the kernel that actually ran
         H, W, int(tile_size), int(search_radius), int(step), bool(subpixel),
-        str(method),
+        method,
     )
     dy, dx, peak = program(
         jnp.asarray(img), jnp.asarray(ref), jnp.asarray(eps, jnp.float32)
@@ -89,7 +90,7 @@ def track_displacement_field(
             "step": int(step),
             "search_radius": int(search_radius),
             "subpixel": bool(subpixel),
-            "method": str(method),
+            "method": method,
             "grid_shape": (len(y0s), len(x0s)),
             "units": {"dy": "px", "dx": "px", "peak": "1"},
         },
@@ -136,11 +137,7 @@ def track_displacement_stack(
     if ref.shape != (H, W):
         raise ValueError(f"ref shape {ref.shape} != frame shape {(H, W)}")
 
-    from ..config import on_tpu
-
-    resolved = str(method)
-    if resolved == "auto":
-        resolved = "pallas" if on_tpu() else "fft"
+    resolved = resolve_track_method(str(method))
     F = max(1, int(frame_batch))
     if resolved == "pallas" and mesh is None and F > 1 and T > 1:
         return _track_stack_batched(
@@ -150,7 +147,7 @@ def track_displacement_stack(
 
     program, (y0s, x0s) = dense_track_program(
         H, W, int(tile_size), int(search_radius), int(step), bool(subpixel),
-        str(method),
+        resolved,
     )
     eps_dev = jnp.asarray(eps, jnp.float32)
 
@@ -196,7 +193,7 @@ def track_displacement_stack(
             "step": int(step),
             "search_radius": int(search_radius),
             "subpixel": bool(subpixel),
-            "method": str(method),
+            "method": resolved,
             "grid_shape": (len(y0s), len(x0s)),
             "units": {"dy": "px", "dx": "px", "peak": "1"},
         },

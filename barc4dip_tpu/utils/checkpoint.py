@@ -43,8 +43,14 @@ def _flatten(tree, prefix="") -> dict[str, np.ndarray]:
     return out
 
 
-def _unflatten(flat: dict[str, np.ndarray]):
-    if set(flat) == {_LEAF_KEY}:
+#: npz entry recording whether the chunk was a bare array or a dict — an
+#: explicit marker, so a real dict {'__leaf__': arr} round-trips as a dict
+#: instead of collapsing to the bare array
+_KIND_KEY = "__chunkstore_kind__"
+
+
+def _unflatten(flat: dict[str, np.ndarray], kind: str):
+    if kind == "leaf":
         return flat[_LEAF_KEY]
     root: dict = {}
     for key, value in flat.items():
@@ -72,10 +78,22 @@ class ChunkStore:
 
     def save(self, chunk_start: int, tree) -> None:
         flat = _flatten(tree)
+        if _KIND_KEY in flat:
+            raise ValueError(
+                f"tree key {_KIND_KEY!r} is reserved by ChunkStore"
+            )
+        flat[_KIND_KEY] = np.array(
+            "leaf" if not isinstance(tree, dict) else "dict"
+        )
         tmp = self._path(chunk_start).with_suffix(".tmp.npz")
         np.savez_compressed(tmp, **flat)
         tmp.rename(self._path(chunk_start))
 
     def load(self, chunk_start: int):
         with np.load(self._path(chunk_start)) as data:
-            return _unflatten({k: data[k] for k in data.files})
+            flat = {k: data[k] for k in data.files}
+        if _KIND_KEY in flat:
+            kind = str(flat.pop(_KIND_KEY))
+        else:  # chunk written before the marker existed: old heuristic
+            kind = "leaf" if set(flat) == {_LEAF_KEY} else "dict"
+        return _unflatten(flat, kind)
