@@ -1,375 +1,270 @@
 # SPDX-License-Identifier: CECILL-2.1
-"""Image plotting: pixel-extent display, tile-metric overlays, histograms.
+"""Image plots: pixel-coordinate display, 3x3 tile overlays, histograms.
 
-API parity with reference plotting/image.py:18-608 (plt_image,
-plt_tiles_metric, plt_histogram).
+Same capability surface as reference plotting/image.py:18,217,453
+(plt_image / plt_tiles_metric / plt_histogram), rebuilt on the package's
+declarative scaffold (:mod:`._scaffold`): validation guards, one Frame
+applier for labels/limits/grids, and shared tile/unit resolution.
 """
 from __future__ import annotations
 
 from typing import Literal, Sequence
 
-import matplotlib.pyplot as plt
 import numpy as np
-from matplotlib.axes import Axes
 from matplotlib.figure import Figure
 from matplotlib.patches import Rectangle
-from mpl_toolkits.axes_grid1 import make_axes_locatable
 
-from .style import resolve_cmap, start_plotting
+from . import _scaffold as sc
+from .style import resolve_cmap
 
 __all__ = ["plt_image", "plt_tiles_metric", "plt_histogram"]
 
-_DEFAULT_LABELS = np.array(
-    [["NW", "N", "NE"], ["W", "C", "E"], ["SW", "S", "SE"]], dtype=object
-)
+
+# --------------------------------------------------- pixel-frame imshow
 
 
-def _unit_step_slice(s: slice, *, n: int, name: str) -> slice:
-    if not isinstance(s, slice):
-        raise TypeError(f"{name} must be a slice; got {type(s)!r}")
-    step = 1 if s.step is None else s.step
-    if step != 1:
-        raise ValueError(f"{name}.step must be 1 or None for a rectangular ROI; got {s.step!r}")
-    start = 0 if s.start is None else int(s.start)
-    stop = n if s.stop is None else int(s.stop)
-    if start < 0:
-        start += n
-    if stop < 0:
-        stop += n
-    start = max(0, min(n, start))
-    stop = max(0, min(n, stop))
-    if stop < start:
-        start, stop = stop, start
-    return slice(start, stop, 1)
-
-
-def _pixel_canvas(img: np.ndarray, *, fig_h: float = 5.0, origin: str = "lower"):
-    """Figure + axes + an imshow extent that keeps NUMPY ROW COORDINATES on
-    the y axis for either origin: with "upper" the extent is inverted
-    (bottom=ny, top=0) so array row r displays at y=r — otherwise ROI
-    rectangles/zooms drawn in slice coordinates would mark the vertically
-    mirrored region."""
-    ny, nx = img.shape
-    fig, ax = plt.subplots(figsize=(fig_h * (nx / ny), fig_h))
-    if origin == "upper":
-        return fig, ax, (0.0, float(nx), float(ny), 0.0)
-    return fig, ax, (0.0, float(nx), 0.0, float(ny))
-
-
-def _draw_pixels(img, *, origin: str, cmap: str, vmin, vmax, k: float):
-    """Shared imshow setup for the pixel-coordinate image plots."""
-    start_plotting(k)
-    fig, ax, extent = _pixel_canvas(img, origin=origin)
-    im = ax.imshow(
-        img,
-        origin=origin,
-        cmap=resolve_cmap(cmap),
-        vmin=vmin,
-        vmax=vmax,
-        interpolation="none",
-        aspect="equal",
-        extent=extent,
+def _norm_slice(s: slice, n: int, name: str) -> tuple[int, int]:
+    """Clamped [start, stop) bounds of a unit-step slice over n samples."""
+    sc.need(isinstance(s, slice), f"{name} must be a slice; got {type(s)!r}",
+            TypeError)
+    sc.need(
+        s.step in (None, 1),
+        f"{name}.step must be 1 or None for a rectangular ROI; got {s.step!r}",
     )
-    ax.set_xlabel("x (px)")
-    ax.set_ylabel("y (px)")
-    return fig, ax, im
+    bounds = []
+    for raw, default in ((s.start, 0), (s.stop, n)):
+        v = default if raw is None else int(raw)
+        if v < 0:
+            v += n
+        bounds.append(min(max(v, 0), n))
+    lo, hi = bounds
+    return (hi, lo) if hi < lo else (lo, hi)
 
 
-def _split_metric_path(metric_path) -> tuple[str, str]:
-    """'grain.lx' / 'grain/lx' / ('grain', 'lx') -> (group, metric)."""
-    if isinstance(metric_path, str):
-        parts = tuple(p for p in metric_path.replace("/", ".").split(".") if p)
-    else:
-        parts = tuple(metric_path)
-    if len(parts) != 2:
-        raise ValueError("metric_path must be like ('grain','lx') or 'grain.lx'")
-    return parts
+def _pixel_axes(img: np.ndarray, *, origin: str, cmap: str, vmin, vmax,
+                k: float, height: float = 5.0):
+    """Figure + axes + imshow where the y axis carries NUMPY ROW
+    COORDINATES under either origin.
 
-
-def _metric_unit(meta: dict, group: str, metric: str):
-    units = meta.get("units", {})
-    if isinstance(units, dict) and isinstance(units.get(group), dict):
-        return units[group].get(metric)
-    return None
-
-
-def _tile_grids(tiles: dict, group: str, metric: str, *, need_std: bool):
-    """(3,3) mean/std grids for one tile metric, as float64."""
-    group_block = tiles.get(group)
-    if not isinstance(group_block, dict):
-        raise KeyError(f"tiles has no group {group!r}")
-    metric_block = group_block.get(metric)
-    if not isinstance(metric_block, dict):
-        raise KeyError(f"tiles[{group!r}] has no metric {metric!r}")
-
-    def grid_or_none(name, required):
-        g = metric_block.get(name)
-        ok = isinstance(g, np.ndarray) and g.shape == (3, 3)
-        if required and not ok:
-            raise ValueError(
-                f"tile {name} for {group}.{metric} must be a (3,3) array; "
-                f"got {type(g).__name__} / shape {getattr(g, 'shape', None)!r}"
-            )
-        return g.astype(np.float64, copy=False) if ok else None
-
-    return grid_or_none("mean", True), grid_or_none("std", need_std)
-
-def _size_matched_colorbar(fig: Figure, ax: Axes, im, label: str | None) -> None:
-    divider = make_axes_locatable(ax)
-    cax = divider.append_axes("right", size="5%", pad=0.05)
-    cbar = fig.colorbar(im, cax=cax)
-    if label is not None:
-        cbar.set_label(label)
+    With origin="upper" the extent runs top-to-bottom (bottom=ny, top=0)
+    so array row r always displays at y=r — without this, ROI rectangles
+    and zooms given in slice coordinates would mark the vertically
+    mirrored region.
+    """
+    ny, nx = img.shape
+    fig, ax = sc.canvas(k, size=(height * (nx / ny), height))
+    span_y = (float(ny), 0.0) if origin == "upper" else (0.0, float(ny))
+    art = ax.imshow(
+        img, origin=origin, cmap=resolve_cmap(cmap), vmin=vmin, vmax=vmax,
+        interpolation="none", aspect="equal",
+        extent=(0.0, float(nx)) + span_y,
+    )
+    return fig, ax, art
 
 
 def plt_image(
-    img: np.ndarray,
-    title: str | None = None,
-    *,
-    k: float = 1.0,
-    vmin: float | None = None,
-    vmax: float | None = None,
+    img: np.ndarray, title: str | None = None, *, k: float = 1.0,
+    vmin: float | None = None, vmax: float | None = None,
     cmap: str = "viridis",
-    xmin: float | None = None,
-    xmax: float | None = None,
-    ymin: float | None = None,
-    ymax: float | None = None,
+    xmin: float | None = None, xmax: float | None = None,
+    ymin: float | None = None, ymax: float | None = None,
     display_origin: Literal["upper", "lower"] = "lower",
-    colorbar: bool = True,
-    cbar_label: str | None = None,
-    roi: slice | tuple[slice, slice] | None = None,
-    roi_zoom: bool = False,
-    roi_color: str = "orange",
-    roi_lw: float = 1.75,
-    roi_alpha: float = 0.95,
+    colorbar: bool = True, cbar_label: str | None = None,
+    roi: slice | tuple[slice, slice] | None = None, roi_zoom: bool = False,
+    roi_color: str = "orange", roi_lw: float = 1.75, roi_alpha: float = 0.95,
 ) -> Figure:
     """Plot a 2D image in pixel coordinates with an optional size-matched
     colorbar and an optional ROI rectangle/zoom (numpy slice convention)."""
-    if img.ndim != 2:
-        raise ValueError(f"plt_image needs a 2D array, not shape {img.shape!r}")
+    sc.need(img.ndim == 2, f"plt_image needs a 2D array, not shape {img.shape!r}")
 
-    fig, ax, im = _draw_pixels(
+    fig, ax, art = _pixel_axes(
         img, origin=display_origin, cmap=cmap, vmin=vmin, vmax=vmax, k=k
     )
-    if title:
-        ax.set_title(title, fontsize=15 * k)
 
+    zoom = None
     if roi is not None:
-        ny, nx = img.shape
         if isinstance(roi, tuple):
-            if len(roi) != 2:
-                raise ValueError("roi tuple must be (yslice, xslice)")
+            sc.need(len(roi) == 2, "roi tuple must be (yslice, xslice)")
             ysl, xsl = roi
         else:
             ysl, xsl = roi, slice(None)
-        ysl = _unit_step_slice(ysl, n=ny, name="roi[0] (yslice)")
-        xsl = _unit_step_slice(xsl, n=nx, name="roi[1] (xslice)")
-
+        ny, nx = img.shape
+        ry = _norm_slice(ysl, ny, "roi[0] (yslice)")
+        rx = _norm_slice(xsl, nx, "roi[1] (xslice)")
         if roi_zoom:
-            ax.set_xlim(left=float(xsl.start), right=float(xsl.stop))
-            if display_origin == "lower":
-                ax.set_ylim(bottom=float(ysl.start), top=float(ysl.stop))
-            else:
-                ax.set_ylim(bottom=float(ysl.stop), top=float(ysl.start))
-        else:
-            ax.add_patch(
-                Rectangle(
-                    (float(xsl.start), float(ysl.start)),
-                    float(xsl.stop - xsl.start),
-                    float(ysl.stop - ysl.start),
-                    fill=False,
-                    edgecolor=roi_color,
-                    linewidth=roi_lw,
-                    alpha=roi_alpha,
-                )
+            flip = display_origin == "upper"
+            zoom = (
+                (float(rx[0]), float(rx[1])),
+                (float(ry[1]), float(ry[0])) if flip
+                else (float(ry[0]), float(ry[1])),
             )
+        else:
+            ax.add_patch(Rectangle(
+                (float(rx[0]), float(ry[0])),
+                float(rx[1] - rx[0]), float(ry[1] - ry[0]),
+                fill=False, edgecolor=roi_color, linewidth=roi_lw,
+                alpha=roi_alpha,
+            ))
 
-    if xmin is not None or xmax is not None:
-        ax.set_xlim(left=xmin, right=xmax)
-    if ymin is not None or ymax is not None:
-        ax.set_ylim(bottom=ymin, top=ymax)
+    # per-side: an explicit limit wins over the ROI zoom's side
+    zx, zy = zoom if zoom else ((None, None), (None, None))
+    frame = sc.Frame(
+        xlabel="x (px)", ylabel="y (px)",
+        title=title or None, title_size=15 * k,
+        xlim=(zx[0] if xmin is None else xmin, zx[1] if xmax is None else xmax),
+        ylim=(zy[0] if ymin is None else ymin, zy[1] if ymax is None else ymax),
+        grid=None,
+    )
+    sc.dress(ax, frame)
 
     if colorbar:
-        _size_matched_colorbar(fig, ax, im, cbar_label)
+        sc.attach_cbar(fig, ax, art, cbar_label)
     return fig
 
 
+# -------------------------------------------------------- tile overlays
+
+
+def _grid33(entry: dict, name: str, group: str, metric: str, required: bool):
+    g = entry.get(name)
+    if isinstance(g, np.ndarray) and g.shape == (3, 3):
+        return g.astype(np.float64, copy=False)
+    sc.need(
+        not required,
+        f"tile {name} for {group}.{metric} must be a (3,3) array; "
+        f"got {type(g).__name__} / shape {getattr(g, 'shape', None)!r}",
+    )
+    return None
+
+
 def plt_tiles_metric(
-    img: np.ndarray,
-    stats: dict,
-    metric_path: str | Sequence[str],
-    *,
-    title: str | None = None,
-    k: float = 1.0,
-    cmap: str = "gray",
-    vmin: float | None = None,
-    vmax: float | None = None,
-    colorbar: bool = True,
-    cbar_label: str | None = None,
-    show_std: bool = True,
-    fmt: str = "{:.2f}",
-    normalize: bool = False,
+    img: np.ndarray, stats: dict, metric_path: str | Sequence[str], *,
+    title: str | None = None, k: float = 1.0, cmap: str = "gray",
+    vmin: float | None = None, vmax: float | None = None,
+    colorbar: bool = True, cbar_label: str | None = None,
+    show_std: bool = True, fmt: str = "{:.2f}", normalize: bool = False,
     display_origin: Literal["upper", "lower"] | None = None,
 ) -> Figure:
-    """Plot an image with an orange 3x3 grid and per-tile "LABEL / mean ± std"
-    text boxes from a stats dict's tiles block. ``normalize=True`` divides the
-    displayed values by the central (C) tile mean."""
-    if not isinstance(img, np.ndarray) or img.ndim != 2:
-        raise ValueError(
-            f"plt_tiles_metric needs a 2D numpy image, not "
-            f"{type(img).__name__} / shape {getattr(img, 'shape', None)!r}"
-        )
-
-    meta = stats.get("meta")
-    tiles = stats.get("tiles")
-    if not isinstance(meta, dict) or not isinstance(tiles, dict):
-        raise ValueError("a stats dict with 'meta' and 'tiles' blocks is required")
-
-    group, metric = _split_metric_path(metric_path)
-    mean_disp, std_disp = _tile_grids(tiles, group, metric, need_std=show_std)
-    unit = _metric_unit(meta, group, metric)
+    """Image with the orange 3x3 tiling grid and per-tile "LABEL / mean ±
+    std" boxes from a stats dict. ``normalize=True`` divides displayed
+    values by the central (C) tile mean."""
+    sc.need(
+        isinstance(img, np.ndarray) and img.ndim == 2,
+        f"plt_tiles_metric needs a 2D numpy image, not "
+        f"{type(img).__name__} / shape {getattr(img, 'shape', None)!r}",
+    )
+    meta, tiles = sc.stats_blocks(stats, "meta", "tiles")
+    group, metric = sc.split_path(metric_path)
+    entry = sc.tile_block(tiles, group, metric)
+    mean = _grid33(entry, "mean", group, metric, required=True)
+    std = _grid33(entry, "std", group, metric, required=show_std)
 
     if normalize:
-        center = float(mean_disp[1, 1])
-        if not np.isfinite(center):
-            raise ValueError("normalize=True needs a finite central-tile mean")
-        if np.isclose(center, 0.0):
-            raise ValueError("normalize=True needs a nonzero central-tile mean")
-        mean_disp = mean_disp / center
-        if std_disp is not None:
-            std_disp = std_disp / center
-        metric_with_unit = f"{metric} [norm.]"
+        center = float(mean[1, 1])
+        sc.need(np.isfinite(center), "normalize=True needs a finite central-tile mean")
+        sc.need(not np.isclose(center, 0.0),
+                "normalize=True needs a nonzero central-tile mean")
+        mean = mean / center
+        std = None if std is None else std / center
+        heading = f"{metric} [norm.]"
     else:
-        metric_with_unit = (
-            f"{metric} ({unit})" if isinstance(unit, str) and unit.strip() else metric
-        )
-
-    labels = meta.get("tile_labels")
-    if not (isinstance(labels, np.ndarray) and labels.shape == (3, 3)):
-        labels = _DEFAULT_LABELS
+        heading = sc.labelled(metric, sc.unit_of(meta, group, metric))
 
     origin = display_origin or meta.get("display_origin", "lower")
     if origin not in ("upper", "lower"):
         origin = "lower"
 
-    fig, ax, im = _draw_pixels(
+    fig, ax, art = _pixel_axes(
         img, origin=origin, cmap=cmap, vmin=vmin, vmax=vmax, k=k
     )
-    ax.set_title(title if title is not None else metric_with_unit, fontsize=14 * k)
+    sc.dress(ax, sc.Frame(
+        xlabel="x (px)", ylabel="y (px)",
+        title=title if title is not None else heading,
+        title_size=14 * k, grid=None,
+    ))
 
-    x0, x1 = ax.get_xlim()
-    y0, y1 = ax.get_ylim()
-    edges_x = np.linspace(x0, x1, 4)
-    edges_y = np.linspace(y1, y0, 4)
-
-    for x in edges_x:
-        ax.plot([x, x], [y1, y0], "-", lw=1.5, alpha=0.9, color="orange")
-    for y in edges_y:
-        ax.plot([x0, x1], [y, y], "-", lw=1.5, alpha=0.9, color="orange")
-
-    box_style = dict(
-        boxstyle="round,pad=0.25", facecolor="black", alpha=0.60,
-        edgecolor="black", linewidth=0.0,
-    )
-    centers_x = 0.5 * (edges_x[:-1] + edges_x[1:])
-    centers_y = 0.5 * (edges_y[:-1] + edges_y[1:])
-    for iy, cy in enumerate(centers_y):
-        for ix, cx in enumerate(centers_x):
-            value = fmt.format(float(mean_disp[iy, ix]))
-            if show_std:
-                value += f" ± {fmt.format(float(std_disp[iy, ix]))}"
-            ax.text(
-                cx, cy, f"{labels[iy, ix]}\n{value}",
-                ha="center", va="center", fontsize=10 * k,
-                color="w", alpha=0.95, bbox=box_style,
-            )
+    _overlay_grid33(ax, mean, std, sc.grid3_labels(meta), fmt=fmt, k=k)
 
     if colorbar:
-        _size_matched_colorbar(fig, ax, im, cbar_label)
+        sc.attach_cbar(fig, ax, art, cbar_label)
     return fig
 
 
+def _overlay_grid33(ax, mean, std, labels, *, fmt: str, k: float) -> None:
+    """Orange 3x3 grid lines + labelled value boxes in axes data space."""
+    (x0, x1), (y_lo, y_hi) = ax.get_xlim(), ax.get_ylim()
+    xs = np.linspace(x0, x1, 4)
+    # rows of the (3,3) grids are laid out top-of-display first, so the
+    # row edges run from the display top (y_hi) downward
+    ys = np.linspace(y_hi, y_lo, 4)
+    line_kw = dict(lw=1.5, alpha=0.9, color="orange")
+    for v in xs:
+        ax.plot([v, v], [y_hi, y_lo], "-", **line_kw)
+    for v in ys:
+        ax.plot([x0, x1], [v, v], "-", **line_kw)
+
+    box = dict(boxstyle="round,pad=0.25", facecolor="black", alpha=0.60,
+               edgecolor="black", linewidth=0.0)
+    mid = lambda edges: 0.5 * (edges[:-1] + edges[1:])
+    for row, cy in enumerate(mid(ys)):
+        for col, cx in enumerate(mid(xs)):
+            text = fmt.format(float(mean[row, col]))
+            if std is not None:
+                text += f" ± {fmt.format(float(std[row, col]))}"
+            ax.text(cx, cy, f"{labels[row, col]}\n{text}",
+                    ha="center", va="center", fontsize=10 * k,
+                    color="w", alpha=0.95, bbox=box)
+
+
+# ----------------------------------------------------------- histograms
+
+
 def plt_histogram(
-    img: np.ndarray,
-    title: str | None = None,
-    *,
-    k: float = 1.0,
-    bin_min: int = 0,
-    bin_max: int = 65536,
-    ymin: float | None = None,
-    ymax: float | None = None,
-    logy: bool = False,
-    cumulative: bool = False,
-    density: bool = False,
+    img: np.ndarray, title: str | None = None, *, k: float = 1.0,
+    bin_min: int = 0, bin_max: int = 65536,
+    ymin: float | None = None, ymax: float | None = None,
+    logy: bool = False, cumulative: bool = False, density: bool = False,
     percentiles: tuple[float, ...] | None = None,
 ) -> Figure:
-    """Histogram of finite pixel values with one bin per gray level, optional
-    log-y, CDF twin axis and percentile markers."""
-    if not isinstance(img, np.ndarray):
-        raise TypeError("plt_histogram works on numpy arrays")
-    if img.ndim != 2:
-        raise ValueError(f"plt_histogram needs a 2D array, not shape {img.shape!r}")
-    if not np.issubdtype(img.dtype, np.number):
-        raise TypeError(f"plt_histogram needs numeric data, not dtype={img.dtype}")
-    if bin_max <= bin_min:
-        raise ValueError("bin_max must exceed bin_min")
-
-    start_plotting(k)
+    """Histogram of finite pixel values at one bin per gray level, with
+    optional log-y, CDF twin axis and percentile markers."""
+    sc.need(isinstance(img, np.ndarray), "plt_histogram works on numpy arrays",
+            TypeError)
+    sc.need(img.ndim == 2,
+            f"plt_histogram needs a 2D array, not shape {img.shape!r}")
+    sc.need(np.issubdtype(img.dtype, np.number),
+            f"plt_histogram needs numeric data, not dtype={img.dtype}",
+            TypeError)
+    sc.need(bin_max > bin_min, "bin_max must exceed bin_min")
 
     values = img.ravel()
     values = values[np.isfinite(values)]
-    if values.size == 0:
-        raise ValueError("histogram expects at least one finite value")
-
+    sc.need(values.size > 0, "histogram expects at least one finite value")
     if np.issubdtype(values.dtype, np.floating):
         values = np.clip(values, float(bin_min), float(bin_max))
 
-    fig, ax = plt.subplots(figsize=(7.0, 4.5))
-    counts, bin_edges, _ = ax.hist(
-        values,
-        bins=int(bin_max - bin_min),
-        range=(bin_min, bin_max),
-        histtype="step",
-        linewidth=1.5,
-        color="steelblue",
-        alpha=1,
+    fig, ax = sc.canvas(k, size=(7.0, 4.5))
+    counts, edges, _ = ax.hist(
+        values, bins=int(bin_max - bin_min), range=(bin_min, bin_max),
+        histtype="step", linewidth=1.5, color=sc.PRIMARY, alpha=1,
         density=density,
     )
-    ax.set_xlabel("value")
-    ax.set_ylabel("density" if density else "counts")
-    ax.set_xlim(bin_min, bin_max)
-    if title:
-        ax.set_title(title, fontsize=15 * k)
 
-    if logy:
-        ax.set_yscale("log")
-        ax.set_ylim(bottom=0.5 if ymin is None else ymin)
-    else:
-        ax.set_ylim(bottom=0.0 if ymin is None else ymin)
-    if ymax is not None:
-        ax.set_ylim(top=ymax)
+    floor = (0.5 if logy else 0.0) if ymin is None else ymin
+    sc.dress(ax, sc.Frame(
+        xlabel="value", ylabel="density" if density else "counts",
+        title=title or None, title_size=15 * k,
+        xlim=(bin_min, bin_max), ylim=(floor, ymax), logy=logy,
+        grid="dots" if (logy or not cumulative) else "dots-x",
+    ))
 
-    if percentiles is not None and len(percentiles) > 0:
-        p = np.asarray(percentiles, dtype=float)
-        if np.any((p < 0) | (p > 100)):
-            raise ValueError("percentiles must be in [0, 100]")
-        for x in np.atleast_1d(np.percentile(values, p)):
-            ax.axvline(float(x), color="olive", linewidth=1.5)
+    if percentiles:
+        p = sc.checked_percentiles(percentiles)
+        sc.mark_verticals(ax, np.percentile(values, p))
 
     if cumulative:
-        if logy:
-            ax.grid(True, which="both", linestyle=":", linewidth=0.5)
-        else:
-            ax.grid(True, which="both", axis="x", linestyle=":", linewidth=0.5)
-        ax2 = ax.twinx()
-        cdf = np.cumsum(counts)
-        if cdf.size > 0 and cdf[-1] > 0:
-            cdf = cdf / cdf[-1]
-        centers = 0.5 * (bin_edges[:-1] + bin_edges[1:])
-        ax2.plot(centers, cdf, color="darkred", linewidth=1.5)
-        ax2.set_ylabel("cumulative")
-        ax2.set_ylim(-0.05, 1.05)
-    else:
-        ax.grid(True, which="both", linestyle=":", linewidth=0.5)
-
+        mass = np.cumsum(counts)
+        if mass.size and mass[-1] > 0:
+            mass = mass / mass[-1]
+        sc.cdf_overlay(ax, 0.5 * (edges[:-1] + edges[1:]), mass)
     return fig

@@ -1,106 +1,144 @@
 # SPDX-License-Identifier: CECILL-2.1
-"""Stack plotting: displacement trajectories/time series and metric series.
+"""Stack plots: displacement trajectories/time series, metric series,
+tile-overlay animations and dense displacement fields.
 
-API parity with reference plotting/stack.py:101-581 (plt_displacement,
-plt_stack_metric).
+Same capability surface as reference plotting/stack.py:101,340
+(plt_displacement / plt_stack_metric) plus two extensions with no
+reference counterpart (plt_tiles_metric_stack, plt_displacement_field).
+Rebuilt on the package's declarative scaffold: series data is first pulled
+into a plain :class:`_Motion` record, then rendered by one marked-series
+painter shared across every mode.
 """
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Literal, Sequence
 
 import matplotlib.pyplot as plt
 import numpy as np
-from matplotlib.axes import Axes
 from matplotlib.figure import Figure
-from mpl_toolkits.axes_grid1 import make_axes_locatable
 
-from .style import start_plotting
+from . import _scaffold as sc
 
-__all__ = ["plt_displacement", "plt_displacement_field", "plt_stack_metric", "plt_tiles_metric_stack"]
+__all__ = [
+    "plt_displacement",
+    "plt_displacement_field",
+    "plt_stack_metric",
+    "plt_tiles_metric_stack",
+]
 
 _TemporalKey = Literal["abs", "inc"]
 _ViewKind = Literal["trajectory", "timeseries"]
 _Uncertainty = Literal["none", "band", "errorbar"]
 _StatsScope = Literal["full", "tiles", "both"]
 
-_DEFAULT_LABELS = np.array(
-    [["NW", "N", "NE"], ["W", "C", "E"], ["SW", "S", "SE"]], dtype=object
-)
+#: tile-curve styling: 9 distinguishable markers, colormap-spread colours
+_TILE_MARKERS = ("o", "s", "^", "v", "D", "P", "X", "<", ">")
 
 
-def _temporal_block(stack_stats: dict, temporal: _TemporalKey) -> dict:
-    root = stack_stats.get("temporal")
-    if not isinstance(root, dict):
-        raise ValueError("stack_stats must contain dict key 'temporal'")
-    block = root.get(temporal)
-    if not isinstance(block, dict):
-        raise ValueError(f"stack_stats['temporal'] must contain dict key {temporal!r}")
-    return block
+def _marked_series(ax, t, y, *, color, label=None, marker="o", size=3.0,
+                   spread: _Uncertainty = "none", width=None) -> None:
+    """The layer's one line+marker painter: open-face markers, optional
+    band/errorbar uncertainty around the curve."""
+    ax.plot(t, y, color=color, linewidth=1.0, linestyle="-", label=label,
+            marker=marker, markersize=size, markerfacecolor="white",
+            markeredgecolor=color, markeredgewidth=1.1)
+    if spread == "none" or width is None:
+        return
+    if spread == "band":
+        ax.fill_between(t, y - width, y + width, alpha=0.2, color=color)
+    elif spread == "errorbar":
+        ax.errorbar(t, y, yerr=width, fmt="none", elinewidth=0.8, capsize=0,
+                    color=color)
+    else:
+        raise ValueError(f"unknown uncertainty={spread!r}")
 
 
-def _series(block: dict, key: str) -> np.ndarray:
+# ----------------------------------------------------- displacement data
+
+
+@dataclass
+class _Motion:
+    """Displacement series pulled out of a stats dict or raw arrays."""
+
+    dx: np.ndarray
+    dy: np.ndarray
+    r: np.ndarray | None = None
+    sx: np.ndarray | None = None
+    sy: np.ndarray | None = None
+    sr: np.ndarray | None = None
+    unit: str = "px"
+
+    def pruned(self, *, with_r: bool, with_std: bool) -> "_Motion":
+        """Jointly-finite samples over whichever series the view needs."""
+        n = self.dx.size
+        for name in ("dy", "r", "sx", "sy", "sr"):
+            arr = getattr(self, name)
+            label = {"sx": "std_dx", "sy": "std_dy", "sr": "std_r"}.get(name, name)
+            sc.need(arr is None or arr.size == n,
+                    f"{label} must match dx length; got "
+                    f"{arr.size if arr is not None else 0} vs {n}")
+        keep = np.isfinite(self.dx) & np.isfinite(self.dy)
+        if with_r and self.r is not None:
+            keep &= np.isfinite(self.r)
+        if with_std:
+            for arr in (self.sx, self.sy):
+                if arr is not None:
+                    keep &= np.isfinite(arr)
+            if with_r and self.r is not None and self.sr is not None:
+                keep &= np.isfinite(self.sr)
+        pick = lambda a: None if a is None else a[keep]
+        return _Motion(self.dx[keep], self.dy[keep], pick(self.r),
+                       pick(self.sx), pick(self.sy), pick(self.sr), self.unit)
+
+
+def _temporal_series(block: dict, key: str, *, optional=False):
     arr = block.get(key)
     if arr is None and key.startswith("std_"):
-        arr = block.get(key.replace("std_", "") + "_std")
-    if not isinstance(arr, np.ndarray):
-        raise ValueError(f"temporal block missing numpy array key {key!r}")
-    if arr.ndim != 1:
-        raise ValueError(f"temporal[{key!r}] must be 1D; got shape={arr.shape!r}")
-    return arr
+        arr = block.get(key[4:] + "_std")  # legacy spelling
+    if arr is None and optional:
+        return None
+    sc.need(isinstance(arr, np.ndarray),
+            f"temporal block missing numpy array key {key!r}")
+    sc.need(arr.ndim == 1,
+            f"temporal[{key!r}] must be 1D; got shape={arr.shape!r}")
+    return arr.astype(float, copy=False)
 
 
-def _metric_path(metric_path: str | Sequence[str]) -> tuple[str, str]:
-    if isinstance(metric_path, str):
-        parts = tuple(p for p in metric_path.replace("/", ".").split(".") if p)
-    else:
-        parts = tuple(metric_path)
-    if len(parts) != 2:
-        raise ValueError("metric_path must be like ('grain','lx') or 'grain.lx'")
-    return str(parts[0]), str(parts[1])
+def _motion_from_stats(stack_stats: dict, temporal: _TemporalKey) -> _Motion:
+    (meta,) = sc.stats_blocks(stack_stats, "meta")
+    root = stack_stats.get("temporal")
+    sc.need(isinstance(root, dict), "stack_stats must contain dict key 'temporal'")
+    block = root.get(temporal)
+    sc.need(isinstance(block, dict),
+            f"stack_stats['temporal'] must contain dict key {temporal!r}")
 
-
-def _tile_labels(meta: dict) -> np.ndarray:
-    labels = meta.get("tile_labels")
-    if isinstance(labels, np.ndarray) and labels.shape == (3, 3):
-        return labels
-    return _DEFAULT_LABELS
-
-
-def _draw_series(
-    ax: Axes,
-    t: np.ndarray,
-    y: np.ndarray,
-    *,
-    color,
-    ylabel: str,
-    label: str | None = None,
-    uncertainty: _Uncertainty,
-    ystd,
-    marker: str = "o",
-    markersize: float = 3.0,
-) -> None:
-    ax.plot(
-        t,
-        y,
-        linewidth=1.0,
-        linestyle="-",
-        color=color,
-        markerfacecolor="white",
-        markeredgecolor=color,
-        markeredgewidth=1.1,
-        marker=marker,
-        markersize=markersize,
-        label=label,
+    unit = sc.unit_of(meta, "temporal", "dx")
+    has = lambda key: isinstance(block.get(key), np.ndarray) or isinstance(
+        block.get(key[4:] + "_std") if key.startswith("std_") else None,
+        np.ndarray,
     )
-    if uncertainty != "none" and ystd is not None:
-        if uncertainty == "band":
-            ax.fill_between(t, y - ystd, y + ystd, alpha=0.2, color=color)
-        elif uncertainty == "errorbar":
-            ax.errorbar(t, y, yerr=ystd, fmt="none", elinewidth=0.8, capsize=0, color=color)
-        else:
-            raise ValueError(f"unknown uncertainty={uncertainty!r}")
-    ax.set_ylabel(ylabel)
-    ax.grid(True, alpha=0.3)
+    return _Motion(
+        dx=_temporal_series(block, "dx"),
+        dy=_temporal_series(block, "dy"),
+        r=_temporal_series(block, "r") if has("r") else None,
+        sx=_temporal_series(block, "std_dx") if has("std_dx") else None,
+        sy=_temporal_series(block, "std_dy") if has("std_dy") else None,
+        sr=_temporal_series(block, "std_r") if has("std_r") else None,
+        unit=unit if isinstance(unit, str) and unit.strip() else "px",
+    )
+
+
+def _motion_from_arrays(xarr, yarr, temporal, uncertainty) -> _Motion:
+    sc.need(xarr is not None and yarr is not None,
+            "Both 'xarr' and 'yarr' must be provided together.")
+    sc.need(temporal == "abs",
+            "When using 'xarr' and 'yarr', temporal must be 'abs'.")
+    sc.need(uncertainty == "none",
+            "When using 'xarr' and 'yarr', uncertainty must be 'none'.")
+    dx = np.asarray(xarr, dtype=float).ravel()
+    dy = np.asarray(yarr, dtype=float).ravel()
+    return _Motion(dx, dy, r=np.hypot(dx, dy))
 
 
 def plt_displacement(
@@ -119,117 +157,96 @@ def plt_displacement(
     """Displacement diagnostics: XY trajectory colored by frame, or dx/dy/r
     stacked time series with band/errorbar uncertainty. Accepts either a
     speckle_stack_stats dict or raw xarr/yarr displacement arrays."""
-    start_plotting(k)
+    from_stats = stack_stats is not None
+    from_arrays = xarr is not None or yarr is not None
+    sc.need(from_stats != from_arrays,
+            "Provide either 'stack_stats' or both 'xarr' and 'yarr'"
+            + (", not both." if from_stats and from_arrays else "."))
 
-    use_stack = stack_stats is not None
-    use_xy = xarr is not None or yarr is not None
-    if use_stack and use_xy:
-        raise ValueError("Provide either 'stack_stats' or both 'xarr' and 'yarr', not both.")
-    if not use_stack and not use_xy:
-        raise ValueError("Provide either 'stack_stats' or both 'xarr' and 'yarr'.")
-
-    unit_px = "px"
-    r = std_dx = std_dy = std_r = None
-    include_r = True
-
-    if use_stack:
-        meta = stack_stats.get("meta")
-        if not isinstance(meta, dict):
-            raise ValueError("stack_stats must contain dict key 'meta'")
-        units = meta.get("units", {})
-        if isinstance(units, dict) and isinstance(units.get("temporal"), dict):
-            u_dx = units["temporal"].get("dx")
-            if isinstance(u_dx, str) and u_dx.strip():
-                unit_px = u_dx
-
-        block = _temporal_block(stack_stats, temporal=temporal)
-        dx = _series(block, "dx").astype(float, copy=False)
-        dy = _series(block, "dy").astype(float, copy=False)
-        if isinstance(block.get("r"), np.ndarray):
-            r = _series(block, "r").astype(float, copy=False)
-        for key, dst in (("std_dx", "std_dx"), ("std_dy", "std_dy"), ("std_r", "std_r")):
-            if isinstance(block.get(key), np.ndarray) or isinstance(
-                block.get(key.replace("std_", "") + "_std"), np.ndarray
-            ):
-                val = _series(block, key).astype(float, copy=False)
-                if dst == "std_dx":
-                    std_dx = val
-                elif dst == "std_dy":
-                    std_dy = val
-                else:
-                    std_r = val
-    else:
-        if xarr is None or yarr is None:
-            raise ValueError("Both 'xarr' and 'yarr' must be provided together.")
-        if temporal != "abs":
-            raise ValueError("When using 'xarr' and 'yarr', temporal must be 'abs'.")
-        if uncertainty != "none":
-            raise ValueError("When using 'xarr' and 'yarr', uncertainty must be 'none'.")
-        dx = np.asarray(xarr, dtype=float).ravel()
-        dy = np.asarray(yarr, dtype=float).ravel()
-        r = np.sqrt(dx**2 + dy**2)
-
-    n = dx.size
-    for name, arr in (("dy", dy), ("r", r), ("std_dx", std_dx), ("std_dy", std_dy), ("std_r", std_r)):
-        if arr is not None and arr.size != n:
-            raise ValueError(f"{name} must match dx length; got {arr.size} vs {n}")
-
-    m = np.isfinite(dx) & np.isfinite(dy)
+    motion = (
+        _motion_from_stats(stack_stats, temporal) if from_stats
+        else _motion_from_arrays(xarr, yarr, temporal, uncertainty)
+    )
     want_std = kind == "timeseries" and uncertainty != "none"
-    if kind == "timeseries" and include_r and r is not None:
-        m &= np.isfinite(r)
-    if want_std:
-        for arr in (std_dx, std_dy):
-            if arr is not None:
-                m &= np.isfinite(arr)
-        if include_r and r is not None and std_r is not None:
-            m &= np.isfinite(std_r)
-
-    dxp, dyp = dx[m], dy[m]
-    rp = r[m] if (r is not None and include_r) else None
-    sdxp = std_dx[m] if (std_dx is not None and want_std) else None
-    sdyp = std_dy[m] if (std_dy is not None and want_std) else None
-    sdrp = std_r[m] if (std_r is not None and want_std and rp is not None) else None
-    t = np.arange(dxp.size, dtype=float)
+    motion = motion.pruned(with_r=kind == "timeseries", with_std=want_std)
+    heading = title if title is not None else f"speckle displacement ({temporal})"
+    frames = np.arange(motion.dx.size, dtype=float)
 
     if kind == "trajectory":
-        fig, ax = plt.subplots(figsize=(6.0, 6.0))
-        if show_path:
-            ax.plot(dxp, dyp, linewidth=1.0, color="black")
-        sc = ax.scatter(
-            dxp, dyp, c=t, cmap=cmap, s=35, zorder=3, edgecolors="black", linewidths=0.5
-        )
-        ax.set_xlabel(f"dx ({unit_px})")
-        ax.set_ylabel(f"dy ({unit_px})")
-        ax.set_title(
-            title if title is not None else f"speckle displacement ({temporal})",
-            fontsize=15 * k,
-        )
-        ax.set_aspect(1)
-        divider = make_axes_locatable(ax)
-        cax = divider.append_axes("right", size="4%", pad=0.08)
-        fig.colorbar(sc, cax=cax)
-        ax.grid(True, alpha=0.3)
-        return fig
+        return _trajectory_figure(motion, frames, heading,
+                                  cmap=cmap, show_path=show_path, k=k)
+    sc.need(kind == "timeseries", f"unknown kind={kind!r}")
 
-    if kind != "timeseries":
-        raise ValueError(f"unknown kind={kind!r}")
-
-    fig, axes = plt.subplots(nrows=3, ncols=1, sharex=True, figsize=(8.0, 7.0))
-    colors = ["darkred", "olive", "steelblue"]
-    _draw_series(axes[0], t, dxp, color=colors[0], ylabel=f"dx ({unit_px})",
-                 uncertainty=uncertainty, ystd=sdxp)
-    _draw_series(axes[1], t, dyp, color=colors[1], ylabel=f"dy ({unit_px})",
-                 uncertainty=uncertainty, ystd=sdyp)
-    _draw_series(axes[2], t, rp, color=colors[2], ylabel=f"r ({unit_px})",
-                 uncertainty=uncertainty, ystd=sdrp)
-    axes[-1].set_xlabel("(frame)")
-    fig.suptitle(
-        title if title is not None else f"speckle displacement ({temporal})",
-        fontsize=15 * k,
-    )
+    fig, rows = plt.subplots(nrows=3, ncols=1, sharex=True, figsize=(8.0, 7.0))
+    panels = [
+        (rows[0], motion.dx, motion.sx, "darkred", "dx"),
+        (rows[1], motion.dy, motion.sy, "olive", "dy"),
+        (rows[2], motion.r, motion.sr, "steelblue", "r"),
+    ]
+    for ax, series, width, color, name in panels:
+        _marked_series(ax, frames, series, color=color,
+                       spread=uncertainty if want_std else "none", width=width)
+        sc.dress(ax, sc.Frame(ylabel=f"{name} ({motion.unit})", grid="soft"))
+    rows[-1].set_xlabel("(frame)")
+    fig.suptitle(heading, fontsize=15 * k)
     fig.tight_layout()
     return fig
+
+
+def _trajectory_figure(motion: _Motion, frames, heading, *, cmap, show_path,
+                       k) -> Figure:
+    fig, ax = sc.canvas(k, size=(6.0, 6.0))
+    if show_path:
+        ax.plot(motion.dx, motion.dy, linewidth=1.0, color="black")
+    dots = ax.scatter(motion.dx, motion.dy, c=frames, cmap=cmap, s=35,
+                      zorder=3, edgecolors="black", linewidths=0.5)
+    ax.set_aspect(1)
+    sc.dress(ax, sc.Frame(
+        xlabel=f"dx ({motion.unit})", ylabel=f"dy ({motion.unit})",
+        title=heading, title_size=15 * k, grid="soft",
+    ))
+    sc.attach_cbar(fig, ax, dots, width="4%", pad=0.08)
+    return fig
+
+
+# -------------------------------------------------------- metric series
+
+
+def _metric_timeseries(stack_stats: dict, group: str, metric: str):
+    """(frames, values) of a full-image metric, finite samples only."""
+    (full,) = sc.stats_blocks(stack_stats, "full")
+    entry = full.get(group)
+    sc.need(isinstance(entry, dict), f"full has no group {group!r}", KeyError)
+    y = entry.get(metric)
+    sc.need(isinstance(y, np.ndarray),
+            f"Expected full[{group!r}][{metric!r}] as numpy array; got {type(y)}")
+    sc.need(y.ndim == 1,
+            f"Expected 1D time series for full[{group!r}][{metric!r}]; "
+            f"got shape={y.shape!r}")
+    keep = np.isfinite(y)
+    return np.arange(y.size, dtype=float)[keep], y[keep]
+
+
+def _tile_timeseries(stack_stats: dict, group: str, metric: str,
+                     need_std: bool):
+    """(T,3,3) mean (+std) grids of a tile metric over the stack."""
+    (tiles,) = sc.stats_blocks(stack_stats, "tiles")
+    entry = sc.tile_block(tiles, group, metric)
+    mean, std = entry.get("mean"), entry.get("std")
+    sc.need(
+        isinstance(mean, np.ndarray) and mean.ndim == 3
+        and mean.shape[1:] == (3, 3),
+        f"Expected tiles[{group!r}][{metric!r}]['mean'] with shape (T,3,3); "
+        f"got {type(mean)} shape={getattr(mean, 'shape', None)!r}",
+    )
+    if not need_std:
+        return mean, None
+    sc.need(
+        isinstance(std, np.ndarray) and std.shape == mean.shape,
+        f"Expected tiles[{group!r}][{metric!r}]['std'] with shape "
+        f"{mean.shape!r}; got {type(std)} shape={getattr(std, 'shape', None)!r}",
+    )
+    return mean, std
 
 
 def plt_stack_metric(
@@ -246,138 +263,67 @@ def plt_stack_metric(
 ) -> Figure:
     """Metric time series from *_stack_stats output: one full-image curve,
     the 9 labeled tile curves, or both."""
-    start_plotting(k)
+    sc.need(isinstance(stack_stats, dict), "stack_stats must be a dict",
+            TypeError)
+    (meta,) = sc.stats_blocks(stack_stats, "meta")
+    group, metric = sc.split_path(metric_path)
+    ylabel = sc.labelled(metric, sc.unit_of(meta, group, metric))
 
-    if not isinstance(stack_stats, dict):
-        raise TypeError("stack_stats must be a dict")
-    meta = stack_stats.get("meta")
-    if not isinstance(meta, dict):
-        raise ValueError("stack_stats must contain dict key 'meta'")
+    scope_word = {"full": "from full image", "tiles": "from tiled image",
+                  "both": "from tiled + full image"}
+    sc.need(scope in scope_word, f"unknown scope={scope!r}")
 
-    group, metric = _metric_path(metric_path)
+    fig, ax = sc.canvas(k, size=(9.0, 3.0))
+    sc.dress(ax, sc.Frame(
+        xlabel="(frame)", ylabel=ylabel, grid="soft",
+        title=title if title is not None else f"{metric} {scope_word[scope]}",
+        title_size=15 * k,
+    ))
 
-    unit = None
-    units = meta.get("units", {})
-    if isinstance(units, dict) and isinstance(units.get(group), dict):
-        unit = units[group].get(metric)
-    ylabel = f"{metric} ({unit})" if isinstance(unit, str) and unit.strip() else metric
-
-    fig, ax = plt.subplots(nrows=1, ncols=1, sharex=True, figsize=(9.0, 3.0))
-
-    if title is None:
-        scope_titles = {
-            "full": "from full image",
-            "tiles": "from tiled image",
-            "both": "from tiled + full image",
-        }
-        if scope not in scope_titles:
-            raise ValueError(f"unknown scope={scope!r}")
-        title = f"{metric} {scope_titles[scope]}"
-
-    ax.set_title(title, fontsize=15 * k)
-    ax.set_xlabel("(frame)")
-    ax.set_ylabel(ylabel)
-    ax.grid(True, alpha=0.3)
-
-    def full_series() -> tuple[np.ndarray, np.ndarray]:
-        full = stack_stats.get("full")
-        if not isinstance(full, dict):
-            raise ValueError("stack_stats must contain dict key 'full'")
-        group_block = full.get(group)
-        if not isinstance(group_block, dict):
-            raise KeyError(f"full has no group {group!r}")
-        y = group_block.get(metric)
-        if not isinstance(y, np.ndarray):
-            raise ValueError(
-                f"Expected full[{group!r}][{metric!r}] as numpy array; got {type(y)}"
-            )
-        if y.ndim != 1:
-            raise ValueError(
-                f"Expected 1D time series for full[{group!r}][{metric!r}]; got shape={y.shape!r}"
-            )
-        t = np.arange(y.size, dtype=float)
-        m = np.isfinite(y)
-        return t[m], y[m]
-
+    last_frame = None
     if scope == "full":
-        tp, yp = full_series()
-        ystd = None if uncertainty == "none" else float(np.nanstd(yp))
-        _draw_series(ax, tp, yp, color=color, ylabel=ylabel,
-                     uncertainty=uncertainty, ystd=ystd)
-        if tp.size > 1:
-            xmin, _ = ax.get_xlim()
-            ax.set_xlim(xmin, 1.18 * tp[-1])
-        return fig
-
-    if scope not in ("tiles", "both"):
-        raise ValueError(f"unknown scope={scope!r}")
-
-    tiles = stack_stats.get("tiles")
-    if not isinstance(tiles, dict):
-        raise ValueError("stack_stats must contain dict key 'tiles' for scope='tiles'/'both'")
-    group_block = tiles.get(group)
-    if not isinstance(group_block, dict):
-        raise KeyError(f"tiles has no group {group!r}")
-    metric_block = group_block.get(metric)
-    if not isinstance(metric_block, dict):
-        raise KeyError(f"tiles[{group!r}] has no metric {metric!r}")
-
-    mean = metric_block.get("mean")
-    std = metric_block.get("std")
-    if not isinstance(mean, np.ndarray) or mean.ndim != 3 or mean.shape[1:] != (3, 3):
-        raise ValueError(
-            f"Expected tiles[{group!r}][{metric!r}]['mean'] with shape (T,3,3); "
-            f"got {type(mean)} shape={getattr(mean, 'shape', None)!r}"
-        )
-    if uncertainty != "none":
-        if not isinstance(std, np.ndarray) or std.shape != mean.shape:
-            raise ValueError(
-                f"Expected tiles[{group!r}][{metric!r}]['std'] with shape {mean.shape!r}; "
-                f"got {type(std)} shape={getattr(std, 'shape', None)!r}"
-            )
+        frames, values = _metric_timeseries(stack_stats, group, metric)
+        width = None if uncertainty == "none" else float(np.nanstd(values))
+        _marked_series(ax, frames, values, color=color,
+                       spread=uncertainty, width=width)
+        last_frame = frames[-1] if frames.size > 1 else None
     else:
-        std = None
+        mean, std = _tile_timeseries(stack_stats, group, metric,
+                                     need_std=uncertainty != "none")
+        marks = _TILE_MARKERS if markers is None else markers
+        sc.need(len(marks) >= 9, "markers must have length >= 9 (tiles mode)")
+        palette = plt.get_cmap(cmap)
+        labels = sc.grid3_labels(meta)
+        frames = np.arange(mean.shape[0], dtype=float)
+        for slot, (row, col) in enumerate(np.ndindex(3, 3)):
+            values = mean[:, row, col].astype(float, copy=False)
+            width = None if std is None else std[:, row, col].astype(
+                float, copy=False)
+            keep = np.isfinite(values)
+            if width is not None:
+                keep &= np.isfinite(width)
+            if not np.any(keep):
+                continue
+            _marked_series(
+                ax, frames[keep], values[keep], color=palette(slot / 8),
+                label=str(labels[row, col]), marker=str(marks[slot]),
+                spread=uncertainty, width=None if width is None else width[keep],
+            )
+        if scope == "both":
+            frames_f, values_f = _metric_timeseries(stack_stats, group, metric)
+            _marked_series(ax, frames_f, values_f, color="black", label="full",
+                           marker="x", size=4.0)
+        if mean.shape[0] > 1:
+            last_frame = frames[-1]
+        ax.legend(loc="center right", fontsize=9 * k, framealpha=0.85)
 
-    t_all = np.arange(mean.shape[0], dtype=float)
-    labels = _tile_labels(meta)
-
-    if markers is None:
-        markers = ("o", "s", "^", "v", "D", "P", "X", "<", ">")
-    if len(markers) < 9:
-        raise ValueError("markers must have length >= 9 (tiles mode)")
-
-    cmap_obj = plt.get_cmap(cmap)
-    colors = [cmap_obj(i / 8) for i in range(9)]
-
-    idx = 0
-    for iy in range(3):
-        for ix in range(3):
-            y = mean[:, iy, ix].astype(float, copy=False)
-            ystd_arr = std[:, iy, ix].astype(float, copy=False) if std is not None else None
-            m = np.isfinite(y)
-            if ystd_arr is not None:
-                m &= np.isfinite(ystd_arr)
-            if np.any(m):
-                _draw_series(
-                    ax, t_all[m], y[m],
-                    color=colors[idx], ylabel=ylabel, label=str(labels[iy, ix]),
-                    uncertainty=uncertainty,
-                    ystd=ystd_arr[m] if ystd_arr is not None else None,
-                    marker=str(markers[idx]), markersize=3.0,
-                )
-            idx += 1
-
-    if scope == "both":
-        tp, yp = full_series()
-        _draw_series(ax, tp, yp, color="black", ylabel=ylabel, label="full",
-                     uncertainty="none", ystd=None, marker="x", markersize=4.0)
-
-    if mean.shape[0] > 1:
-        xmin, _ = ax.get_xlim()
-        ax.set_xlim(xmin, 1.18 * t_all[-1])
-
-    ax.legend(loc="center right", fontsize=9 * k, framealpha=0.85)
+    if last_frame is not None:
+        left, _ = ax.get_xlim()
+        ax.set_xlim(left, 1.18 * last_frame)  # room for the legend / labels
     return fig
+
+
+# ------------------------------------------- tile-overlay stack export
 
 
 def plt_tiles_metric_stack(
@@ -408,46 +354,34 @@ def plt_tiles_metric_stack(
 
     from .image import plt_tiles_metric
 
-    meta = stack_stats.get("meta")
-    tiles = stack_stats.get("tiles")
-    if not isinstance(meta, dict) or not isinstance(tiles, dict):
-        raise ValueError("stack_stats must contain dict keys 'meta' and 'tiles'")
-    group, metric = _metric_path(metric_path)
-    metric_block = tiles.get(group, {}).get(metric)
-    if not isinstance(metric_block, dict):
-        raise KeyError(f"tiles[{group!r}] has no metric {metric!r}")
-    mean = metric_block.get("mean")
-    std = metric_block.get("std")
-    if not (isinstance(mean, np.ndarray) and mean.ndim == 3 and mean.shape[1:] == (3, 3)):
-        raise ValueError(
-            f"Expected tiles[{group!r}][{metric!r}]['mean'] with shape (T,3,3); "
-            f"got shape={getattr(mean, 'shape', None)!r}"
-        )
+    meta, _tiles = sc.stats_blocks(stack_stats, "meta", "tiles")
+    group, metric = sc.split_path(metric_path)
+    mean, std = _tile_timeseries(stack_stats, group, metric, need_std=False)
+    std = std if isinstance(std, np.ndarray) else (
+        stack_stats["tiles"][group][metric].get("std"))
     T = mean.shape[0]
-    if stack.ndim != 3 or stack.shape[0] != T:
-        raise ValueError(
-            f"stack must be (T,H,W) with T={T}; got shape={getattr(stack, 'shape', None)!r}"
-        )
-    idx = list(range(T)) if frames is None else [int(t) for t in frames]
+    sc.need(
+        getattr(stack, "ndim", 0) == 3 and stack.shape[0] == T,
+        f"stack must be (T,H,W) with T={T}; "
+        f"got shape={getattr(stack, 'shape', None)!r}",
+    )
+    picks = list(range(T)) if frames is None else [int(t) for t in frames]
 
     if vmin is None or vmax is None:
         # per-frame running extrema: list-indexing the stack would both
         # materialise an out-of-core source in full and reject lazy frame
         # sequences outright
-        lo = np.inf
-        hi = -np.inf
-        for t in idx:
+        lo, hi = np.inf, -np.inf
+        for t in picks:
             frame = np.asarray(stack[t], dtype=float)
             lo = min(lo, float(np.nanmin(frame)))
             hi = max(hi, float(np.nanmax(frame)))
-        if vmin is None:
-            vmin = lo
-        if vmax is None:
-            vmax = hi
+        vmin = lo if vmin is None else vmin
+        vmax = hi if vmax is None else vmax
 
     user_title = tile_kwargs.pop("title", None)
-    images: list[Image.Image] = []
-    for t in idx:
+    shots: list[Image.Image] = []
+    for t in picks:
         frame_stats = {
             "meta": meta,
             "tiles": {group: {metric: {
@@ -458,19 +392,18 @@ def plt_tiles_metric_stack(
         fig = plt_tiles_metric(
             np.asarray(stack[t], dtype=float), frame_stats, (group, metric),
             vmin=vmin, vmax=vmax, k=k,
-            title=f"{user_title} — frame {t}" if user_title else f"{metric} — frame {t}",
+            title=f"{user_title} — frame {t}" if user_title
+            else f"{metric} — frame {t}",
             **tile_kwargs,
         )
-        fig.canvas.draw()
-        buf = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+        shots.append(Image.fromarray(sc.rgba_capture(fig)))
         plt.close(fig)
-        images.append(Image.fromarray(buf))
 
     out = Path(save_path)
     if out.suffix.lower() == ".gif":
         out.parent.mkdir(parents=True, exist_ok=True)
-        images[0].save(
-            out, save_all=True, append_images=images[1:],
+        shots[0].save(
+            out, save_all=True, append_images=shots[1:],
             duration=max(1, int(round(1000.0 / fps))), loop=0,
         )
         return [str(out)]
@@ -478,11 +411,14 @@ def plt_tiles_metric_stack(
     stem = out.with_suffix("")
     stem.parent.mkdir(parents=True, exist_ok=True)
     paths = []
-    for t, im in zip(idx, images):
+    for t, im in zip(picks, shots):
         p = stem.parent / f"{stem.name}_{t:04d}.png"
         im.save(p)
         paths.append(str(p))
     return paths
+
+
+# ------------------------------------------------ dense field (XST) view
 
 
 def plt_displacement_field(
@@ -505,49 +441,27 @@ def plt_displacement_field(
     dy = np.asarray(field["dy"], dtype=float)
     dx = np.asarray(field["dx"], dtype=float)
     if dy.ndim == 3:
-        if frame is None:
-            raise ValueError(
-                "field holds a (T, gy, gx) displacement stack: pass frame=."
-            )
-        dy = dy[int(frame)]
-        dx = dx[int(frame)]
-    elif frame is not None:
-        raise ValueError("frame= is only meaningful for displacement stacks.")
-    if dy.ndim != 2:
-        raise ValueError(f"expected 2D displacement maps; got ndim={dy.ndim}")
+        sc.need(frame is not None,
+                "field holds a (T, gy, gx) displacement stack: pass frame=.")
+        dy, dx = dy[int(frame)], dx[int(frame)]
+    else:
+        sc.need(frame is None,
+                "frame= is only meaningful for displacement stacks.")
+    sc.need(dy.ndim == 2, f"expected 2D displacement maps; got ndim={dy.ndim}")
 
     ys = np.asarray(field.get("y", np.arange(dy.shape[0])), dtype=float)
     xs = np.asarray(field.get("x", np.arange(dy.shape[1])), dtype=float)
-    mag = np.hypot(dy, dx)
 
-    start_plotting(k)
-    fig, ax = plt.subplots()
-    # half-step margins so each magnitude CELL is centred on its node — the
-    # quiver arrows sit at node coordinates, not cell corners
-    hx = 0.5 * (1.0 if xs.size == 1 else float(np.mean(np.diff(xs))))
-    hy = 0.5 * (1.0 if ys.size == 1 else float(np.mean(np.diff(ys))))
-    im = ax.imshow(
-        mag,
-        origin="lower",
-        cmap=cmap,
-        extent=(xs[0] - hx, xs[-1] + hx, ys[0] - hy, ys[-1] + hy),
-        aspect="equal",
-    )
+    fig, ax = sc.canvas(k, size=tuple(plt.rcParams["figure.figsize"]))
+    # node_extent centres each magnitude CELL on its node — the quiver
+    # arrows sit at node coordinates, not cell corners
+    art = ax.imshow(np.hypot(dy, dx), origin="lower", cmap=cmap,
+                    extent=sc.node_extent(xs, ys), aspect="equal")
     q = max(1, int(quiver_step))
-    ax.quiver(
-        xs[::q],
-        ys[::q],
-        dx[::q, ::q],
-        dy[::q, ::q],
-        color=quiver_color,
-        angles="xy",
-        width=0.003,
-    )
-    divider = make_axes_locatable(ax)
-    cax = divider.append_axes("right", size="4%", pad=0.08)
-    fig.colorbar(im, cax=cax, label="|d| [px]")
-    ax.set_xlabel("x [px]")
-    ax.set_ylabel("y [px]")
-    ax.set_title(title or "displacement field")
+    ax.quiver(xs[::q], ys[::q], dx[::q, ::q], dy[::q, ::q],
+              color=quiver_color, angles="xy", width=0.003)
+    sc.attach_cbar(fig, ax, art, "|d| [px]", width="4%", pad=0.08)
+    sc.dress(ax, sc.Frame(xlabel="x [px]", ylabel="y [px]",
+                          title=title or "displacement field", grid=None))
     fig.tight_layout()
     return fig
