@@ -384,7 +384,9 @@ def sharpness_stats(
         None if saturation_value is None else float(saturation_value),
         float(eps),
     )
-    dev_img = image if is_device else np.ascontiguousarray(image)
+    from ..ops.uploadcache import device_resident
+
+    dev_img = image if is_device else device_resident(np.ascontiguousarray(image))
     raw = jax.device_get(program(dev_img))
 
     out: dict = {

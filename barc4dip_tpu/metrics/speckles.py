@@ -377,7 +377,9 @@ def speckle_stats(
     )
     # upload in the image's own dtype (uint16 detector frames ship half the
     # bytes); the program casts on device
-    dev_img = image if is_device else jnp.asarray(np.ascontiguousarray(image))
+    from ..ops.uploadcache import device_resident
+
+    dev_img = image if is_device else device_resident(np.ascontiguousarray(image))
     raw = jax.device_get(program(dev_img))
 
     if is_device:

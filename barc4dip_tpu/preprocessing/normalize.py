@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.rank import median_filter2d
+from ..ops.uploadcache import device_resident
 from ..utils import elapsed_time, now
 
 __all__ = ["flat_field_correction"]
@@ -125,10 +126,12 @@ def flat_field_correction(
             elapsed_time(t0)
         return _deliver(out.astype(np.float32))
 
+    # flats/darks are calibration constants reused across every frame of a
+    # run: the content-addressed cache uploads each once per session
     out = _ffc_device(
-        img if device_in else jnp.asarray(img),
-        jnp.asarray(flat2d),
-        jnp.asarray(dark2d),
+        img if device_in else device_resident(img),
+        device_resident(flat2d),
+        device_resident(dark2d),
         jnp.float32(0.0 if eps is None else eps),
         scale=scale,
         bad_pixel_removal=bool(bad_pixel_removal),

@@ -78,7 +78,12 @@ def main(argv: list[str] | None = None) -> int:
     flats = read_image(str(opts.flat_path)) if opts.flat_path else None
     darks = read_image(str(opts.dark_path)) if opts.dark_path else None
     if flats is not None or darks is not None:
-        image = flat_field_correction(image, flats=flats, darks=darks)
+        # keep the corrected frame device-resident: the metric program
+        # consumes it in place, so the correction -> stats chain costs one
+        # upload and no intermediate pull
+        image = flat_field_correction(
+            image, flats=flats, darks=darks, as_numpy=False
+        )
 
     stats = speckle_stats(
         image,

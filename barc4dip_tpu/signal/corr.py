@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import corrcore
+from ..ops.uploadcache import device_resident
 from .common import lag_axis_from_step, resolve_step_1d, resolve_steps_2d
 
 __all__ = ["xcorr1d", "autocorr1d", "xcorr2d", "autocorr2d"]
@@ -53,7 +54,7 @@ def _ac2(a, *, remove_mean, standardize, normalize):
 
 
 def _as_float(a):
-    a = jnp.asarray(a)
+    a = device_resident(a)
     if not jnp.issubdtype(a.dtype, jnp.floating) and not jnp.issubdtype(
         a.dtype, jnp.complexfloating
     ):

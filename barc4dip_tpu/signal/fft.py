@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import fftcore
+from ..ops.uploadcache import device_resident
 from .common import resolve_step_1d, resolve_steps_2d
 
 __all__ = [
@@ -127,7 +128,7 @@ def fft2d(
     dy: float = 1.0,
 ):
     """Shifted 2D FFT and shifted frequency axes: (F, fx, fy)."""
-    img = jnp.asarray(image)
+    img = device_resident(image)
     if img.ndim != 2:
         raise ValueError("image must be a 2D array.")
     ny, nx = img.shape
@@ -158,7 +159,7 @@ def psd2d(
     P is returned device-resident; for real input it is centro-symmetric,
     so materialise it with :func:`barc4dip_tpu.signal.pull_centrosymmetric`
     to halve the device->host transfer (``np.asarray`` pulls it whole)."""
-    img = jnp.asarray(image)
+    img = device_resident(image)
     if img.ndim != 2:
         raise ValueError("image must be a 2D array.")
     ny, nx = img.shape

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.corrcore import autocorr2d_core
+from ..ops.uploadcache import device_resident
 from ..ops.fftcore import psd2d_core
 from ..ops.radialcore import (
     binned_geometry,
@@ -77,7 +78,7 @@ def spectral_summary(
     Results match the separate ``psd2d`` / ``autocorr2d`` /
     ``maths.radial_mean_*`` calls; only the launch structure differs.
     """
-    img = jnp.asarray(image) if not isinstance(image, jax.Array) else image
+    img = device_resident(image)
     if img.ndim != 2:
         raise ValueError("image must be a 2D array.")
     if jnp.issubdtype(img.dtype, jnp.complexfloating):

@@ -27,14 +27,18 @@ def main(out_dir=None):
     field = np.abs(np.fft.ifft2(np.fft.fft2(a) * H)) ** 2
     field = (field / field.mean() * 1000).astype(np.float32)
 
-    # physically calibrated spectra (cycles/um)
-    P, fx, fy = dip.signal.psd2d(field, dx=pixel_um, dy=pixel_um, scale=True)
-    ac, xlag, ylag = dip.signal.autocorr2d(field, dx=pixel_um, dy=pixel_um)
+    # physically calibrated spectra (cycles/um): the whole quick-look runs
+    # as ONE device program — PSD, autocorrelation and both radial means
+    # from a single upload (the front door for this workflow; the separate
+    # psd2d/autocorr2d/radial_mean_* calls remain available and identical)
+    summary = dip.signal.spectral_summary(field, dx=pixel_um, dy=pixel_um, scale=True)
+    P, fx, fy = summary["psd"], summary["fx"], summary["fy"]
+    rad_i, r_i = summary["radial_interpolated"], summary["r_interpolated"]
 
-    rad_b, r_b = dip.maths.radial_mean_binned(np.asarray(ac))
-    rad_i, r_i = dip.maths.radial_mean_interpolated(np.asarray(ac))
+    # the maps are device-resident; materialise via the half-transfer pull
+    ac = dip.signal.pull_centrosymmetric(summary["autocorr"])
 
-    w, hit = dip.maths.width_at_fraction(np.asarray(ac)[side // 2, :], fraction=1 / np.e)
+    w, hit = dip.maths.width_at_fraction(ac[side // 2, :], fraction=1 / np.e)
     print(f"autocorr 1/e full width: {w * pixel_um:.2f} um ({w:.2f} px), hit_edge={hit}")
     d, _ = dip.maths.distance_at_fraction_from_peak(np.asarray(rad_i), fraction=1 / np.e)
     print(f"radial 1/e radius: {d:.2f} px -> leq = {2 * d * (r_i[1] - r_i[0]):.2f} px")
@@ -42,7 +46,8 @@ def main(out_dir=None):
     if out_dir:
         from barc4dip_tpu.plotting import plt_spectrum1d, plt_spectrum2d, savefig
 
-        figs = plt_spectrum2d(np.asarray(P), x=fx, y=fy, log_intensity=True,
+        P_host = dip.signal.pull_centrosymmetric(P)  # half the wire bytes
+        figs = plt_spectrum2d(P_host, x=fx, y=fy, log_intensity=True,
                               mask_center=True, xlabel="fx (1/um)", ylabel="fy (1/um)")
         savefig(figs["intensity"], f"{out_dir}/ex03_psd.png")
         fig = plt_spectrum1d(np.asarray(rad_i), np.asarray(r_i), logy=True,

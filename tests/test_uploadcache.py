@@ -1,0 +1,101 @@
+# SPDX-License-Identifier: CECILL-2.1
+"""Content-addressed upload dedup (ops/uploadcache.py)."""
+import numpy as np
+import pytest
+
+import barc4dip_tpu as dip
+from barc4dip_tpu.ops import uploadcache as uc
+
+
+@pytest.fixture(autouse=True)
+def _fresh_cache():
+    uc.cache_clear()
+    yield
+    uc.cache_clear()
+
+
+def _big(seed=0, side=1024):
+    return (
+        np.random.default_rng(seed).normal(size=(side, side)).astype(np.float32)
+    )
+
+
+def test_same_content_hits():
+    a = _big()
+    d1 = uc.device_resident(a)
+    d2 = uc.device_resident(a.copy())  # different object, same content
+    assert d2 is d1
+    info = uc.cache_info()
+    assert info["hits"] == 1 and info["misses"] == 1
+
+
+def test_mutation_invalidates():
+    a = _big()
+    d1 = uc.device_resident(a)
+    a[123, 456] += 1.0
+    d2 = uc.device_resident(a)
+    assert d2 is not d1
+    np.testing.assert_array_equal(np.asarray(d2), a)
+
+
+def test_small_and_noncontiguous_bypass():
+    small = np.ones((16, 16), np.float32)
+    assert uc.device_resident(small) is not uc.device_resident(small)
+    strided = _big()[::2, ::2]
+    assert not strided.flags.c_contiguous
+    uc.device_resident(strided)
+    assert uc.cache_info()["entries"] == 0
+
+
+def test_jax_arrays_pass_through():
+    import jax.numpy as jnp
+
+    dev = jnp.ones((4, 4))
+    assert uc.device_resident(dev) is dev
+
+
+def test_disable_knob(monkeypatch):
+    monkeypatch.setenv("BARC4DIP_TPU_UPLOAD_CACHE", "0")
+    a = _big()
+    assert uc.device_resident(a) is not uc.device_resident(a)
+    assert uc.cache_info()["entries"] == 0
+
+
+def test_eviction_bounds_bytes(monkeypatch):
+    monkeypatch.setattr(uc, "_MAX_BYTES", 3 * 4 * 1024 * 1024)
+    for seed in range(5):
+        uc.device_resident(_big(seed))
+    info = uc.cache_info()
+    assert info["bytes"] <= 3 * 4 * 1024 * 1024
+
+
+def test_chained_public_calls_share_one_upload():
+    field = _big(7)
+    P, fx, fy = dip.signal.psd2d(field)
+    ac, xl, yl = dip.signal.autocorr2d(field)
+    info = uc.cache_info()
+    assert info["misses"] == 1 and info["hits"] == 1
+    # results unchanged by the cache
+    uc.cache_clear()
+    import os
+
+    os.environ["BARC4DIP_TPU_UPLOAD_CACHE"] = "0"
+    try:
+        P2, _, _ = dip.signal.psd2d(field)
+        np.testing.assert_allclose(np.asarray(P), np.asarray(P2), rtol=0, atol=0)
+    finally:
+        os.environ.pop("BARC4DIP_TPU_UPLOAD_CACHE")
+
+
+def test_flat_field_calibration_cached():
+    from barc4dip_tpu.preprocessing import flat_field_correction
+
+    img = _big(1)
+    flat = np.abs(_big(2)) + 10.0
+    out1 = flat_field_correction(img, flats=flat)
+    first = uc.cache_info()["misses"]
+    out2 = flat_field_correction(img + 1.0, flats=flat)  # new frame, same flat
+    info = uc.cache_info()
+    assert info["hits"] >= 1  # the calibration flat deduped
+    assert info["misses"] == first + 1  # only the new frame shipped
+    assert out1.shape == out2.shape
