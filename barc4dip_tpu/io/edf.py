@@ -241,6 +241,93 @@ class EdfFile:
         return (dim2, dim1), dtype, nbytes, block_size
 
 
+_CBF_BINARY_MAGIC = b"\x0c\x1a\x04\xd5"
+
+
+def _byte_offset_decode(raw: bytes, n: int) -> np.ndarray:
+    """CBF byte-offset decompression (public CBF spec / Pilatus mini-CBF):
+    each pixel is a delta — one int8, escaping to int16 LE when the byte is
+    0x80, and to int32 LE when the int16 is 0x8000; pixel values are the
+    cumulative sum. Vectorised piecewise: whole runs between escape bytes
+    decode in one slice, so cost scales with the (few) escapes."""
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    deltas = np.empty(n, dtype=np.int64)
+    i = 0  # byte position
+    j = 0  # element position
+    while j < n:
+        window = arr[i : i + (n - j)].view(np.int8)
+        if window.size == 0:
+            raise ValueError("CBF byte-offset stream truncated")
+        esc = np.flatnonzero(window == -128)
+        k = int(esc[0]) if esc.size else int(window.size)
+        deltas[j : j + k] = window[:k]
+        i += k
+        j += k
+        if j < n and esc.size:
+            v = int(np.frombuffer(raw, np.dtype("<i2"), 1, i + 1)[0])
+            i += 3
+            if v == -32768:
+                v = int(np.frombuffer(raw, np.dtype("<i4"), 1, i)[0])
+                i += 4
+            deltas[j] = v
+            j += 1
+    return np.cumsum(deltas)
+
+
+def _read_cbf(path: Path, dtype) -> np.ndarray:
+    """Pilatus mini-CBF frame: ASCII MIME header + byte-offset binary.
+
+    Capability parity with the reference's conditional PilatusCBF dispatch
+    (uti_EdfFile.py:123-126,283-286 — available there only when PyMca is
+    installed); this is a clean-room decoder of the public format."""
+    import re
+
+    raw = path.read_bytes()
+    head_end = raw.find(_CBF_BINARY_MAGIC)
+    if head_end < 0:
+        raise ValueError(f"'{path}': no CBF binary section marker found")
+    header = raw[:head_end].decode("latin-1", "replace")
+
+    def field(name: str) -> int:
+        m = re.search(rf"{re.escape(name)}:\s*(\d+)", header)
+        if not m:
+            raise ValueError(f"'{path}': CBF header missing {name}")
+        return int(m.group(1))
+
+    if "byte_offset" not in header.lower():
+        raise ValueError(
+            f"'{path}': unsupported CBF compression (only byte-offset "
+            "mini-CBF frames are supported)"
+        )
+    nx = field("X-Binary-Size-Fastest-Dimension")
+    ny = field("X-Binary-Size-Second-Dimension")
+    n = field("X-Binary-Number-of-Elements")
+    if n != nx * ny:
+        raise ValueError(f"'{path}': CBF element count {n} != {nx}x{ny}")
+    data = _byte_offset_decode(raw[head_end + len(_CBF_BINARY_MAGIC) :], n)
+    return np.asarray(data.reshape(ny, nx), dtype=dtype)
+
+
+def _read_spe(path: Path, dtype) -> np.ndarray:
+    """Princeton Instruments WinView SPE v2 frame (uint16 payload).
+
+    Same fixed-offset layout the reference's wrapper reads
+    (uti_EdfFile.py:545-577): xdim at byte 42, ydim at 656, first frame's
+    uint16 data at 4100; single-frame contract."""
+    raw = path.read_bytes()
+    if len(raw) < 4100:
+        raise ValueError(f"'{path}': SPE file too short for a v2 header")
+    xdim = int(np.frombuffer(raw, np.dtype("<i2"), 1, 42)[0])
+    ydim = int(np.frombuffer(raw, np.dtype("<i2"), 1, 656)[0])
+    if xdim <= 0 or ydim <= 0:
+        raise ValueError(f"'{path}': invalid SPE dimensions {xdim}x{ydim}")
+    n = xdim * ydim
+    if len(raw) < 4100 + 2 * n:
+        raise ValueError(f"'{path}': SPE data truncated")
+    data = np.frombuffer(raw, np.dtype("<u2"), n, 4100)
+    return np.asarray(data.reshape(ydim, xdim), dtype=dtype)
+
+
 def _use_native() -> bool:
     from .native import native_io_requested
 
@@ -271,6 +358,23 @@ def read_edf(
         fp = Path(p)
         if not fp.exists():
             raise FileNotFoundError(f"EDF file not found: '{p}'")
+        # Wrapped-container dispatch, mirroring the reference parser's
+        # conditional wrappers (uti_EdfFile.py:277-295): .cbf / .spe files
+        # whose first byte is not an EDF/SPE-ASCII header marker decode as
+        # Pilatus mini-CBF / WinView SPE single frames.
+        suffix = fp.suffix.lower()
+        if suffix in (".cbf", ".spe") and not str(fp).endswith((".gz", ".bz2")):
+            with open(fp, "rb") as fh:
+                first = fh.read(1)
+            marker = b"{" if suffix == ".cbf" else b"$"
+            if first != marker:
+                if index > 0:  # both containers carry exactly one frame
+                    raise IndexError(
+                        f"Frame index {index} out of range "
+                        f"(wrapped {suffix[1:].upper()} '{p}' has 1 frame)."
+                    )
+                reader = _read_cbf if suffix == ".cbf" else _read_spe
+                return reader(fp, dtype)
         # Beamlines sometimes hand .edf paths whose payload is really a
         # TIFF container (MarCCD frames are TIFF with a vendor header; the
         # reference's vendored parser sniffs and wraps these,

@@ -257,7 +257,9 @@ def upload_padded_chunk(source, c0: int, B: int, T: int, put, dtype=None):
 
     The single implementation behind every chunked loop's prefetch stage
     (run_stack_program, the fused speckle stack, host-side deconvolution).
-    Returns (device_array, nbytes, upload_seconds).
+    Returns (device_array, nbytes, (io_start, io_end)) — the transfer's
+    wall-clock interval, so concurrent upload streams can be merged into
+    true wire-busy time rather than double-counted.
     """
     import time as _time
 
@@ -275,23 +277,39 @@ def upload_padded_chunk(source, c0: int, B: int, T: int, put, dtype=None):
         dev.block_until_ready()
     except AttributeError:
         pass
-    return dev, chunk.nbytes, _time.perf_counter() - t0
+    return dev, chunk.nbytes, (t0, _time.perf_counter())
+
+
+def upload_streams() -> int:
+    """Parallel host->device upload streams (BARC4DIP_TPU_UPLOAD_STREAMS).
+
+    Default 2: on the hosted tunnel two concurrent transfers were measured
+    10-20% faster in aggregate than one, while 8 collapse the link
+    (docs/AXON_BACKEND_NOTES.md). Set 1 to serialise uploads."""
+    import os
+
+    try:
+        n = int(os.environ.get("BARC4DIP_TPU_UPLOAD_STREAMS", "2"))
+    except ValueError:
+        n = 2
+    return max(1, min(n, 8))
 
 
 def loop_prefetcher():
-    """Process-wide single-worker pool for chunk preparation + upload.
+    """Process-wide pool for chunk preparation + upload
+    (:func:`upload_streams` workers).
 
-    A singleton (not per-call) so an exception mid-pipeline never strands a
-    fresh thread, and one upload rides the host->device link at a time even
-    with concurrent stack runs.  Used by every chunked stack loop
-    (run_stack_program, stack_fused) to hide transfer time — and, for lazy
-    file-backed stacks, decode time — behind device compute."""
+    A singleton (not per-call) so an exception mid-pipeline never strands
+    fresh threads, and the stream count stays bounded even with concurrent
+    stack runs.  Used by every chunked stack loop (run_stack_program,
+    stack_fused) to hide transfer time — and, for lazy file-backed stacks,
+    decode time — behind device compute."""
     global _PREFETCHER
     if _PREFETCHER is None:
         from concurrent.futures import ThreadPoolExecutor
 
         _PREFETCHER = ThreadPoolExecutor(
-            max_workers=1, thread_name_prefix="barc4dip-upload"
+            max_workers=upload_streams(), thread_name_prefix="barc4dip-upload"
         )
     return _PREFETCHER
 
@@ -340,7 +358,7 @@ def run_stack_program(
         pieces[slot] = piece
 
     def _prepare(c0: int):
-        dev, _, _ = upload_padded_chunk(stack, c0, B, T, put, dtype=dtype)
+        dev, _, _io = upload_padded_chunk(stack, c0, B, T, put, dtype=dtype)
         return dev
 
     prefetch = loop_prefetcher()

@@ -484,6 +484,43 @@ def _log_full(full: dict) -> None:
 # stack aggregator (per-frame metrics + translation tracking)
 # ---------------------------------------------------------------------------
 
+def tracking_grid_from_frame0(
+    stack, *, roi_grain_factor: float = 3.0, roi_step_factor: float = 0.5
+):
+    """Static 3x3 tracking-ROI geometry sized from frame-0 grain:
+    (grid_slices, grid_labels, roi_side, step, grain0).
+
+    Reference phase 2 hoisted (metrics/speckles.py:332-345): the fused
+    chunk program needs the ROI geometry up front. The map-free grain
+    program returns just the four scalars — no (N, N) autocorr download
+    for a geometry decision — and runs on the host CPU backend: frame 0
+    is host-resident anyway, the result only sizes static shapes, and a
+    one-frame sizing pass does not justify a dedicated accelerator
+    executable (~50 s first-execution penalty per process on the hosted
+    backend; measured identical lx/ly/leq).
+    """
+    T, H, W = (int(s) for s in stack.shape)
+    frame0 = np.asarray(stack[0, :, :])
+    with jax.default_device(jax.devices("cpu")[0]):
+        g0 = _grain_jit(float(1.0 / np.e), "interpolated", False)(
+            jnp.asarray(frame0, dtype=jnp.promote_types(frame0.dtype, jnp.float32))
+        )
+        grain0 = {k: float(g0[k]) for k in ("lx", "ly", "leq", "r")}
+
+    l = float(
+        np.nanmax([grain0.get("lx", np.nan), grain0.get("ly", np.nan), grain0.get("leq", np.nan)])
+    )
+    if not np.isfinite(l) or l <= 0:
+        raise ValueError("Could not infer a valid grain size from frame 0 (lx/ly/leq).")
+
+    roi_side = odd_size(int(np.ceil(roi_grain_factor * l)))
+    step = int(max(1, round(roi_step_factor * roi_side)))
+    grid_slices, grid_labels = roi_grid_3x3(
+        (H, W), (roi_side, roi_side), (step, step), center_yx=None
+    )
+    return grid_slices, grid_labels, roi_side, step, grain0
+
+
 def speckle_stack_stats(
     stack,
     *,
@@ -564,33 +601,9 @@ def speckle_stack_stats(
 
     mode, _tile_shape = choose_tiling_mode(H, W, tiles=tiles, min_tile_px=MIN_TILE_PX)
 
-    # ---- ROI sizing from frame-0 grain (reference phase 2, hoisted: the
-    # fused chunk program needs the static ROI geometry up front). The
-    # map-free grain program returns just the four scalars — no (N, N)
-    # autocorr download for a geometry decision. It runs on the host CPU
-    # backend: frame 0 is host-resident anyway, the result only sizes
-    # static shapes, and a one-frame sizing pass does not justify a
-    # dedicated accelerator executable (~50 s first-execution penalty per
-    # process on the hosted backend; measured identical lx/ly/leq). ----
-    frame0 = np.asarray(stack[0, :, :])
-    with jax.default_device(jax.devices("cpu")[0]):
-        g0 = _grain_jit(float(1.0 / np.e), "interpolated", False)(
-            jnp.asarray(frame0, dtype=jnp.promote_types(frame0.dtype, jnp.float32))
-        )
-        grain0 = {k: float(g0[k]) for k in ("lx", "ly", "leq", "r")}
-
-    l = float(
-        np.nanmax([grain0.get("lx", np.nan), grain0.get("ly", np.nan), grain0.get("leq", np.nan)])
+    grid_slices, grid_labels, roi_side, step, grain0 = tracking_grid_from_frame0(
+        stack, roi_grain_factor=roi_grain_factor, roi_step_factor=roi_step_factor
     )
-    if not np.isfinite(l) or l <= 0:
-        raise ValueError("Could not infer a valid grain size from frame 0 (lx/ly/leq).")
-
-    roi_side = odd_size(int(np.ceil(roi_grain_factor * l)))
-    roi_size_yx = (roi_side, roi_side)
-    step = int(max(1, round(roi_step_factor * roi_side)))
-    step_yx = (step, step)
-
-    grid_slices, grid_labels = roi_grid_3x3((H, W), roi_size_yx, step_yx, center_yx=None)
 
     ckpt = None
     if checkpoint_dir is not None:
@@ -691,9 +704,9 @@ def speckle_stack_stats(
             ),
             "normalization": {"template": "zscore_local", "search": "zscore_global"},
             "roi_grain_factor": float(roi_grain_factor),
-            "roi_size_yx": tuple(int(v) for v in roi_size_yx),
+            "roi_size_yx": (int(roi_side), int(roi_side)),
             "roi_step_factor": float(roi_step_factor),
-            "roi_step_yx": tuple(int(v) for v in step_yx),
+            "roi_step_yx": (int(step), int(step)),
             "roi_labels": grid_labels,
             "roi_order": "row-major",
         },

@@ -295,7 +295,7 @@ def deconvolve_psf(
         from ..metrics.common import loop_prefetcher, upload_padded_chunk
 
         def _prep(c0: int):
-            dev, _, _ = upload_padded_chunk(frames, c0, B, T, jnp.asarray)
+            dev, _, _io = upload_padded_chunk(frames, c0, B, T, jnp.asarray)
             return dev
 
         prefetch = loop_prefetcher()

@@ -166,6 +166,41 @@ def run_pipeline_tpu(
     return elapsed, float(np.nanmax(err)), stages
 
 
+def measure_device_compute(stack: np.ndarray, frame_chunk: int) -> dict | None:
+    """Wire-independent device-compute throughput of the fused programs
+    (frames pre-uploaded): what the chip could sustain on a healthy link.
+    Best-effort — the headline metric never depends on it."""
+    try:
+        from barc4dip_tpu.metrics.common import choose_tiling_mode, normalize_groups
+        from barc4dip_tpu.metrics.speckles import (
+            _ALL_SPECKLE_GROUPS,
+            tracking_grid_from_frame0,
+        )
+        from barc4dip_tpu.metrics.stack_fused import device_compute_probe
+
+        T, H, W = stack.shape
+        groups = normalize_groups(
+            "all", all_groups=_ALL_SPECKLE_GROUPS, context="speckles",
+            param_name="metrics",
+        )
+        mode, _ = choose_tiling_mode(H, W, tiles=True, min_tile_px=128)
+        grid_slices, _labels, _roi, _step, _g0 = tracking_grid_from_frame0(stack)
+        probe = device_compute_probe(
+            stack, grid_slices, groups=groups, mode=mode, sat=65535.0,
+            eps=1e-6, flip=True, method="template", subpixel=True,
+            frame_chunk=frame_chunk,
+        )
+        return {
+            "compute_mpix_s": round(probe["mpix_s"], 2),
+            "compute_s_total": round(probe["elapsed_s"], 3),
+            "note": "frames pre-uploaded; fused metrics+tracking programs "
+                    "+ scalar pulls only (the wire-independent chip rate)",
+        }
+    except Exception as exc:  # pragma: no cover - probe must never gate
+        print(f"# device-compute probe failed: {exc!r}", file=sys.stderr)
+        return None
+
+
 def measure_cpu_baseline(side: int, cpu_T: int) -> float:
     """Per-frame seconds of the reference pipeline on CPU."""
     sys.path.insert(0, "/root/reference/src")
@@ -235,6 +270,7 @@ def main() -> int:
     elapsed, track_err, stages = run_pipeline_tpu(stack, frame_chunk)
     mpix_total = T * side * side / 1e6
     tpu_mpix_s = mpix_total / elapsed
+    device_compute = measure_device_compute(stack, frame_chunk)
 
     cpu_sec_per_frame = get_cpu_baseline(side, cpu_T)
     if cpu_sec_per_frame and cpu_sec_per_frame > 0:
@@ -274,6 +310,7 @@ def main() -> int:
                     )
                     if stages.get("upload_io_s")
                     else None,
+                    "device_compute": device_compute,
                     "pipeline": "speckle_stack_stats: all metric groups + tiles + abs/inc tracking",
                 },
             }

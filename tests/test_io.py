@@ -311,3 +311,77 @@ class TestSaveEdf:
             save_edf(np.zeros((4, 4)), tmp_path / "missing" / "x.edf")
         with pytest.raises(ValueError):
             save_edf(np.zeros((4, 4), dtype=np.complex64), tmp_path / "x.edf")
+
+
+class TestWrappedContainers:
+    """CBF / SPE wrapped-format dispatch (reference uti_EdfFile.py:277-295)."""
+
+    @staticmethod
+    def _byte_offset_encode(values: np.ndarray) -> bytes:
+        out = bytearray()
+        prev = 0
+        for v in values.ravel().tolist():
+            d = v - prev
+            prev = v
+            if -127 <= d <= 127:
+                out += int(d).to_bytes(1, "little", signed=True)
+            elif -32767 <= d <= 32767:
+                out += b"\x80" + int(d).to_bytes(2, "little", signed=True)
+            else:
+                out += b"\x80" + b"\x00\x80" + int(d).to_bytes(4, "little", signed=True)
+        return bytes(out)
+
+    def _write_cbf(self, path, img):
+        ny, nx = img.shape
+        header = (
+            "###CBF: VERSION 1.5\r\n"
+            "conversions=\"x-CBF_BYTE_OFFSET\"\r\n"
+            "Content-Transfer-Encoding: BINARY\r\n"
+            f"X-Binary-Number-of-Elements: {img.size}\r\n"
+            f"X-Binary-Size-Fastest-Dimension: {nx}\r\n"
+            f"X-Binary-Size-Second-Dimension: {ny}\r\n\r\n"
+        ).encode()
+        payload = self._byte_offset_encode(img)
+        path.write_bytes(header + b"\x0c\x1a\x04\xd5" + payload)
+
+    def _write_spe(self, path, img):
+        ny, nx = img.shape
+        head = bytearray(4100)
+        head[42:44] = int(nx).to_bytes(2, "little", signed=True)
+        head[656:658] = int(ny).to_bytes(2, "little", signed=True)
+        path.write_bytes(bytes(head) + img.astype("<u2").tobytes())
+
+    def test_cbf_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 70000, size=(23, 17)).astype(np.int64)
+        img[4, 5] = 0  # big negative delta
+        img[4, 6] = 1_000_000  # forces the int32 escape
+        p = tmp_path / "frame.cbf"
+        self._write_cbf(p, img)
+        out = read_edf(str(p))
+        assert out.dtype == np.float32
+        np.testing.assert_allclose(out, img.astype(np.float32))
+
+    def test_spe_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 65535, size=(11, 9)).astype(np.uint16)
+        p = tmp_path / "frame.spe"
+        self._write_spe(p, img)
+        out = read_edf(str(p))
+        np.testing.assert_allclose(out, img.astype(np.float32))
+
+    def test_wrapped_single_frame_contract(self, tmp_path):
+        img = np.arange(12, dtype=np.uint16).reshape(3, 4)
+        p = tmp_path / "frame.spe"
+        self._write_spe(p, img)
+        with pytest.raises(IndexError):
+            read_edf(str(p), index=1)
+
+    def test_edf_payload_in_cbf_extension_falls_through(self, tmp_path):
+        # a .cbf whose first byte is '{' is a real EDF (reference contract)
+        from barc4dip_tpu.io import save_edf
+
+        img = np.arange(20, dtype=np.float32).reshape(4, 5)
+        p = tmp_path / "really_edf.cbf"
+        save_edf(img, str(p))
+        np.testing.assert_allclose(read_edf(str(p)), img)
