@@ -6,7 +6,8 @@ slices, 3x3 grids and embedding offsets are compile-time constants that
 parameterise statically-shaped device programs.
 
 Behavioural parity with reference geometry/roi.py:9,44,109,175 (odd sizes,
-clip-or-raise semantics, NW..SE row-major grid labels).
+clip-or-raise semantics, NW..SE row-major grid labels), organised around a
+single per-axis span helper instead of duplicated y/x arithmetic.
 """
 from __future__ import annotations
 
@@ -16,6 +17,10 @@ import numpy as np
 
 __all__ = ["odd_size", "roi_slices", "roi_grid_3x3", "embed_roi"]
 
+GRID3_LABELS = np.array(
+    [["NW", "N", "NE"], ["W", "C", "E"], ["SW", "S", "SE"]], dtype=object
+)
+
 
 def odd_size(n: float | int, *, min_size: int = 3) -> int:
     """Smallest odd integer >= ceil(n), at least ``min_size``."""
@@ -23,11 +28,25 @@ def odd_size(n: float | int, *, min_size: int = 3) -> int:
         raise ValueError("n must be finite.")
     if min_size < 1:
         raise ValueError("min_size must be >= 1.")
+    # `| 1` forces the lowest bit: odd stays, even rounds up by one
+    return max(math.ceil(n), int(min_size)) | 1
 
-    size = max(int(math.ceil(n)), int(min_size))
-    if size % 2 == 0:
-        size += 1
-    return size
+
+def _axis_span(center: int, size: int, bound: int, clip: bool) -> tuple[int, int]:
+    """[lo, hi) of an odd ``size`` window centred at ``center`` on one axis.
+
+    ``clip=True`` clamps BOTH endpoints into [0, bound]: a centre fully
+    outside the image yields an empty ordered span at the nearest edge
+    rather than an inverted one (reference quirk at geometry/roi.py:100-103;
+    the documented intent is "clipped to image bounds").
+    """
+    half = size // 2
+    lo, hi = int(center) - half, int(center) + half + 1
+    if clip:
+        return min(max(lo, 0), bound), min(max(hi, 0), bound)
+    if lo < 0 or hi > bound:
+        raise ValueError("ROI exceeds image bounds.")
+    return lo, hi
 
 
 def roi_slices(
@@ -42,35 +61,20 @@ def roi_slices(
     With ``clip=False`` raises if the ROI exceeds bounds; with ``clip=True``
     the ROI is clipped (and may shrink).
     """
-    H, W = image_shape
-    size_y, size_x = size_yx
-
-    if size_y <= 0 or size_x <= 0:
-        raise ValueError("ROI sizes must be positive.")
-    if size_y % 2 == 0 or size_x % 2 == 0:
-        raise ValueError("ROI sizes must be odd for symmetry.")
+    for size in size_yx:
+        if size <= 0:
+            raise ValueError("ROI sizes must be positive.")
+        if size % 2 == 0:
+            raise ValueError("ROI sizes must be odd for symmetry.")
 
     if center_yx is None:
-        cy, cx = (H // 2, W // 2)
-    else:
-        cy, cx = center_yx
+        center_yx = tuple(bound // 2 for bound in image_shape)
 
-    hy, hx = size_y // 2, size_x // 2
-    y0, y1 = int(cy) - hy, int(cy) + hy + 1
-    x0, x1 = int(cx) - hx, int(cx) + hx + 1
-
-    if not clip:
-        if y0 < 0 or y1 > H or x0 < 0 or x1 > W:
-            raise ValueError("ROI exceeds image bounds.")
-    else:
-        # clamp BOTH endpoints into [0, bound]: a center fully outside the
-        # image yields an empty ordered slice at the nearest edge instead of
-        # an inverted slice (reference quirk at geometry/roi.py:100-103;
-        # documented intent is "clipped to image bounds")
-        y0, y1 = min(max(0, y0), H), min(max(0, y1), H)
-        x0, x1 = min(max(0, x0), W), min(max(0, x1), W)
-
-    return slice(y0, y1), slice(x0, x1)
+    spans = [
+        _axis_span(center, size, bound, clip)
+        for center, size, bound in zip(center_yx, size_yx, image_shape)
+    ]
+    return tuple(slice(lo, hi) for lo, hi in spans)
 
 
 def roi_grid_3x3(
@@ -81,27 +85,19 @@ def roi_grid_3x3(
     center_yx: tuple[int, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """3x3 grid of ROI slices around a center; row-major NW..SE labels."""
-    H, W = image_shape
     if center_yx is None:
-        center_yx = (H // 2, W // 2)
+        center_yx = tuple(bound // 2 for bound in image_shape)
 
-    step_y, step_x = step_yx
-    offsets_y = (-step_y, 0, step_y)
-    offsets_x = (-step_x, 0, step_x)
-
-    slices = np.empty((3, 3), dtype=object)
-    for i, dy in enumerate(offsets_y):
-        for j, dx in enumerate(offsets_x):
-            cy = center_yx[0] + dy
-            cx = center_yx[1] + dx
-            slices[i, j] = roi_slices(
-                image_shape, roi_size_yx, center_yx=(int(cy), int(cx)), clip=False
-            )
-
-    labels = np.array(
-        [["NW", "N", "NE"], ["W", "C", "E"], ["SW", "S", "SE"]], dtype=object
-    )
-    return slices, labels
+    grid = np.empty((3, 3), dtype=object)
+    for row, col in np.ndindex(3, 3):
+        node = (
+            int(center_yx[0] + (row - 1) * step_yx[0]),
+            int(center_yx[1] + (col - 1) * step_yx[1]),
+        )
+        grid[row, col] = roi_slices(
+            image_shape, roi_size_yx, center_yx=node, clip=False
+        )
+    return grid, GRID3_LABELS.copy()
 
 
 def embed_roi(
@@ -117,21 +113,20 @@ def embed_roi(
     Works for both NumPy and JAX arrays: for JAX inputs this lowers to a
     statically-shaped pad (fusable under jit); for NumPy it allocates + writes.
     """
-    H, W = out_shape
     sy, sx = slices_yx
-
-    expected_shape = (sy.stop - sy.start, sx.stop - sx.start)
-    if tuple(roi.shape) != expected_shape:
+    if tuple(roi.shape) != (sy.stop - sy.start, sx.stop - sx.start):
         raise ValueError("ROI shape does not match target slice dimensions.")
 
     if isinstance(roi, np.ndarray):
-        out_dtype = roi.dtype if dtype is None else dtype
-        out = np.full((H, W), fill_value, dtype=out_dtype)
+        out = np.full(out_shape, fill_value, dtype=dtype or roi.dtype)
         out[sy, sx] = roi
         return out
 
     import jax.numpy as jnp  # local import keeps this module numpy-light
 
     arr = roi if dtype is None else roi.astype(dtype)
-    pad = ((sy.start, H - sy.stop), (sx.start, W - sx.stop))
-    return jnp.pad(arr, pad, mode="constant", constant_values=fill_value)
+    margins = (
+        (sy.start, out_shape[0] - sy.stop),
+        (sx.start, out_shape[1] - sx.stop),
+    )
+    return jnp.pad(arr, margins, mode="constant", constant_values=fill_value)
