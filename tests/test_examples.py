@@ -50,3 +50,18 @@ def test_ex00_dataset_is_consumable(tmp_path, monkeypatch, capsys):
     ])
     assert rc == 0
     assert "# Speckle summary" in capsys.readouterr().out
+
+
+def test_notebook_render(tmp_path, monkeypatch):
+    """Every example script renders to a valid 3-cell notebook."""
+    import nbformat
+
+    from examples import make_notebooks as mk
+
+    monkeypatch.setattr(mk, "OUT", tmp_path)
+    assert mk.main([]) == 0
+    rendered = sorted(tmp_path.glob("ex_*.ipynb"))
+    assert len(rendered) == len(sorted(mk.HERE.glob("ex_*.py")))
+    nb = nbformat.read(rendered[0], as_version=4)
+    assert nb.cells[0].cell_type == "markdown"
+    assert "main(out_dir)" in nb.cells[-1].source
