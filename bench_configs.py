@@ -248,6 +248,50 @@ def bench_cpu(field2d, stack):
 
     out["E_preprocess_report_2k"] = _timeit(config_e, repeats=2, warmup=False)
 
+    def _numpy_wiener_deconv(img, sigma=1.5, balance=0.01):
+        """CPU proxy for the reference's skimage.restoration.wiener chain
+        (reference preprocessing/filters.py:233-289): Gaussian PSF
+        odd(max(5, ceil(6*sigma))), reflect pad by the half kernel,
+        max-normalise, Wiener-Hunt with Laplacian regularisation, rescale,
+        crop. scikit-image is not installed in this environment, so this
+        float64 NumPy equivalent of the identical closed form anchors the
+        E_full_with_deconv comparison (noted in output)."""
+        k = int(np.ceil(6.0 * sigma))
+        k = max(5, k) | 1
+        ax = np.arange(k) - (k - 1) / 2.0
+        psf = np.exp(-0.5 * ((ax[:, None] / sigma) ** 2 + (ax[None, :] / sigma) ** 2))
+        psf /= psf.sum()
+        h = k // 2
+        padded = np.pad(img.astype(np.float64), h, mode="reflect")
+        scale = np.nanmax(np.abs(padded)) or 1.0
+        work = padded / scale
+        shape = work.shape
+        ir = np.zeros(shape)
+        ir[:k, :k] = psf
+        ir = np.roll(ir, (-h, -h), axis=(0, 1))
+        H = np.fft.rfft2(ir)
+        lap = np.zeros(shape)
+        lap[:3, :3] = [[0, -1, 0], [-1, 4, -1], [0, -1, 0]]
+        lap = np.roll(lap, (-1, -1), axis=(0, 1))
+        L = np.fft.rfft2(lap)
+        Y = np.fft.rfft2(work)
+        x = np.fft.irfft2(np.conj(H) * Y / (np.abs(H) ** 2 + balance * np.abs(L) ** 2),
+                          s=shape)
+        x = np.clip(x, -1.0, 1.0) * scale
+        return x[h : h + img.shape[0], h : h + img.shape[1]]
+
+    def config_e_full():
+        corrected = ref.preprocessing.flat_field_correction(
+            field2d.astype(np.float32), flats=flat
+        )
+        deconvolved = _numpy_wiener_deconv(corrected, sigma=1.5)
+        stats = ref.speckle_stats(
+            deconvolved, metrics=("amplitude", "grain", "stats"), verbose=False
+        )
+        ref.logbook_report(stats)
+
+    out["E_full_with_deconv_2k"] = _timeit(config_e_full, repeats=1, warmup=False)
+
     def config_f():
         # no reference counterpart (extension): an equivalent, well-
         # vectorised NumPy implementation of the same dense windowed ZNCC
@@ -337,10 +381,13 @@ def main() -> int:
                  "composition with both full maps pulled (wire-bound). All "
                  "C variants compare against the CPU composed run (the "
                  "reference's only formulation).",
-            "E": "E_preprocess_report_2k is like-for-like (no deconvolution "
-                 "on either side: the reference needs scikit-image, "
-                 "unavailable here); E_full_with_deconv_2k adds native "
-                 "Wiener deconvolution on the TPU side only.",
+            "E": "E_preprocess_report_2k is like-for-like without "
+                 "deconvolution; E_full_with_deconv_2k compares the full "
+                 "chain, with the CPU side's skimage wiener (absent in this "
+                 "environment) replaced by a documented float64 NumPy "
+                 "equivalent of the same closed form. "
+                 "E_warm_calibration_2k is the serving pattern: many "
+                 "frames, one cached calibration flat.",
             "F": "extension workload (no reference counterpart): dense XST "
                  "displacement field, 15.6k windowed ZNCCs at 2048². CPU "
                  "side is an equivalent vectorised NumPy implementation "
