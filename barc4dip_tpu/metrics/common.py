@@ -377,9 +377,13 @@ def run_stack_program(
         if fut is None:
             fut = prefetch.submit(_prepare, c0)
         out = program(fut.result())
-        nxt = c0 + B
-        if nxt < T and not (checkpoint is not None and checkpoint.has(nxt)):
-            uploads[nxt] = prefetch.submit(_prepare, nxt)
+        # lookahead matches the stream count: up to upload_streams()
+        # transfers ride the link while the host waits below
+        for nxt in range(c0 + B, min(c0 + B * (1 + upload_streams()), T), B):
+            if nxt not in uploads and not (
+                checkpoint is not None and checkpoint.has(nxt)
+            ):
+                uploads[nxt] = prefetch.submit(_prepare, nxt)
         if pending is not None:
             _collect(*pending)
         pending = (out, n, c0, slot)
