@@ -283,15 +283,18 @@ def upload_padded_chunk(source, c0: int, B: int, T: int, put, dtype=None):
 def upload_streams() -> int:
     """Parallel host->device upload streams (BARC4DIP_TPU_UPLOAD_STREAMS).
 
-    Default 2: on the hosted tunnel two concurrent transfers were measured
-    10-20% faster in aggregate than one, while 8 collapse the link
-    (docs/AXON_BACKEND_NOTES.md). Set 1 to serialise uploads."""
+    Default 1 — measured 2026-08-17 on the hosted tunnel: although two
+    concurrent standalone puts aggregate 10-20% more bandwidth, in the
+    chunk PIPELINE two fair-sharing streams finish each chunk later and
+    delay its dependent compute, costing ~10% end-to-end (in-process A/B,
+    3 alternating reps: median 3.87 s vs 4.27 s at 16x2048^2). The knob
+    stays for link conditions where parallel streams win."""
     import os
 
     try:
-        n = int(os.environ.get("BARC4DIP_TPU_UPLOAD_STREAMS", "2"))
+        n = int(os.environ.get("BARC4DIP_TPU_UPLOAD_STREAMS", "1"))
     except ValueError:
-        n = 2
+        n = 1
     return max(1, min(n, 8))
 
 
