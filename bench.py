@@ -193,6 +193,8 @@ def measure_device_compute(stack: np.ndarray, frame_chunk: int) -> dict | None:
         return {
             "compute_mpix_s": round(probe["mpix_s"], 2),
             "compute_s_total": round(probe["elapsed_s"], 3),
+            "metrics_only_s": round(probe["metrics_only_s"], 3),
+            "tracking_only_s": round(probe["tracking_only_s"], 3),
             "note": "frames pre-uploaded; fused metrics+tracking programs "
                     "+ scalar pulls only (the wire-independent chip rate)",
         }
