@@ -296,18 +296,19 @@ def device_compute_probe(
     frame0_dev = jnp.asarray(np.asarray(stack[0], dtype=compute_dtype))
     eps_t = jnp.asarray(track_eps, dtype=compute_dtype)
 
-    def run_chunks(chunks):
+    def run_chunks(chunks, *, metrics=True, tracking=True):
         outs = []
         prev_tail = jnp.asarray(np.asarray(stack[0], dtype=compute_dtype))
         for chunk_dev in chunks:
-            m = metrics_prog(chunk_dev)
+            m = metrics_prog(chunk_dev) if metrics else None
             sub_outs = []
-            for s0 in range(0, B, _TRACK_SUB):
-                sub, prev_tail = track_prog(
-                    chunk_dev[s0 : min(s0 + _TRACK_SUB, B)],
-                    prev_tail, frame0_dev, eps_t,
-                )
-                sub_outs.append(sub)
+            if tracking:
+                for s0 in range(0, B, _TRACK_SUB):
+                    sub, prev_tail = track_prog(
+                        chunk_dev[s0 : min(s0 + _TRACK_SUB, B)],
+                        prev_tail, frame0_dev, eps_t,
+                    )
+                    sub_outs.append(sub)
             outs.append((m, sub_outs))
         # realise everything (scalar leaves force the device work)
         return jax.device_get(outs)
@@ -318,14 +319,22 @@ def device_compute_probe(
         chunks.append(dev)
 
     run_chunks(chunks[:1])  # compile + warm
-    t0 = _time.perf_counter()
-    out = run_chunks(chunks)
-    elapsed = _time.perf_counter() - t0
+
+    def timed(**kw):
+        t0 = _time.perf_counter()
+        out = run_chunks(chunks, **kw)
+        return _time.perf_counter() - t0, out
+
+    elapsed, out = timed()
+    metrics_s, _ = timed(tracking=False)
+    tracking_s, _ = timed(metrics=False)
     assert all(
         np.all(np.isfinite(s["dy_a"])) for _m, subs in out for s in subs
     )
     return {
         "elapsed_s": elapsed,
+        "metrics_only_s": metrics_s,
+        "tracking_only_s": tracking_s,
         "frames": T,
         "mpix_s": (T * H * W / 1e6) / elapsed if elapsed > 0 else float("inf"),
     }
