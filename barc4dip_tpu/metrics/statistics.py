@@ -59,16 +59,15 @@ def distribution_moments(
     moments = {k: float(v) for k, v in out.items()}
 
     if verbose:
-        logger.info(
-            "> moments: mean=%.0f | std=%.0f | var=%.0f | skew=%.2f | kurt=%.2f | SNR=%.2f dB | zero=%.6f | sat=%.6f",
-            moments["mean"],
-            moments["std"],
-            moments["variance"],
-            moments["skewness"],
-            moments["kurtosis"],
-            moments["SNRdB"],
-            moments["frac_zero"],
-            moments["frac_sat"],
+        m = moments
+        # the "> moments: k=v | ..." line is part of the output contract
+        # (mirrored by the markdown report blocks)
+        fields = (
+            f"mean={m['mean']:.0f}", f"std={m['std']:.0f}",
+            f"var={m['variance']:.0f}", f"skew={m['skewness']:.2f}",
+            f"kurt={m['kurtosis']:.2f}", f"SNR={m['SNRdB']:.2f} dB",
+            f"zero={m['frac_zero']:.6f}", f"sat={m['frac_sat']:.6f}",
         )
+        logger.info("> moments: %s", " | ".join(fields))
 
     return moments
