@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import threading
 from collections import OrderedDict
 
 import jax
@@ -39,6 +40,10 @@ _MAX_BYTES = 256 << 20
 _entries: "OrderedDict[tuple, jax.Array]" = OrderedDict()
 _hits = 0
 _misses = 0
+#: guards _entries/_hits/_misses: entry points may be called from several
+#: threads (prefetchers, user pools); dict iteration during eviction must
+#: not race inserts
+_lock = threading.Lock()
 
 
 def _enabled() -> bool:
@@ -71,40 +76,48 @@ def device_resident(array) -> jax.Array:
     digest = hashlib.blake2b(
         memoryview(host).cast("B"), digest_size=16
     ).digest()
-    key = (digest, host.shape, str(host.dtype))
+    # the key carries the placement target: a hit must not return a buffer
+    # committed to a different device than an active jax.default_device
+    # context would choose
+    target = repr(getattr(jax.config, "jax_default_device", None))
+    key = (digest, host.shape, str(host.dtype), target)
 
-    cached = _entries.get(key)
-    if cached is not None:
-        try:
-            alive = not cached.is_deleted()
-        except Exception:  # pragma: no cover - defensive backend probing
-            alive = False
-        if alive:
-            _entries.move_to_end(key)
-            _hits += 1
-            return cached
-        del _entries[key]
+    with _lock:
+        cached = _entries.get(key)
+        if cached is not None:
+            try:
+                alive = not cached.is_deleted()
+            except Exception:  # pragma: no cover - defensive backend probing
+                alive = False
+            if alive:
+                _entries.move_to_end(key)
+                _hits += 1
+                return cached
+            del _entries[key]
 
     device = jnp.asarray(host)
-    _misses += 1
-    _entries[key] = device
-    while _entries and _total_bytes() > _MAX_BYTES:
-        _entries.popitem(last=False)
+    with _lock:
+        _misses += 1
+        _entries[key] = device
+        while _entries and _total_bytes() > _MAX_BYTES:
+            _entries.popitem(last=False)
     return device
 
 
 def cache_clear() -> None:
     """Drop every cached device buffer (frees its HBM on next GC)."""
     global _hits, _misses
-    _entries.clear()
-    _hits = 0
-    _misses = 0
+    with _lock:
+        _entries.clear()
+        _hits = 0
+        _misses = 0
 
 
 def cache_info() -> dict:
-    return {
-        "entries": len(_entries),
-        "bytes": _total_bytes(),
-        "hits": _hits,
-        "misses": _misses,
-    }
+    with _lock:
+        return {
+            "entries": len(_entries),
+            "bytes": _total_bytes(),
+            "hits": _hits,
+            "misses": _misses,
+        }

@@ -258,7 +258,7 @@ def plt_histogram(
         grid="dots" if (logy or not cumulative) else "dots-x",
     ))
 
-    if percentiles:
+    if percentiles is not None and len(percentiles) > 0:
         p = sc.checked_percentiles(percentiles)
         sc.mark_verticals(ax, np.percentile(values, p))
 

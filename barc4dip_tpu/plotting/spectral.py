@@ -84,7 +84,7 @@ def plt_spectrum1d(
     ))
 
     mass = sc.trapz_cdf(x, y)  # one CDF shared by markers + overlay
-    if percentiles:
+    if percentiles is not None and len(percentiles) > 0:
         p = sc.checked_percentiles(percentiles)
         sc.need(mass[-1] > 0.0,
                 "percentiles require a curve with positive cumulative integral")
@@ -190,6 +190,9 @@ def plt_spectrum2d(
     """Plot a 2D spectral map (magnitude + phase for complex input) and
     optionally its central cuts. Returns a dict of up to 4 figures:
     {"intensity", "intensity_cuts", "phase", "phase_cuts"}."""
+    from .style import start_plotting
+
+    start_plotting(k)
     arr = np.asarray(data)
     sc.need(arr.ndim == 2, f"data must be a 2D array; got shape={arr.shape!r}")
     ny, nx = arr.shape

@@ -163,6 +163,9 @@ def plt_displacement(
             "Provide either 'stack_stats' or both 'xarr' and 'yarr'"
             + (", not both." if from_stats and from_arrays else "."))
 
+    from .style import start_plotting
+
+    start_plotting(k)
     motion = (
         _motion_from_stats(stack_stats, temporal) if from_stats
         else _motion_from_arrays(xarr, yarr, temporal, uncertainty)
@@ -356,9 +359,9 @@ def plt_tiles_metric_stack(
 
     meta, _tiles = sc.stats_blocks(stack_stats, "meta", "tiles")
     group, metric = sc.split_path(metric_path)
-    mean, std = _tile_timeseries(stack_stats, group, metric, need_std=False)
-    std = std if isinstance(std, np.ndarray) else (
-        stack_stats["tiles"][group][metric].get("std"))
+    mean, _ = _tile_timeseries(stack_stats, group, metric, need_std=False)
+    # std is optional for the overlay boxes: take it raw when present
+    std = stack_stats["tiles"][group][metric].get("std")
     T = mean.shape[0]
     sc.need(
         getattr(stack, "ndim", 0) == 3 and stack.shape[0] == T,

@@ -45,8 +45,10 @@ def make_frames(out_dir: Path, T=8, side=256, grain_px=6.0):
     return paths
 
 
-def main() -> int:
-    out_dir = Path(sys.argv[1]) if len(sys.argv) > 1 else Path(tempfile.mkdtemp())
+def main(out_dir=None) -> int:
+    if out_dir is None:
+        out_dir = Path(sys.argv[1]) if len(sys.argv) > 1 else Path(tempfile.mkdtemp())
+    out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     paths = make_frames(out_dir)
     print(f"> wrote {len(paths)} frames under {out_dir}")

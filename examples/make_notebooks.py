@@ -24,12 +24,25 @@ HERE = Path(__file__).resolve().parent
 OUT = HERE / "notebooks"
 
 
-def _split_script(source: str) -> tuple[str, str]:
-    """(docstring, body-without-main-guard) of an example script."""
+def _is_file_path_insert(node: ast.stmt) -> bool:
+    """True for the scripts' ``sys.path.insert(0, ...__file__...)`` line —
+    ``__file__`` does not exist in a notebook kernel, so the generator
+    replaces it with a cwd-based equivalent."""
+    return (
+        isinstance(node, ast.Expr)
+        and isinstance(node.value, ast.Call)
+        and "__file__" in ast.unparse(node.value)
+        and "sys.path" in ast.unparse(node.value)
+    )
+
+
+def _split_script(source: str) -> tuple[str, str, bool]:
+    """(docstring, body-without-main-guard, main_takes_out_dir)."""
     tree = ast.parse(source)
     doc = ast.get_docstring(tree) or ""
     lines = source.splitlines()
     keep: list[str] = []
+    takes_out_dir = False
     for node in tree.body:
         if (
             isinstance(node, ast.If)
@@ -45,27 +58,49 @@ def _split_script(source: str) -> tuple[str, str]:
             and node is tree.body[0]
         ):
             continue  # module docstring -> markdown cell
+        if _is_file_path_insert(node):
+            continue  # replaced by the kernel-safe setup cell
+        if isinstance(node, ast.FunctionDef) and node.name == "main":
+            takes_out_dir = bool(node.args.args)
         keep.extend(lines[node.lineno - 1 : node.end_lineno])
         keep.append("")
-    return doc, "\n".join(keep).strip() + "\n"
+    return doc, "\n".join(keep).strip() + "\n", takes_out_dir
+
+
+_SETUP_CELL = '''\
+# make the repo importable from wherever this notebook is opened
+import os
+import sys
+from pathlib import Path
+
+root = Path(os.environ.get("BARC4DIP_TPU_ROOT", Path.cwd()))
+while not (root / "barc4dip_tpu").is_dir() and root != root.parent:
+    root = root.parent
+sys.path.insert(0, str(root))
+'''
 
 
 def build_notebook(script: Path) -> nbf.NotebookNode:
-    doc, body = _split_script(script.read_text())
+    doc, body, takes_out_dir = _split_script(script.read_text())
     title = script.stem
     nb = nbf.v4.new_notebook()
     nb.metadata["kernelspec"] = {
         "display_name": "Python 3", "language": "python", "name": "python3",
     }
-    nb.cells = [
-        nbf.v4.new_markdown_cell(f"# {title}\n\n{doc}"),
-        nbf.v4.new_code_cell(body),
-        nbf.v4.new_code_cell(
+    if takes_out_dir:
+        run_cell = (
             f'out_dir = "{title}_output"\n'
             "import os\n"
             "os.makedirs(out_dir, exist_ok=True)\n"
             "main(out_dir)\n"
-        ),
+        )
+    else:
+        run_cell = "main()\n"
+    nb.cells = [
+        nbf.v4.new_markdown_cell(f"# {title}\n\n{doc}"),
+        nbf.v4.new_code_cell(_SETUP_CELL),
+        nbf.v4.new_code_cell(body),
+        nbf.v4.new_code_cell(run_cell),
     ]
     return nb
 

@@ -53,7 +53,7 @@ def test_ex00_dataset_is_consumable(tmp_path, monkeypatch, capsys):
 
 
 def test_notebook_render(tmp_path, monkeypatch):
-    """Every example script renders to a valid 3-cell notebook."""
+    """Every example script renders to a valid notebook."""
     import nbformat
 
     from examples import make_notebooks as mk
@@ -65,3 +65,39 @@ def test_notebook_render(tmp_path, monkeypatch):
     nb = nbformat.read(rendered[0], as_version=4)
     assert nb.cells[0].cell_type == "markdown"
     assert "main(out_dir)" in nb.cells[-1].source
+    # no cell may reference __file__ (undefined in a kernel)
+    for p in rendered:
+        for cell in nbformat.read(p, as_version=4).cells:
+            if cell.cell_type == "code":
+                assert "__file__" not in cell.source, p.name
+
+
+def test_notebook_executes(tmp_path):
+    """One rendered notebook runs end-to-end in a real kernel (catches
+    kernel-only failures like __file__ or signature mismatches that the
+    structural render test cannot)."""
+    import nbformat
+    from nbclient import NotebookClient
+
+    from examples import make_notebooks as mk
+
+    nb = mk.build_notebook(mk.HERE / "ex_03_fourier_analysis.py")
+    # force FAST sizes + the CPU backend inside the kernel (the hosted
+    # plugin ignores JAX_PLATFORMS from the environment)
+    nb.cells.insert(1, nbformat.v4.new_code_cell(
+        "import os\n"
+        "os.environ['BARC4DIP_EX_FAST'] = '1'\n"
+        f"os.environ['BARC4DIP_TPU_ROOT'] = {str(mk.HERE.parent)!r}\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+    ))
+    client = NotebookClient(
+        nb, timeout=300, resources={"metadata": {"path": str(tmp_path)}}
+    )
+    client.execute()
+    # the run cell produced stdout (the printed grain numbers)
+    assert any(
+        out.get("name") == "stdout"
+        for cell in nb.cells if cell.cell_type == "code"
+        for out in cell.get("outputs", [])
+    )
