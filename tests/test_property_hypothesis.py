@@ -290,3 +290,60 @@ def test_xcorr_shift_theorem(n, shift, seed):
     corr = np.asarray(corr)
     k = int(np.argmax(np.abs(corr)))
     assert float(lags[k]) == float(shift)
+
+
+def _byte_offset_encode(values):
+    out = bytearray()
+    prev = 0
+    for v in values:
+        d = int(v) - prev
+        prev = int(v)
+        if -127 <= d <= 127:
+            out += d.to_bytes(1, "little", signed=True)
+        elif -32767 <= d <= 32767:
+            out += b"\x80" + d.to_bytes(2, "little", signed=True)
+        else:
+            out += b"\x80\x00\x80" + d.to_bytes(4, "little", signed=True)
+    return bytes(out)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**30), max_value=2**30),
+        min_size=1, max_size=300,
+    ),
+    st.binary(max_size=16),
+)
+@settings(max_examples=200, deadline=None)
+def test_cbf_byte_offset_roundtrip(values, trailing_junk):
+    """encode -> decode is the identity, with arbitrary trailing bytes
+    (CBF footers/padding) after the payload left untouched."""
+    from barc4dip_tpu.io.edf import _byte_offset_decode
+
+    raw = _byte_offset_encode(values) + trailing_junk
+    out = _byte_offset_decode(raw, len(values))
+    np.testing.assert_array_equal(out, np.asarray(values, dtype=np.int64))
+
+
+@given(st.integers(min_value=1, max_value=64), st.data())
+@settings(max_examples=50, deadline=None)
+def test_cbf_decode_truncated_raises(n_vals, data):
+    """A stream cut anywhere inside the payload raises, never hangs or
+    returns short."""
+    from barc4dip_tpu.io.edf import _byte_offset_decode
+
+    values = data.draw(
+        st.lists(
+            st.integers(min_value=-(2**20), max_value=2**20),
+            min_size=n_vals, max_size=n_vals,
+        )
+    )
+    raw = _byte_offset_encode(values)
+    cut = data.draw(st.integers(min_value=0, max_value=max(0, len(raw) - 1)))
+    try:
+        out = _byte_offset_decode(raw[:cut], n_vals)
+    except ValueError:
+        return  # truncation detected
+    # a prefix can decode "successfully" only when the cut did not remove
+    # any of the first n_vals elements' bytes — then it must be correct
+    np.testing.assert_array_equal(out, np.asarray(values, dtype=np.int64))
