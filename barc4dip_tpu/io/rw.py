@@ -27,6 +27,11 @@ _READERS = {
     "tif": read_tiff,
     "tiff": read_tiff,
     "edf": read_edf,
+    # wrapped detector containers the EDF reader dispatches by magic
+    # (Pilatus mini-CBF, WinView SPE; beyond the reference's dispatcher,
+    # whose vendored parser only reached these through direct EdfFile use)
+    "cbf": read_edf,
+    "spe": read_edf,
     "h5": read_h5,
     "hdf5": read_h5,
 }

@@ -385,3 +385,11 @@ class TestWrappedContainers:
         p = tmp_path / "really_edf.cbf"
         save_edf(img, str(p))
         np.testing.assert_allclose(read_edf(str(p)), img)
+
+    def test_read_image_routes_wrapped_containers(self, tmp_path):
+        from barc4dip_tpu.io import read_image
+
+        img = np.arange(30, dtype=np.uint16).reshape(5, 6)
+        p = tmp_path / "frame.spe"
+        self._write_spe(p, img)
+        np.testing.assert_allclose(read_image(str(p), verbose=False), img)
