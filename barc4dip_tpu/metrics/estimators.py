@@ -247,21 +247,30 @@ def _bandwidth_from_psd(P) -> dict:
 
     # f95 via exact integer-radius classes: shifted frequencies are
     # (i - N//2)/N with integer i, so FR groups exactly by the integer
-    # s = ix^2 + iy^2; a segment-sum histogram over s + cumsum reproduces the
-    # reference's sorted-CDF crossing radius without any sort (the crossing
-    # radius is the smallest class radius whose inclusive CDF reaches 0.95).
+    # s = ix^2 + iy^2, and the crossing radius is the smallest class
+    # radius whose inclusive CDF reaches 0.95. Found by BISECTION on s —
+    # ~21 fused masked reductions — instead of a segment-sum histogram:
+    # a (N/2)^2-segment scatter costs ~30 ms/frame at 2048^2 on TPU
+    # (scatter-hostile hardware), the bisection ~1 ms for the same exact
+    # integer-class semantics.
     ixi = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1) - (N // 2)
     iyi = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) - (N // 2)
-    s_int = ixi * ixi + iyi * iyi
+    s_flat = (ixi * ixi + iyi * iyi).reshape(-1)
     smax = (N // 2) ** 2  # FR <= f_max  <=>  s <= (N//2)^2 exactly
-    ids = jnp.where(s_int <= smax, s_int, smax + 1).reshape(-1)
+    target = jnp.asarray(0.95, dt) * tsafe
+    n_iter = max(1, int(np.ceil(np.log2(smax + 1)))) + 1
 
-    from jax import ops as jops
+    def _bisect(_, bounds):
+        lo, hi = bounds
+        mid = (lo + hi) // 2
+        mass = jnp.sum(jnp.where(s_flat <= mid, Pm, 0.0))
+        reached = mass >= target
+        return (jnp.where(reached, lo, mid + 1), jnp.where(reached, mid, hi))
 
-    hist = jops.segment_sum(Pm, ids, num_segments=smax + 2)[: smax + 1]
-    cdf = jnp.cumsum(hist) / tsafe
-    s95 = jnp.searchsorted(cdf, 0.95, side="left")
-    s95 = jnp.minimum(s95, smax)
+    _, s95 = jax.lax.fori_loop(
+        0, n_iter, _bisect,
+        (jnp.asarray(0, jnp.int32), jnp.asarray(smax, jnp.int32)),
+    )
     f95 = jnp.sqrt(s95.astype(P.dtype)) / N
 
     p = Pm / tsafe
