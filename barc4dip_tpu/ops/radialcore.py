@@ -48,6 +48,20 @@ def binned_geometry(shape: tuple[int, int], r_max: float | None, bin_size: float
     return float(r_max), nbins, r_centers
 
 
+@lru_cache(maxsize=64)
+def _binned_counts(shape: tuple[int, int], bin_size: float, nbins: int):
+    """Per-bin pixel counts — pure geometry, so computed ONCE on host:
+    the device program then needs a single scatter (the value sums)
+    instead of two, and scatters are the expensive op on TPU."""
+    ny, nx = shape
+    x = np.arange(nx, dtype=np.float64) - nx // 2
+    y = np.arange(ny, dtype=np.float64) - ny // 2
+    R = np.sqrt(x[None, :] ** 2 + y[:, None] ** 2)
+    ids = np.floor(R / bin_size).astype(np.int64).ravel()
+    counts = np.bincount(ids[ids < nbins], minlength=nbins)
+    return counts.astype(np.float64)
+
+
 def _radius_field(shape: tuple[int, int], dtype):
     ny, nx = shape
     x = lax.broadcasted_iota(dtype, (ny, nx), 1) - (nx // 2)
@@ -74,7 +88,9 @@ def radial_mean_binned_core(
 
     vals = signal_2d.reshape(-1)
     sums = jops.segment_sum(vals, ids, num_segments=nbins + 1)[:nbins]
-    counts = jops.segment_sum(jnp.ones_like(vals), ids, num_segments=nbins + 1)[:nbins]
+    counts = jnp.asarray(
+        _binned_counts(shape, float(bin_size), nbins), dtype=signal_2d.dtype
+    )
 
     radial = jnp.where(counts > 0, sums / jnp.where(counts > 0, counts, 1.0), jnp.nan)
     return radial, jnp.asarray(r_centers, dtype=radial.dtype)
