@@ -617,6 +617,7 @@ def speckle_stack_stats(
             "subpixel": bool(subpixel), "grain_maps": bool(grain_maps),
             "search": search_px,
             "maps": "lazy-v2",  # maps left the chunk payload in round 2
+            "schedule": "ramp2",  # ramped first/tail chunks since round 3
         }
         ckpt = ChunkStore(checkpoint_dir, "speckle_fused", config)
 

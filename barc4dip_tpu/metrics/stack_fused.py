@@ -433,10 +433,35 @@ def run_fused_speckle_stack(
     }
     io_intervals: list = []
 
+    # Chunk schedule: a RAMPED first chunk (2 frames) lets device compute
+    # start after ~a quarter of the first upload, and the natural small
+    # tail shrinks the pipeline drain — the fill+drain overhead measured
+    # as the residual roofline gap at 16 frames (AXON notes §4). Padded
+    # widths stay in {2, B} so at most two program shapes compile. Mesh
+    # runs keep uniform chunks (B is rounded to a mesh multiple).
+    import os as _os
+
+    _ramp_on = _os.environ.get("BARC4DIP_TPU_RAMP", "1").strip().lower() not in (
+        "0", "false", "no", "off"
+    )
+    if _ramp_on and mesh is None and B >= 4 and T > 2 * B:
+        schedule = [(0, 2, 2)]
+        c = 2
+        while c < T:
+            n_real = min(B, T - c)
+            width = 2 if n_real <= 2 else B
+            schedule.append((c, n_real, width))
+            c += n_real
+    else:
+        schedule = []
+        for c in range(0, T, B):
+            schedule.append((c, min(B, T - c), B))
+    widths = {c0: w for c0, _n, w in schedule}
+
     def _prepare_chunk(c0: int) -> tuple:
         """Pad + upload one chunk (original dtype — half the wire bytes for
         uint16 detector frames). Runs on the prefetch thread."""
-        return upload_padded_chunk(stack, c0, B, T, put_frames)
+        return upload_padded_chunk(stack, c0, widths[c0], T, put_frames)
 
     def _collect(out_dev, c0, c1, slot):
         t0 = _time.perf_counter()
@@ -464,11 +489,10 @@ def run_fused_speckle_stack(
     from .common import upload_streams
 
     _streams = upload_streams()
-    for c0 in range(0, T, B):
+    for sched_i, (c0, n, Bc) in enumerate(schedule):
         if verbose:
             last = progress_update("Speckle stack loop", c0, T, last)
-        c1 = min(c0 + B, T)
-        n = c1 - c0
+        c1 = c0 + n
         metric_pieces.append(None)
         slot = len(metric_pieces) - 1
 
@@ -512,15 +536,15 @@ def run_fused_speckle_stack(
         # sharded chunk is sliced once each device's local share would
         # exceed _TRACK_SUB frames.
         n_dev = 1 if mesh is None else int(mesh.size)
-        track_sub = min(B, _TRACK_SUB * n_dev)
-        if track_sub >= B:
+        track_sub = min(Bc, _TRACK_SUB * n_dev)
+        if track_sub >= Bc:
             track_dev, tail = track_prog(chunk_dev, prev_tail, frame0_dev, eps_t)
         else:
             sub_outs = []
             sub_tail = prev_tail
-            for s0 in range(0, B, track_sub):
+            for s0 in range(0, Bc, track_sub):
                 sub_out, sub_tail = track_prog(
-                    chunk_dev[s0 : min(s0 + track_sub, B)],
+                    chunk_dev[s0 : min(s0 + track_sub, Bc)],
                     sub_tail, frame0_dev, eps_t,
                 )
                 sub_outs.append(sub_out)
@@ -534,17 +558,17 @@ def run_fused_speckle_stack(
         # upload_streams() concurrent transfers — two streams measured
         # 10-20% faster aggregate on the hosted tunnel) while the host
         # blocks below on this/previous chunk's device compute
-        for nxt in range(c0 + B, min(c0 + B * (1 + _streams), T), B):
-            if nxt not in uploads and not (
-                checkpoint is not None and checkpoint.has(nxt)
+        for nxt_c0, _nn, _nw in schedule[sched_i + 1 : sched_i + 1 + _streams]:
+            if nxt_c0 not in uploads and not (
+                checkpoint is not None and checkpoint.has(nxt_c0)
             ):
-                uploads[nxt] = prefetch.submit(_prepare_chunk, nxt)
+                uploads[nxt_c0] = prefetch.submit(_prepare_chunk, nxt_c0)
         if pending is not None:
             _collect(*pending)
         pending = (out_dev, c0, c1, slot)
         # the padded tail repeats the last real frame, so frames[-1] is
         # correct even for the padded final chunk
-        prev_tail = tail if n == B else None
+        prev_tail = tail if n == Bc else None
 
     if pending is not None:
         _collect(*pending)

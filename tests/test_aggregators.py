@@ -370,3 +370,28 @@ def test_stack_edge_dtypes_and_single_frame():
     assert out["meta"]["n_frames"] == 1
     assert out["temporal"]["abs"]["dx"].shape == (1,)
     np.testing.assert_allclose(out["temporal"]["abs"]["r"][0], 0.0, atol=0.05)
+
+
+def test_ramped_chunk_schedule_matches_single_chunk():
+    """T > 2*frame_chunk triggers the ramped (2, B, ..., tail) schedule;
+    results must equal the single-chunk run exactly."""
+    rng = np.random.default_rng(23)
+    base = make_speckle(rng, shape=(160, 160), grain_px=5.0).astype(np.float32)
+    T = 12
+    stack = np.stack([np.roll(base, (t, -t), axis=(0, 1)) for t in range(T)])
+
+    kwargs = dict(metrics="amplitude,stats", tiles=False, verbose=False)
+    ramped = speckle_stack_stats(stack, frame_chunk=4, **kwargs)
+    single = speckle_stack_stats(stack, frame_chunk=T, **kwargs)
+
+    for g in ramped["full"]:
+        for k, v in ramped["full"][g].items():
+            np.testing.assert_allclose(
+                v, single["full"][g][k], rtol=1e-12, atol=1e-12, err_msg=f"{g}.{k}"
+            )
+    for blk in ("abs", "inc"):
+        for k in ("dx", "dy", "r"):
+            np.testing.assert_allclose(
+                ramped["temporal"][blk][k], single["temporal"][blk][k],
+                rtol=1e-6, atol=1e-6, err_msg=f"{blk}.{k}",
+            )
