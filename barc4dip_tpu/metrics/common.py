@@ -280,6 +280,38 @@ def upload_padded_chunk(source, c0: int, B: int, T: int, put, dtype=None):
     return dev, chunk.nbytes, (t0, _time.perf_counter())
 
 
+def chunk_schedule(T: int, B: int, *, ramp: bool = True):
+    """[(c0, n_real, padded_width), ...] covering [0, T) in chunks.
+
+    With ``ramp`` (single-device runs), the first chunk is 2 frames and the
+    tail keeps its natural (small) width: device compute starts after a
+    fraction of the first upload and the pipeline drain shrinks — measured
+    3-7% end-to-end on the hosted chip (docs/AXON_BACKEND_NOTES.md §4).
+    Padded widths stay in {2, B} so at most two program shapes compile.
+    BARC4DIP_TPU_RAMP=0 forces uniform chunks.
+    """
+    import os
+
+    ramp = (
+        ramp
+        and B >= 4
+        and T > 2 * B
+        and os.environ.get("BARC4DIP_TPU_RAMP", "1").strip().lower()
+        not in ("0", "false", "no", "off")
+    )
+    schedule: list[tuple[int, int, int]] = []
+    c = 0
+    if ramp:
+        schedule.append((0, 2, 2))
+        c = 2
+    while c < T:
+        n_real = min(B, T - c)
+        width = 2 if (ramp and n_real <= 2) else B
+        schedule.append((c, n_real, width))
+        c += n_real
+    return schedule
+
+
 def upload_streams() -> int:
     """Parallel host->device upload streams (BARC4DIP_TPU_UPLOAD_STREAMS).
 
@@ -360,15 +392,19 @@ def run_stack_program(
             checkpoint.save(c0, piece)
         pieces[slot] = piece
 
+    schedule = chunk_schedule(T, B, ramp=mesh is None)
+    widths = {c0: w for c0, _n, w in schedule}
+
     def _prepare(c0: int):
-        dev, _, _io = upload_padded_chunk(stack, c0, B, T, put, dtype=dtype)
+        dev, _, _io = upload_padded_chunk(
+            stack, c0, widths[c0], T, put, dtype=dtype
+        )
         return dev
 
     prefetch = loop_prefetcher()
     uploads: dict = {}
-    for c0 in range(0, T, B):
-        c1 = min(c0 + B, T)
-        n = c1 - c0
+    for sched_i, (c0, n, _w) in enumerate(schedule):
+        c1 = c0 + n
         pieces.append(None)
         slot = len(pieces) - 1
 
@@ -382,7 +418,7 @@ def run_stack_program(
         out = program(fut.result())
         # lookahead matches the stream count: up to upload_streams()
         # transfers ride the link while the host waits below
-        for nxt in range(c0 + B, min(c0 + B * (1 + upload_streams()), T), B):
+        for nxt, _nn, _nw in schedule[sched_i + 1 : sched_i + 1 + upload_streams()]:
             if nxt not in uploads and not (
                 checkpoint is not None and checkpoint.has(nxt)
             ):

@@ -535,6 +535,7 @@ def sharpness_stack_stats(
             "kind": "sharpness_stack", "shape": (T, H, W), "groups": sorted(groups),
             "mode": tile_mode, "sat": saturation_value, "eps": eps,
             "origin": display_origin, "chunk": frame_chunk,
+            "schedule": "ramp2",  # ramped first/tail chunks since round 3
         }
         ckpt = ChunkStore(checkpoint_dir, "sharpness_metrics", config)
 

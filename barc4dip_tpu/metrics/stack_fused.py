@@ -433,29 +433,12 @@ def run_fused_speckle_stack(
     }
     io_intervals: list = []
 
-    # Chunk schedule: a RAMPED first chunk (2 frames) lets device compute
-    # start after ~a quarter of the first upload, and the natural small
-    # tail shrinks the pipeline drain — the fill+drain overhead measured
-    # as the residual roofline gap at 16 frames (AXON notes §4). Padded
-    # widths stay in {2, B} so at most two program shapes compile. Mesh
-    # runs keep uniform chunks (B is rounded to a mesh multiple).
-    import os as _os
+    # Chunk schedule: ramped first/tail chunks on single-device runs
+    # (see common.chunk_schedule; mesh runs keep uniform chunks because
+    # B is rounded to a mesh multiple)
+    from .common import chunk_schedule
 
-    _ramp_on = _os.environ.get("BARC4DIP_TPU_RAMP", "1").strip().lower() not in (
-        "0", "false", "no", "off"
-    )
-    if _ramp_on and mesh is None and B >= 4 and T > 2 * B:
-        schedule = [(0, 2, 2)]
-        c = 2
-        while c < T:
-            n_real = min(B, T - c)
-            width = 2 if n_real <= 2 else B
-            schedule.append((c, n_real, width))
-            c += n_real
-    else:
-        schedule = []
-        for c in range(0, T, B):
-            schedule.append((c, min(B, T - c), B))
+    schedule = chunk_schedule(T, B, ramp=mesh is None)
     widths = {c0: w for c0, _n, w in schedule}
 
     def _prepare_chunk(c0: int) -> tuple:
