@@ -107,9 +107,11 @@ def run_pipeline_tpu(
         frame_chunk=frame_chunk,
     )
 
-    # Warmup on a chunk-sized slice: compiles every program involved (the
-    # tracking ROI derives from frame-0 grain, so shapes match the real run).
-    warm_T = min(stack.shape[0], max(2, frame_chunk))
+    # Warmup on a ramp-triggering slice: compiles every program shape the
+    # real run uses — the ramped schedule adds 2-frame chunk programs on
+    # top of the frame_chunk-wide ones (the tracking ROI derives from
+    # frame-0 grain, so shapes match the real run).
+    warm_T = min(stack.shape[0], max(2, 2 * frame_chunk + 1))
     dip.speckle_stack_stats(stack[:warm_T], **kwargs)
 
     # best of two timed runs: a few seconds each now, and the shared
