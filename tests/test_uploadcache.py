@@ -99,3 +99,29 @@ def test_flat_field_calibration_cached():
     assert info["hits"] >= 1  # the calibration flat deduped
     assert info["misses"] == first + 1  # only the new frame shipped
     assert out1.shape == out2.shape
+
+
+def test_concurrent_entry_points_thread_safe():
+    """Concurrent device_resident calls (prefetchers, user pools) must not
+    corrupt the cache or crash during eviction."""
+    import threading
+
+    errors = []
+
+    def work(seed):
+        try:
+            arr = _big(seed % 4, side=512)
+            for _ in range(25):
+                out = uc.device_resident(arr)
+                assert out.shape == (512, 512)
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    info = uc.cache_info()
+    assert info["entries"] <= 4
