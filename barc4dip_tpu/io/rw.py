@@ -2,7 +2,8 @@
 """Top-level image I/O: one reader and one writer, routed by extension.
 
 Behavioural contract follows reference io/rw.py:66-189 — readable formats
-are TIFF/EDF/HDF5 (this package adds .edf.gz/.edf.bz2), writable formats
+are TIFF/EDF/HDF5 (this package adds .edf.gz/.edf.bz2 and the wrapped
+detector containers .cbf/.spe via the EDF reader), writable formats
 are TIFF/HDF5, and asking to write EDF is refused rather than silently
 routed elsewhere. ``image_number`` only ever applies to a single HDF5
 file; ``mean=True`` collapses a loaded stack to its average frame.

@@ -283,10 +283,11 @@ def upload_padded_chunk(source, c0: int, B: int, T: int, put, dtype=None):
 def chunk_schedule(T: int, B: int, *, ramp: bool = True):
     """[(c0, n_real, padded_width), ...] covering [0, T) in chunks.
 
-    With ``ramp`` (single-device runs), the first chunk is 2 frames and the
-    tail keeps its natural (small) width: device compute starts after a
-    fraction of the first upload and the pipeline drain shrinks — measured
-    3-7% end-to-end on the hosted chip (docs/AXON_BACKEND_NOTES.md §4).
+    With ``ramp`` (single-device runs), the first chunk is 2 frames, and a
+    tail of <= 2 real frames pads to width 2 instead of B (larger tails
+    stay at width B): device compute starts after a fraction of the first
+    upload and the drain shrinks when the tail is short — measured 3-7%
+    end-to-end on the hosted chip (docs/AXON_BACKEND_NOTES.md §4).
     Padded widths stay in {2, B} so at most two program shapes compile.
     BARC4DIP_TPU_RAMP=0 forces uniform chunks.
     """
@@ -310,6 +311,17 @@ def chunk_schedule(T: int, B: int, *, ramp: bool = True):
         schedule.append((c, n_real, width))
         c += n_real
     return schedule
+
+
+def chunk_layout_signature(T: int, frame_chunk: int, mesh=None) -> tuple:
+    """Chunk-start tuple of the layout a stack loop will actually use —
+    goes into checkpoint config hashes so a resume under a different
+    effective schedule (BARC4DIP_TPU_RAMP toggled, mesh on/off) can never
+    load chunks with mismatched frame counts."""
+    B = max(1, min(int(frame_chunk), max(1, int(T))))
+    if mesh is not None:
+        B = max(1, -(-B // mesh.size)) * mesh.size
+    return tuple(c0 for c0, _n, _w in chunk_schedule(int(T), B, ramp=mesh is None))
 
 
 def upload_streams() -> int:

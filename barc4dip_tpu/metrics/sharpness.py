@@ -24,6 +24,7 @@ from ..utils import elapsed_time, now, progress_done, progress_update
 from .common import (
     apply_display_origin,
     choose_tiling_mode,
+    chunk_layout_signature,
     normalize_groups,
     subtile_grids_to_3x3_device,
     tiled_scalar_fields_device,
@@ -535,7 +536,7 @@ def sharpness_stack_stats(
             "kind": "sharpness_stack", "shape": (T, H, W), "groups": sorted(groups),
             "mode": tile_mode, "sat": saturation_value, "eps": eps,
             "origin": display_origin, "chunk": frame_chunk,
-            "schedule": "ramp2",  # ramped first/tail chunks since round 3
+            "schedule": chunk_layout_signature(T, frame_chunk, mesh),
         }
         ckpt = ChunkStore(checkpoint_dir, "sharpness_metrics", config)
 

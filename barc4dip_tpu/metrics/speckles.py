@@ -28,6 +28,7 @@ from ..geometry.roi import odd_size, roi_grid_3x3
 from ..utils import elapsed_time, now
 from .common import (
     apply_display_origin,
+    chunk_layout_signature,
     choose_tiling_mode,
     nan_std_grid_3x3,
     normalize_groups,
@@ -617,7 +618,9 @@ def speckle_stack_stats(
             "subpixel": bool(subpixel), "grain_maps": bool(grain_maps),
             "search": search_px,
             "maps": "lazy-v2",  # maps left the chunk payload in round 2
-            "schedule": "ramp2",  # ramped first/tail chunks since round 3
+            # the EFFECTIVE chunk layout (ramp knob/mesh aware): chunks
+            # saved under one layout must never resume under another
+            "schedule": chunk_layout_signature(T, frame_chunk, mesh),
         }
         ckpt = ChunkStore(checkpoint_dir, "speckle_fused", config)
 

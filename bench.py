@@ -110,8 +110,13 @@ def run_pipeline_tpu(
     # Warmup on a ramp-triggering slice: compiles every program shape the
     # real run uses — the ramped schedule adds 2-frame chunk programs on
     # top of the frame_chunk-wide ones (the tracking ROI derives from
-    # frame-0 grain, so shapes match the real run).
-    warm_T = min(stack.shape[0], max(2, 2 * frame_chunk + 1))
+    # frame-0 grain, so shapes match the real run). When the real run
+    # cannot ramp (T <= 2*frame_chunk) one chunk suffices.
+    T_all = stack.shape[0]
+    if T_all > 2 * frame_chunk:
+        warm_T = min(T_all, 2 * frame_chunk + 1)
+    else:
+        warm_T = min(T_all, max(2, frame_chunk))
     dip.speckle_stack_stats(stack[:warm_T], **kwargs)
 
     # best of two timed runs: a few seconds each now, and the shared

@@ -110,3 +110,22 @@ def test_sharpness_stack_checkpoint(tmp_path):
     np.testing.assert_allclose(
         resumed["full"]["gradient"]["tenengrad"], fresh["full"]["gradient"]["tenengrad"]
     )
+
+
+def test_checkpoint_hash_changes_with_effective_schedule(tmp_path, monkeypatch):
+    """Chunks saved under one chunk layout must never resume under another:
+    toggling BARC4DIP_TPU_RAMP changes the effective schedule, so it must
+    change the checkpoint config hash (else a resumed run would load
+    chunks with mismatched frame counts)."""
+    from barc4dip_tpu.metrics.common import chunk_layout_signature
+
+    T, B = 12, 4
+    monkeypatch.delenv("BARC4DIP_TPU_RAMP", raising=False)
+    ramped = chunk_layout_signature(T, B, None)
+    monkeypatch.setenv("BARC4DIP_TPU_RAMP", "0")
+    uniform = chunk_layout_signature(T, B, None)
+    assert ramped != uniform
+    assert ramped[0] == 0 and uniform == (0, 4, 8)
+    from barc4dip_tpu.utils.checkpoint import config_hash
+
+    assert config_hash({"schedule": ramped}) != config_hash({"schedule": uniform})

@@ -182,3 +182,36 @@ def test_radial_rejects_nonfinite():
     z[3, 3] = np.nan
     with pytest.raises(ValueError):
         radial_mean_binned(z)
+
+
+@pytest.mark.parametrize("dtype,bin_size", [
+    (np.float32, 0.1), (np.float32, 0.37), (np.float64, 0.1), (np.float32, 1.0),
+])
+def test_binned_counts_match_device_ids(dtype, bin_size):
+    """The host-precomputed per-bin counts must agree with the device
+    program's bin ids at the SAME float precision — boundary pixels used
+    to land in different bins (f64 host vs f32 device: 360 mismatches at
+    2048^2 with bin_size=0.1)."""
+    import jax.numpy as jnp
+
+    from barc4dip_tpu.ops.radialcore import (
+        _binned_counts,
+        _radius_field,
+        binned_geometry,
+        radial_mean_binned_core,
+    )
+
+    shape = (512, 512)
+    _, nbins, _ = binned_geometry(shape, None, float(bin_size))
+    R = _radius_field(shape, jnp.dtype(dtype))
+    ids = np.asarray(jnp.floor(R / bin_size).astype(jnp.int32)).ravel()
+    dev_counts = np.bincount(ids[ids < nbins], minlength=nbins)
+    host_counts = _binned_counts(shape, float(bin_size), nbins, np.dtype(dtype).name)
+    np.testing.assert_array_equal(host_counts, dev_counts)
+
+    # end to end: ones image -> every populated bin's mean is exactly 1
+    ones = jnp.ones(shape, dtype=dtype)
+    radial, _ = radial_mean_binned_core(ones, bin_size=float(bin_size))
+    radial = np.asarray(radial)
+    populated = np.isfinite(radial)
+    np.testing.assert_allclose(radial[populated], 1.0, rtol=1e-6)
