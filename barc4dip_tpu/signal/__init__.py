@@ -12,7 +12,7 @@ from .fft import (
     psd1d,
     psd2d,
 )
-from .summary import spectral_summary
+from .summary import spectral_summary, spectral_summary_stack
 from .tracking import phase_correlation, template_matching, track_translation
 from .xst import (
     track_displacement_field,
@@ -38,6 +38,7 @@ __all__ = [
     "phase_correlation",
     "pull_centrosymmetric",
     "spectral_summary",
+    "spectral_summary_stack",
     "track_displacement_field",
     "track_displacement_stack",
     "wavefront_from_displacements",

@@ -35,7 +35,7 @@ from ..ops.radialcore import (
 from .common import lag_axis_from_step, resolve_steps_2d
 from .fft import freq_axes2d
 
-__all__ = ["spectral_summary"]
+__all__ = ["spectral_summary", "spectral_summary_stack"]
 
 
 @lru_cache(maxsize=32)
@@ -103,6 +103,71 @@ def spectral_summary(
         "autocorr": out["autocorr"],
         "xlag": lag_axis_from_step(nx, step_x),
         "ylag": lag_axis_from_step(ny, step_y),
+        "radial_binned": np.asarray(out["radial_binned"]),
+        "r_binned": np.asarray(r_b),
+        "radial_interpolated": np.asarray(out["radial_interpolated"]),
+        "r_interpolated": np.asarray(r_i),
+    }
+
+
+@lru_cache(maxsize=16)
+def _summary_stack_program(step_x: float, step_y: float):
+    """vmapped radial-curves-only variant: (B, H, W) -> curves with a
+    leading B axis. The big per-frame PSD/autocorr maps are deliberately
+    NOT returned — at stack scale they would dominate transfer and
+    memory; use :func:`spectral_summary` on a single frame for maps."""
+
+    def per_frame(img):
+        if img.dtype not in (jnp.float32, jnp.float64):
+            img = img.astype(jnp.float32)
+        ac = autocorr2d_core(
+            img, remove_mean=True, standardize=False, normalize="peak"
+        )
+        rad_b, _ = radial_mean_binned_core(ac)
+        rad_i, _ = radial_mean_interpolated_core(ac)
+        return {"radial_binned": rad_b, "radial_interpolated": rad_i}
+
+    return jax.jit(jax.vmap(per_frame))
+
+
+def spectral_summary_stack(
+    stack,
+    *,
+    x: np.ndarray | None = None,
+    y: np.ndarray | None = None,
+    dx: float = 1.0,
+    dy: float = 1.0,
+    frame_chunk: int = 8,
+    mesh=None,
+):
+    """Per-frame radial autocorrelation profiles of a (T, H, W) stack.
+
+    The scan-series form of :func:`spectral_summary`: each frame's
+    peak-normalized autocorrelation reduces to its binned and
+    interpolated radial means ON DEVICE, and only the (T, nbins)/(T, nr)
+    curves come back — the per-frame maps never ride the wire. Frames
+    run through the shared ramped chunk pipeline (prefetch-overlapped
+    uploads; ``mesh`` shards the frame axis).
+
+    Returns {"radial_binned": (T, nbins), "r_binned": (nbins,),
+    "radial_interpolated": (T, nr), "r_interpolated": (nr,)} as NumPy.
+    Reference parity sources: signal/corr.py:256, maths/radial.py:38,101
+    applied per frame (the reference would loop host-side).
+    """
+    from ..metrics.common import run_stack_program
+
+    arr = stack if hasattr(stack, "ndim") else np.asarray(stack)
+    if arr.ndim != 3:
+        raise ValueError(f"stack must be 3D (T, H, W); got ndim={arr.ndim}")
+    T, ny, nx = (int(v) for v in arr.shape)
+    step_x, step_y = resolve_steps_2d(shape=(ny, nx), x=x, y=y, dx=dx, dy=dy)
+
+    program = _summary_stack_program(float(step_x), float(step_y))
+    out = run_stack_program(arr, program, frame_chunk=frame_chunk, mesh=mesh)
+
+    *_, r_b = binned_geometry((ny, nx), None, 1.0)
+    *_, r_i = interpolated_geometry((ny, nx), None, None, None)
+    return {
         "radial_binned": np.asarray(out["radial_binned"]),
         "r_binned": np.asarray(r_b),
         "radial_interpolated": np.asarray(out["radial_interpolated"]),

@@ -152,3 +152,34 @@ class TestPullCentrosymmetric:
         assert np.abs(coded - exact).max() <= span / 65535.0
         with pytest.raises(ValueError):
             pull_centrosymmetric(ac, quantize="u8")
+
+
+class TestSpectralSummaryStack:
+    def test_matches_per_frame_summary(self):
+        from tests.conftest import make_speckle
+
+        from barc4dip_tpu.signal import spectral_summary, spectral_summary_stack
+
+        rng = np.random.default_rng(9)
+        base = make_speckle(rng, shape=(160, 192), grain_px=4.0).astype(np.float32)
+        stack = np.stack([base * (1 + 0.1 * t) for t in range(5)])
+
+        out = spectral_summary_stack(stack, frame_chunk=2)
+        assert out["radial_binned"].shape[0] == 5
+        for t in (0, 2, 4):
+            single = spectral_summary(stack[t])
+            np.testing.assert_allclose(
+                out["radial_binned"][t], single["radial_binned"],
+                rtol=1e-6, atol=1e-9,
+            )
+            np.testing.assert_allclose(
+                out["radial_interpolated"][t], single["radial_interpolated"],
+                rtol=1e-6, atol=1e-9,
+            )
+        np.testing.assert_allclose(out["r_binned"], single["r_binned"])
+
+    def test_rejects_non_3d(self):
+        from barc4dip_tpu.signal import spectral_summary_stack
+
+        with pytest.raises(ValueError, match="3D"):
+            spectral_summary_stack(np.zeros((8, 8), np.float32))
