@@ -1,7 +1,7 @@
 # SPDX-License-Identifier: CECILL-2.1
 """Host-side matplotlib visualization (images, spectra, stacks, styles)."""
 from .image import plt_histogram, plt_image, plt_tiles_metric
-from .spectral import plt_spectrum1d, plt_spectrum2d
+from .spectral import plt_radial_waterfall, plt_spectrum1d, plt_spectrum2d
 from .stack import (
     plt_displacement,
     plt_displacement_field,
@@ -23,6 +23,7 @@ __all__ = [
     "plt_tiles_metric",
     "plt_histogram",
     "plt_spectrum1d",
+    "plt_radial_waterfall",
     "plt_spectrum2d",
     "plt_displacement",
     "plt_displacement_field",

@@ -16,7 +16,7 @@ from matplotlib.figure import Figure
 from . import _scaffold as sc
 from .style import resolve_cmap
 
-__all__ = ["plt_spectrum1d", "plt_spectrum2d"]
+__all__ = ["plt_spectrum1d", "plt_spectrum2d", "plt_radial_waterfall"]
 
 
 def _monotonic(x: np.ndarray, name: str) -> None:
@@ -244,3 +244,48 @@ def plt_spectrum2d(
             figures["phase_cuts"] = view.cuts_figure(angle, logy=False,
                                                      unit="rad")
     return figures
+
+
+def plt_radial_waterfall(
+    curves, r=None, *,
+    k: float = 1.0, cmap: str = "viridis", logz: bool = False,
+    xlabel: str = "r", ylabel: str = "frame", zlabel: str | None = None,
+    title: str | None = None,
+) -> Figure:
+    """Waterfall view of per-frame radial profiles: a (T, nr) heatmap with
+    frames on the vertical axis (companion to
+    ``signal.spectral_summary_stack``; no reference counterpart).
+
+    ``curves`` may be the (T, nr) array itself or a
+    ``spectral_summary_stack`` result dict (uses its interpolated profile
+    and radius axis unless ``r`` is given).
+    """
+    if isinstance(curves, dict):
+        if r is None:
+            r = curves.get("r_interpolated")
+        curves = curves.get("radial_interpolated")
+    arr = np.asarray(curves, dtype=float)
+    sc.need(arr.ndim == 2, f"curves must be (T, nr); got shape={arr.shape!r}")
+    T, nr = arr.shape
+    radius = np.arange(nr, dtype=float) if r is None else np.asarray(r, float)
+    sc.need(radius.size == nr, f"r must have length {nr}; got {radius.size}")
+
+    shown = sc.log_safe(arr) if logz else arr
+    norm = LogNorm() if logz else None
+
+    from .style import start_plotting
+
+    start_plotting(k)
+    fig, ax = plt.subplots(figsize=(7.0, 4.5))
+    art = ax.imshow(
+        shown, origin="lower", aspect="auto", cmap=resolve_cmap(cmap),
+        norm=norm,
+        extent=(float(radius[0]), float(radius[-1]), -0.5, T - 0.5),
+        interpolation="nearest",
+    )
+    sc.dress(ax, sc.Frame(xlabel=xlabel, ylabel=ylabel,
+                          title=title or None, title_size=15 * k, grid=None))
+    bar = plt.colorbar(art, ax=ax, fraction=0.046, pad=0.04)
+    if zlabel:
+        bar.set_label(zlabel)
+    return fig

@@ -43,8 +43,19 @@ def main(out_dir=None):
     d, _ = dip.maths.distance_at_fraction_from_peak(np.asarray(rad_i), fraction=1 / np.e)
     print(f"radial 1/e radius: {d:.2f} px -> leq = {2 * d * (r_i[1] - r_i[0]):.2f} px")
 
+    # scan-series form: per-frame radial profiles through the chunked
+    # pipeline (radial curves only — the per-frame maps never ride the wire)
+    scan = np.stack([field * (1 + 0.05 * t) for t in range(4)])
+    series = dip.signal.spectral_summary_stack(scan, dx=pixel_um, dy=pixel_um)
+    print(f"scan radial profiles: {series['radial_interpolated'].shape}")
+
     if out_dir:
-        from barc4dip_tpu.plotting import plt_spectrum1d, plt_spectrum2d, savefig
+        from barc4dip_tpu.plotting import (
+            plt_radial_waterfall, plt_spectrum1d, plt_spectrum2d, savefig,
+        )
+
+        savefig(plt_radial_waterfall(series, zlabel="autocorr"),
+                f"{out_dir}/ex03_radial_waterfall.png")
 
         P_host = dip.signal.pull_centrosymmetric(P)  # half the wire bytes
         figs = plt_spectrum2d(P_host, x=fx, y=fy, log_intensity=True,

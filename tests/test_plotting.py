@@ -195,3 +195,14 @@ def test_plt_displacement_field(tmp_path):
         plt_displacement_field(stack_field)
     with pytest.raises(ValueError, match="displacement stacks"):
         plt_displacement_field(field, frame=0)
+
+
+def test_plt_radial_waterfall():
+    from barc4dip_tpu.plotting import plt_radial_waterfall
+
+    curves = np.abs(np.random.default_rng(3).normal(size=(6, 40))) + 0.1
+    assert plt_radial_waterfall(curves, logz=True, zlabel="autocorr") is not None
+    out = {"radial_interpolated": curves, "r_interpolated": np.linspace(0, 20, 40)}
+    assert plt_radial_waterfall(out) is not None
+    with pytest.raises(ValueError):
+        plt_radial_waterfall(curves[0])
