@@ -1,0 +1,151 @@
+# SPDX-License-Identifier: CECILL-2.1
+"""Driver-proofing tests for bench.py (round-4 VERDICT item 1).
+
+BENCH_r03.json was an rc=124 timeout with zero output; the watchdog must
+guarantee a valid JSON line on stdout no matter which stage stalls. The
+forced-stall path is exercised for real here via BENCH_SELFTEST_STALL.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+BENCH = REPO / "bench.py"
+
+
+def _run_bench(env_extra: dict, timeout: float = 180.0):
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        BENCH_COMPILE_CACHE="0",
+        **env_extra,
+    )
+    return subprocess.run(
+        [sys.executable, str(BENCH)], capture_output=True, text=True,
+        env=env, timeout=timeout, cwd=REPO,
+    )
+
+
+def _parse_stdout(proc) -> dict:
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, f"expected exactly one stdout line, got: {lines!r}"
+    return json.loads(lines[0])
+
+
+@pytest.mark.slow
+def test_watchdog_emits_valid_json_on_stall():
+    """A stage stall must produce a degraded-but-parseable artifact, not
+    silence: stall deliberately at 'warmup', budget 12 s."""
+    proc = _run_bench(
+        {
+            "BENCH_SELFTEST_STALL": "warmup",
+            "BENCH_BUDGET_S": "30",
+            "BENCH_HARD_EXIT_S": "40",
+            "BENCH_T": "4",
+            "BENCH_SIZE": "256",
+        }
+    )
+    out = _parse_stdout(proc)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert out["degraded"] is True
+    assert out["checkpoint"] is True
+    assert out["gate_failed"] is False
+    assert out["detail"]["gate_checked"] is False
+    assert out["detail"]["stage_reached"] == "warmup"
+    assert out["metric"] == "speckle_stack_pipeline_throughput"
+    # heartbeats must make the stall diagnosable from stderr alone
+    assert "stage: warmup" in proc.stderr
+    assert "WATCHDOG" in proc.stderr
+    assert "hard deadline" in proc.stderr
+
+
+def test_emit_prefers_timed_run_and_reports_rooflines(capsys, monkeypatch):
+    """emit() arithmetic on a fabricated STATE: top-level value,
+    pct_of_upload_roofline and device_compute_mpix_s (VERDICT r3 weak #2)."""
+    import importlib
+
+    import bench
+
+    importlib.reload(bench)  # fresh STATE/_EMITTED
+    bench.STATE.update(
+        side=2048,
+        frames=16,
+        cpu_sec_per_frame=8.0,
+        cpu_baseline_source="cache",
+        warmup_s=30.0,
+        warmup_frames=9,
+        device_compute={"compute_mpix_s": 43.0},
+        runs=[
+            {
+                "elapsed_s": 4.0,
+                "frames": 16,
+                "track_err_px": 0.01,
+                "stages": {"upload_io_s": 3.2},
+            }
+        ],
+    )
+    rc = bench.emit(degraded=False)
+    out = json.loads(capsys.readouterr().out.strip())
+    assert rc == 0
+    mpix = 16 * 2048 * 2048 / 1e6
+    assert out["value"] == pytest.approx(mpix / 4.0, rel=1e-3)
+    assert out["pct_of_upload_roofline"] == pytest.approx(
+        100 * 3.2 / 4.0, rel=1e-3
+    )
+    assert out["device_compute_mpix_s"] == 43.0
+    assert out["vs_baseline"] == pytest.approx(
+        (mpix / 4.0) / (2048 * 2048 / 1e6 / 8.0), rel=1e-3
+    )
+    assert out["detail"]["value_source"] == "timed_run"
+    # second emission (watchdog/main race) must be suppressed
+    assert bench.emit(degraded=True) == 0
+    assert capsys.readouterr().out == ""
+
+
+def test_emit_falls_back_to_warmup_then_zero(capsys):
+    import importlib
+
+    import bench
+
+    importlib.reload(bench)
+    bench.STATE.update(side=1024, frames=8, warmup_s=10.0, warmup_frames=5)
+    rc = bench.emit(degraded=True)
+    out = json.loads(capsys.readouterr().out.strip())
+    assert rc == 0
+    assert out["degraded"] is True
+    assert out["value"] == pytest.approx(5 * 1024 * 1024 / 1e6 / 10.0, rel=1e-3)
+    assert out["detail"]["value_source"] == "warmup_incl_compile"
+    assert out["gate_failed"] is False
+
+    importlib.reload(bench)
+    bench.STATE.update(side=1024, frames=8)
+    rc = bench.emit(degraded=True)
+    out = json.loads(capsys.readouterr().out.strip())
+    assert rc == 0
+    assert out["value"] == 0.0
+    assert out["detail"]["value_source"] == "none_completed"
+
+
+def test_emit_gate_fails_only_on_completed_bad_measurement(capsys):
+    import importlib
+
+    import bench
+
+    importlib.reload(bench)
+    bench.STATE.update(
+        side=512, frames=4,
+        runs=[{"elapsed_s": 1.0, "frames": 4, "track_err_px": 0.3,
+               "stages": {}}],
+    )
+    rc = bench.emit(degraded=False)
+    out = json.loads(capsys.readouterr().out.strip())
+    assert rc == 1
+    assert out["gate_failed"] is True
+    assert out["detail"]["gate_checked"] is True
