@@ -301,6 +301,14 @@ def _byte_offset_decode(raw: bytes, n: int) -> np.ndarray:
                     raise ValueError("CBF byte-offset stream truncated")
                 v = v32_l[k]
                 i += 4
+                if v == -(2 ** 31):
+                    # int64 escape level (int32 payload == -2^31 followed
+                    # by 8 bytes). Pilatus mini-CBF never emits it; decoding
+                    # the sentinel as a real delta would silently misalign
+                    # the stream, so fail loudly instead.
+                    raise ValueError(
+                        "CBF byte-offset int64 escape unsupported"
+                    )
             deltas[j] = v
             j += 1
     return np.cumsum(deltas)

@@ -284,6 +284,16 @@ def device_compute_probe(
     compute_dtype = np.float64 if stack.dtype == np.float64 else np.float32
     B = max(1, min(int(frame_chunk), T))
 
+    # The probe holds every chunk device-resident simultaneously; cap the
+    # probed frame count so a production-size stack cannot OOM the chip
+    # (~2 GB of resident frames leaves headroom for program temporaries
+    # on a 16 GB v5e).
+    frame_bytes = H * W * np.dtype(compute_dtype).itemsize
+    cap = max(B, int((2 << 30) // max(frame_bytes, 1)) // B * B)
+    if T > cap:
+        stack = stack[:cap]
+        T = cap
+
     from ..config import on_tpu
 
     metrics_prog = _metrics_chunk_program(
@@ -328,9 +338,14 @@ def device_compute_probe(
     elapsed, out = timed()
     metrics_s, _ = timed(tracking=False)
     tracking_s, _ = timed(metrics=False)
-    assert all(
+    if not all(
         np.all(np.isfinite(s["dy_a"])) for _m, subs in out for s in subs
-    )
+    ):
+        # explicit raise (not assert: a no-op under python -O) — a probe
+        # that produced non-finite tracking must not report a throughput
+        raise RuntimeError(
+            "device_compute_probe: non-finite tracking output"
+        )
     return {
         "elapsed_s": elapsed,
         "metrics_only_s": metrics_s,

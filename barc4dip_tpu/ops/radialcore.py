@@ -88,7 +88,16 @@ def radial_mean_binned_core(
         shape, None if r_max is None else float(r_max), float(bin_size)
     )
 
-    R = _radius_field(shape, signal_2d.dtype)
+    # Bin ids must be computed in the SAME dtype on device (radius field)
+    # and host (_binned_counts), or boundary pixels land in different bins
+    # for sums vs counts. Sub-f32 float inputs (float16/bfloat16) are
+    # promoted to float32 for the id computation on both sides.
+    id_dtype = (
+        signal_2d.dtype
+        if signal_2d.dtype in (jnp.float32, jnp.float64)
+        else jnp.float32
+    )
+    R = _radius_field(shape, id_dtype)
     ids = jnp.floor(R / bin_size).astype(jnp.int32).reshape(-1)
     # out-of-range pixels (id >= nbins) go to a discard bin
     ids = jnp.where(ids < nbins, ids, nbins)
@@ -97,10 +106,7 @@ def radial_mean_binned_core(
     sums = jops.segment_sum(vals, ids, num_segments=nbins + 1)[:nbins]
     counts = jnp.asarray(
         _binned_counts(
-            shape, float(bin_size), nbins,
-            str(np.dtype(str(signal_2d.dtype))) if signal_2d.dtype in (
-                jnp.float32, jnp.float64
-            ) else "float32",
+            shape, float(bin_size), nbins, str(np.dtype(str(id_dtype)))
         ),
         dtype=signal_2d.dtype,
     )

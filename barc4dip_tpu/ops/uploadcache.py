@@ -78,9 +78,13 @@ def device_resident(array) -> jax.Array:
     ).digest()
     # the key carries the placement target: a hit must not return a buffer
     # committed to a different device than an active jax.default_device
-    # context would choose
+    # context would choose. It also carries the CANONICALIZED device dtype:
+    # with x64 disabled a float64 host array caches a float32 device
+    # buffer, and toggling jax_enable_x64 mid-process must not redeem that
+    # stale buffer where jnp.asarray would now produce float64.
     target = repr(getattr(jax.config, "jax_default_device", None))
-    key = (digest, host.shape, str(host.dtype), target)
+    dev_dtype = str(jnp.result_type(host.dtype))
+    key = (digest, host.shape, str(host.dtype), dev_dtype, target)
 
     with _lock:
         cached = _entries.get(key)
