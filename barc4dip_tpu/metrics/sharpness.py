@@ -22,9 +22,9 @@ import numpy as np
 from ..config import MIN_TILE_PX
 from ..utils import elapsed_time, now, progress_done, progress_update
 from .common import (
-    apply_display_origin,
     choose_tiling_mode,
     chunk_layout_signature,
+    normalize_display_origin,
     normalize_groups,
     subtile_grids_to_3x3_device,
     tiled_scalar_fields_device,
@@ -117,7 +117,9 @@ def _sharpness_device_fn(groups: frozenset, mode: str, sat: float | None, eps: f
 
 
 @lru_cache(maxsize=128)
-def _sharpness_program(groups: tuple, mode: str, sat: float | None, eps: float):
+def _sharpness_program(
+    groups: tuple, mode: str, sat: float | None, eps: float, flip: bool = False
+):
     import jax.numpy as jnp
 
     fn = _sharpness_device_fn(frozenset(groups), mode, sat, eps)
@@ -125,6 +127,10 @@ def _sharpness_program(groups: tuple, mode: str, sat: float | None, eps: float):
     def cast_fn(img):
         if img.dtype not in (jnp.float32, jnp.float64):
             img = img.astype(jnp.float32)
+        # display-origin flip on device keeps the uploaded host bytes
+        # content-addressable (see _speckle_program)
+        if flip:
+            img = img[::-1, :]
         return fn(img)
 
     return jax.jit(cast_fn)
@@ -356,7 +362,9 @@ def sharpness_stats(
     if image.ndim != 2:
         raise ValueError(f"Expected 2D array, got ndim={image.ndim}")
 
-    image = apply_display_origin(image, display_origin=display_origin)
+    # row flip for origin="lower" happens on device (static `flip` arg) so
+    # the uploaded host bytes stay content-addressable for the upload cache
+    flip = normalize_display_origin(display_origin) == "lower"
     h, w = (int(v) for v in image.shape)
     groups = normalize_groups(
         metrics, all_groups=_ALL_SHARPNESS_GROUPS, context="sharpness", param_name="metrics"
@@ -384,6 +392,7 @@ def sharpness_stats(
         mode,
         None if saturation_value is None else float(saturation_value),
         float(eps),
+        flip,
     )
     from ..ops.uploadcache import device_resident
 

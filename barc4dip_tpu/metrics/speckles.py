@@ -27,10 +27,10 @@ from ..config import MIN_TILE_PX
 from ..geometry.roi import odd_size, roi_grid_3x3
 from ..utils import elapsed_time, now
 from .common import (
-    apply_display_origin,
     chunk_layout_signature,
     choose_tiling_mode,
     nan_std_grid_3x3,
+    normalize_display_origin,
     normalize_groups,
     pack_mean_std,
     tiles_meta,
@@ -97,7 +97,9 @@ _GRAIN_MIN_PX = 128
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=128)
-def _speckle_program(groups: tuple, mode: str, sat: float | None, eps: float):
+def _speckle_program(
+    groups: tuple, mode: str, sat: float | None, eps: float, flip: bool = False
+):
     # Maps never ride the scalar program: the grain autocorr leaf attaches
     # as a lazy view that re-derives from the caller's image on first
     # access, so no device buffer stays pinned to the stats dict.
@@ -106,6 +108,12 @@ def _speckle_program(groups: tuple, mode: str, sat: float | None, eps: float):
     def cast_fn(img):
         if img.dtype not in (jnp.float32, jnp.float64):
             img = img.astype(jnp.float32)
+        # display-origin row flip happens ON DEVICE (a free layout op XLA
+        # fuses into the first consumer) so the uploaded host bytes stay
+        # content-addressable: a flat_field numpy-out result registered in
+        # the upload cache is redeemed byte-identically here.
+        if flip:
+            img = img[::-1, :]
         return fn(img)
 
     return jax.jit(cast_fn)
@@ -341,7 +349,10 @@ def speckle_stats(
     if image.ndim != 2:
         raise ValueError(f"Expected 2D array, got ndim={image.ndim}")
 
-    image = apply_display_origin(image, display_origin=display_origin)
+    # the row flip for origin="lower" is applied on device inside the
+    # program (static `flip` arg) — flipping host-side would change the
+    # uploaded bytes and defeat the content-addressed upload cache
+    flip = normalize_display_origin(display_origin) == "lower"
     h, w = (int(v) for v in image.shape)
     groups = normalize_groups(
         metrics, all_groups=_ALL_SPECKLE_GROUPS, context="speckles", param_name="metrics"
@@ -375,6 +386,7 @@ def speckle_stats(
         mode,
         None if saturation_value is None else float(saturation_value),
         float(eps),
+        flip,
     )
     # upload in the image's own dtype (uint16 detector frames ship half the
     # bytes); the program casts on device
@@ -414,13 +426,17 @@ def speckle_stats(
         _, _, N = square_embed_slices((int(h), int(w)))
 
         # Lazy map leaf that pins NOTHING on the device: first access
-        # re-derives the autocorrelation from the caller's (already
-        # display-flipped) image, pulling only the redundancy-free half.
-        def _fetch_map(img=image, half=on_tpu(), n=N):
-            prog = _grain_map_program(False, half)
+        # re-derives the autocorrelation from the caller's raw image
+        # (display flip applied on device), pulling only the
+        # redundancy-free half. Upload rides the content-addressed cache,
+        # so it is free when the frame's buffer is still live.
+        def _fetch_map(img=image, half=on_tpu(), n=N, flip=flip):
+            from ..ops.uploadcache import device_resident
+
+            prog = _grain_map_program(flip, half)
             arr = np.asarray(
                 prog(img if isinstance(img, jax.Array)
-                     else jnp.asarray(np.ascontiguousarray(img))),
+                     else device_resident(np.ascontiguousarray(img))),
                 dtype=np.float64,
             )
             return mirror_centrosymmetric(arr, n) if half else arr

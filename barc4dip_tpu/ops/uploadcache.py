@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["device_resident", "cache_clear", "cache_info"]
+__all__ = ["device_resident", "register_pair", "cache_clear", "cache_info"]
 
 #: smallest array worth hashing: below this the upload's fixed cost
 #: dominates and a cache hit saves little
@@ -73,18 +73,7 @@ def device_resident(array) -> jax.Array:
     ):
         return jnp.asarray(host)
 
-    digest = hashlib.blake2b(
-        memoryview(host).cast("B"), digest_size=16
-    ).digest()
-    # the key carries the placement target: a hit must not return a buffer
-    # committed to a different device than an active jax.default_device
-    # context would choose. It also carries the CANONICALIZED device dtype:
-    # with x64 disabled a float64 host array caches a float32 device
-    # buffer, and toggling jax_enable_x64 mid-process must not redeem that
-    # stale buffer where jnp.asarray would now produce float64.
-    target = repr(getattr(jax.config, "jax_default_device", None))
-    dev_dtype = str(jnp.result_type(host.dtype))
-    key = (digest, host.shape, str(host.dtype), dev_dtype, target)
+    key = _key_for(host)
 
     with _lock:
         cached = _entries.get(key)
@@ -106,6 +95,51 @@ def device_resident(array) -> jax.Array:
         while _entries and _total_bytes() > _MAX_BYTES:
             _entries.popitem(last=False)
     return device
+
+
+def _key_for(host: np.ndarray) -> tuple:
+    digest = hashlib.blake2b(
+        memoryview(host).cast("B"), digest_size=16
+    ).digest()
+    # the key carries the placement target: a hit must not return a buffer
+    # committed to a different device than an active jax.default_device
+    # context would choose. It also carries the CANONICALIZED device dtype:
+    # with x64 disabled a float64 host array caches a float32 device
+    # buffer, and toggling jax_enable_x64 mid-process must not redeem that
+    # stale buffer where jnp.asarray would now produce float64.
+    target = repr(getattr(jax.config, "jax_default_device", None))
+    dev_dtype = str(jnp.result_type(host.dtype))
+    return (digest, host.shape, str(host.dtype), dev_dtype, target)
+
+
+def register_pair(host, device: jax.Array) -> None:
+    """Record that ``host``'s content is already device-resident.
+
+    For producers that COMPUTE a result on device and also return it as
+    NumPy (e.g. ``flat_field_correction``'s reference-contract numpy-out
+    path): registering the pulled bytes against the live device buffer
+    lets a follow-on metric call redeem the device copy instead of
+    re-uploading ~17 MB per 2k frame over the tunnel. No-op when the cache
+    is disabled, the array is below the size floor, or dtypes/shape don't
+    match what ``jnp.asarray(host)`` would produce (a redeemed buffer must
+    be indistinguishable from a fresh upload).
+    """
+    host = np.asarray(host)
+    if (
+        not _enabled()
+        or host.nbytes < _MIN_BYTES
+        or not host.flags.c_contiguous
+        or not isinstance(device, jax.Array)
+        or device.shape != host.shape
+        or str(device.dtype) != str(jnp.result_type(host.dtype))
+    ):
+        return
+    key = _key_for(host)
+    with _lock:
+        _entries[key] = device
+        _entries.move_to_end(key)
+        while _entries and _total_bytes() > _MAX_BYTES:
+            _entries.popitem(last=False)
 
 
 def cache_clear() -> None:

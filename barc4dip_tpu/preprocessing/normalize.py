@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.rank import median_filter2d
-from ..ops.uploadcache import device_resident
+from ..ops.uploadcache import device_resident, register_pair
 from ..utils import elapsed_time, now
 
 __all__ = ["flat_field_correction"]
@@ -138,7 +138,13 @@ def flat_field_correction(
         has_eps=eps is not None,
     )
     if as_numpy:
-        out = np.asarray(out)
+        dev = out
+        out = np.asarray(dev)
+        # the pulled bytes and the live device buffer are the same content:
+        # registering the pair lets a follow-on metric call on this numpy
+        # result redeem the device copy instead of re-uploading it
+        # (CLI chain: read -> flat-field -> speckle_stats)
+        register_pair(out, dev)
 
     if verbose:
         elapsed_time(t0)

@@ -125,3 +125,48 @@ def test_concurrent_entry_points_thread_safe():
     assert not errors, errors
     info = uc.cache_info()
     assert info["entries"] <= 4
+
+
+def test_register_pair_redeems_without_upload():
+    a = _big(11)
+    dev = uc.device_resident(a)
+    pulled = np.asarray(dev)
+    uc.cache_clear()
+    uc.register_pair(pulled, dev)
+    got = uc.device_resident(np.ascontiguousarray(pulled))
+    assert got is dev  # redeemed the registered buffer, no re-upload
+    info = uc.cache_info()
+    assert info["hits"] == 1 and info["misses"] == 0
+
+
+def test_register_pair_rejects_mismatched_buffers():
+    a = _big(12)
+    dev = uc.device_resident(a)
+    uc.cache_clear()
+    uc.register_pair(a[:512], dev)  # shape mismatch: must be ignored
+    uc.register_pair(a.astype(np.float64), dev)  # dtype mismatch
+    assert uc.cache_info()["entries"] == 0
+
+
+def test_flat_field_numpy_out_redeems_device_copy():
+    """CLI chain read -> flat_field_correction(as_numpy) -> speckle_stats
+    must not re-upload the corrected frame (VERDICT r3 item 4)."""
+    from barc4dip_tpu.preprocessing import flat_field_correction
+
+    img = np.abs(_big(13)) + 5.0
+    flat = np.abs(_big(14)) + 10.0
+    out = flat_field_correction(img, flats=flat, as_numpy=True)
+    assert isinstance(out, np.ndarray)
+    before = uc.cache_info()
+    dev = uc.device_resident(np.ascontiguousarray(out))
+    info = uc.cache_info()
+    assert info["hits"] == before["hits"] + 1, (before, info)
+    assert info["misses"] == before["misses"]
+    np.testing.assert_array_equal(np.asarray(dev), out)
+    # ... and through the public aggregator (display-origin flip must be
+    # applied on device, not to the host bytes, for this to redeem)
+    stats = dip.speckle_stats(out, metrics=("amplitude", "stats"), verbose=False)
+    info2 = uc.cache_info()
+    assert info2["hits"] == info["hits"] + 1, (info, info2)
+    assert info2["misses"] == info["misses"]
+    assert np.isfinite(stats["full"]["amplitude"]["visibility"])
