@@ -118,7 +118,9 @@ def flat_field_correction(
         return _deliver(img.copy())
 
     if dark2d is None:
-        dark2d = np.zeros_like(flat2d)
+        # a scalar zero broadcasts on device — shipping a full zeros frame
+        # over the wire (~17 MB at 2k) would cost as much as the image
+        dark2d = np.float32(0.0)
 
     if flat2d is None:
         out = img - (dark2d if img.ndim == 2 else dark2d[None, ...])
