@@ -18,6 +18,7 @@ per frame"):
 """
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import jax
@@ -203,7 +204,10 @@ def _make_track_frame_fn(H, W, s, starts, subpixel, method, search=None):
 # clean, CPU any size is clean). The tracker therefore never sees more
 # than _TRACK_SUB frames per program — larger frame chunks run the metrics
 # program at full width and slice the same device chunk for tracking.
-_TRACK_SUB = 4
+# BARC4DIP_TPU_TRACK_SUB overrides, for hardware A/B re-tests of the
+# miscompile (docs/repros/wide_tracker.py: the authoritative in-context
+# check is this knob at 8 + the bench tracking gate).
+_TRACK_SUB = int(os.environ.get("BARC4DIP_TPU_TRACK_SUB", "4"))
 
 
 @lru_cache(maxsize=64)
