@@ -317,6 +317,14 @@ def deconvolve_psf(
 
     if not is_stack:
         out = out[0]
+        if not device_in:
+            from ..ops.uploadcache import register_pair
+
+            # single-frame numpy-out: keep the device copy redeemable so a
+            # follow-on metric call does not re-upload the result (same
+            # contract as flat_field_correction; cuts ~17 MB per 2k frame
+            # from the flat-field -> deconvolve -> stats CLI chain)
+            register_pair(out, pending[0][0])
 
     if verbose:
         logger.info(

@@ -170,3 +170,16 @@ def test_flat_field_numpy_out_redeems_device_copy():
     assert info2["hits"] == info["hits"] + 1, (info, info2)
     assert info2["misses"] == info["misses"]
     assert np.isfinite(stats["full"]["amplitude"]["visibility"])
+
+
+def test_deconvolve_numpy_out_redeems_device_copy():
+    from barc4dip_tpu.preprocessing import deconvolve_psf
+
+    img = np.abs(_big(21)) + 5.0
+    out = deconvolve_psf(img, sigma=1.5, method="wiener")
+    assert isinstance(out, np.ndarray)
+    before = uc.cache_info()
+    dev = uc.device_resident(np.ascontiguousarray(out))
+    info = uc.cache_info()
+    assert info["hits"] == before["hits"] + 1, (before, info)
+    np.testing.assert_array_equal(np.asarray(dev), out)
