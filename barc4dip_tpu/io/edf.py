@@ -259,7 +259,7 @@ def _byte_offset_decode(raw: bytes, n: int) -> np.ndarray:
     # EVERY mark are gathered vectorised up front (cheap; only real escapes
     # are consumed), leaving the loop pure integer hops — O(n + escapes).
     marks = np.flatnonzero(arr == -128)
-    pad = np.concatenate([u8, np.zeros(8, np.uint8)])
+    pad = np.concatenate([u8, np.zeros(16, np.uint8)])
     v16 = (
         pad[marks + 1].astype(np.uint16)
         | (pad[marks + 2].astype(np.uint16) << 8)
@@ -270,6 +270,10 @@ def _byte_offset_decode(raw: bytes, n: int) -> np.ndarray:
         | (pad[marks + 5].astype(np.uint32) << 16)
         | (pad[marks + 6].astype(np.uint32) << 24)
     ).astype(np.int32)
+    v64 = np.zeros(marks.size, np.uint64)
+    for b in range(8):
+        v64 |= pad[marks + 7 + b].astype(np.uint64) << np.uint64(8 * b)
+    v64 = v64.astype(np.int64)
 
     deltas = np.empty(n, dtype=np.int64)
     # plain-list views: scalar hops in the loop cost ~10x less than numpy
@@ -277,6 +281,7 @@ def _byte_offset_decode(raw: bytes, n: int) -> np.ndarray:
     marks_l = marks.tolist()
     v16_l = v16.tolist()
     v32_l = v32.tolist()
+    v64_l = v64.tolist()
     i = 0  # byte position
     j = 0  # element position
     k = 0  # mark pointer (amortised: only ever advances)
@@ -303,12 +308,12 @@ def _byte_offset_decode(raw: bytes, n: int) -> np.ndarray:
                 i += 4
                 if v == -(2 ** 31):
                     # int64 escape level (int32 payload == -2^31 followed
-                    # by 8 bytes). Pilatus mini-CBF never emits it; decoding
-                    # the sentinel as a real delta would silently misalign
-                    # the stream, so fail loudly instead.
-                    raise ValueError(
-                        "CBF byte-offset int64 escape unsupported"
-                    )
+                    # by 8 bytes LE). Pilatus mini-CBF never emits it, but
+                    # the full CBF spec allows it.
+                    if i + 8 > size:
+                        raise ValueError("CBF byte-offset stream truncated")
+                    v = v64_l[k]
+                    i += 8
             deltas[j] = v
             j += 1
     return np.cumsum(deltas)

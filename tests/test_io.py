@@ -467,3 +467,25 @@ class TestIndependentOriginFixtures:
         expected = np.load(self.DATA / "fixture_u16_expected.npy")
         got = read_edf(str(self.DATA / "fixture_u16.edf"))
         np.testing.assert_array_equal(got, expected[0].astype(got.dtype))
+
+
+def test_cbf_byte_offset_int64_escape():
+    """Full CBF spec: int32 payload == -2^31 escapes to an 8-byte int64
+    delta. Pilatus never emits it, but the decoder must not misalign."""
+    import struct
+
+    from barc4dip_tpu.io.edf import _byte_offset_decode
+
+    big = 2**31 + 5
+    stream = (
+        struct.pack("<b", 10)  # value 10
+        + struct.pack("<b", -128) + struct.pack("<h", -32768)
+        + struct.pack("<i", -(2**31)) + struct.pack("<q", big)  # +big
+        + struct.pack("<b", -3)  # back down a little
+        + struct.pack("<b", -128) + struct.pack("<h", -32768)
+        + struct.pack("<i", -(2**31)) + struct.pack("<q", -big)  # -big
+        + struct.pack("<b", 1)
+    )
+    got = _byte_offset_decode(stream, 5)
+    expected = np.cumsum([10, big, -3, -big, 1])
+    np.testing.assert_array_equal(got, expected)
