@@ -93,9 +93,9 @@ def radial_mean_binned_core(
     # for sums vs counts. Sub-f32 float inputs (float16/bfloat16) are
     # promoted to float32 for the id computation on both sides.
     id_dtype = (
-        signal_2d.dtype
-        if signal_2d.dtype in (jnp.float32, jnp.float64)
-        else jnp.float32
+        np.dtype(signal_2d.dtype)
+        if np.dtype(signal_2d.dtype) in (np.dtype(np.float32), np.dtype(np.float64))
+        else np.dtype(np.float32)
     )
     R = _radius_field(shape, id_dtype)
     ids = jnp.floor(R / bin_size).astype(jnp.int32).reshape(-1)
@@ -105,9 +105,7 @@ def radial_mean_binned_core(
     vals = signal_2d.reshape(-1)
     sums = jops.segment_sum(vals, ids, num_segments=nbins + 1)[:nbins]
     counts = jnp.asarray(
-        _binned_counts(
-            shape, float(bin_size), nbins, str(np.dtype(str(id_dtype)))
-        ),
+        _binned_counts(shape, float(bin_size), nbins, str(id_dtype)),
         dtype=signal_2d.dtype,
     )
 

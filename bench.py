@@ -101,6 +101,8 @@ def stage(name: str) -> None:
     if os.environ.get("BENCH_SELFTEST_STALL") == name:
         log(f"selftest: deliberate stall at stage '{name}'")
         time.sleep(10_000)
+    if os.environ.get("BENCH_SELFTEST_CRASH") == name:
+        raise RuntimeError(f"selftest: deliberate crash at stage '{name}'")
 
 
 def budget_s() -> float:
@@ -166,7 +168,10 @@ def emit(degraded: bool, kind: str = "final") -> int:
     """
     with _EMIT_LOCK:
         if "final" in _EMITTED_KINDS or kind in _EMITTED_KINDS:
-            return 0
+            # duplicate emission: keep the exit code already decided by the
+            # emission that actually printed (a gate failure must not be
+            # laundered into rc=0 by a defensive re-emit)
+            return STATE["last_rc"]
         _EMITTED_KINDS.add(kind)
 
         side = STATE["side"]
@@ -185,12 +190,20 @@ def emit(degraded: bool, kind: str = "final") -> int:
             value = T * mpix_frame / elapsed
             value_source = "timed_run"
             stages_detail = run["stages"]
-            track_err = run["track_err_px"]
+            # the gate covers EVERY completed run, not just the fastest:
+            # a run that violated 0.05 px must fail the artifact even if
+            # the other run was both faster and clean
+            errs = [
+                r["track_err_px"] for r in STATE["runs"]
+                if r.get("track_err_px") is not None
+            ]
+            track_err = max(errs) if errs else None
         elif STATE["warmup_s"] and STATE["warmup_frames"]:
             # Honest fallback: the warmup run IS a full pipeline execution,
             # it just includes compile time — pessimistic but real.
             elapsed = STATE["warmup_s"]
-            value = STATE["warmup_frames"] * mpix_frame / elapsed
+            T = STATE["warmup_frames"]  # keep frames/ms-per-frame consistent
+            value = T * mpix_frame / elapsed
             value_source = "warmup_incl_compile"
         else:
             value = 0.0
@@ -676,5 +689,22 @@ def main() -> int:
     return rc
 
 
+def main_guarded() -> int:
+    """A fast crash must not die mute any more than a stall may: any
+    exception out of the stage sequence still emits a parseable (degraded)
+    JSON line with whatever was measured, then exits 1."""
+    try:
+        return main()
+    except BaseException as exc:  # noqa: BLE001 - last-resort artifact guard
+        log(f"FATAL in stage '{STATE['stage']}': {exc!r}")
+        try:
+            emit(degraded=True)
+        finally:
+            _DONE.set()
+        if isinstance(exc, KeyboardInterrupt):
+            raise
+        return 1
+
+
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(main_guarded())

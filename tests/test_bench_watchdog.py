@@ -149,3 +149,17 @@ def test_emit_gate_fails_only_on_completed_bad_measurement(capsys):
     assert rc == 1
     assert out["gate_failed"] is True
     assert out["detail"]["gate_checked"] is True
+
+
+def test_fast_crash_still_emits_json():
+    """A raised exception (not a stall) must also leave a parseable
+    degraded artifact: the round-3 failure mode was silence, and a crash
+    is just the fast version of it."""
+    proc = _run_bench({"BENCH_SELFTEST_CRASH": "warmup", "BENCH_T": "4",
+                       "BENCH_SIZE": "256"})
+    out = _parse_stdout(proc)
+    assert proc.returncode == 1
+    assert out["degraded"] is True
+    assert out["detail"]["stage_reached"] == "warmup"
+    # no timed run completed, so the gate cannot have been checked/failed
+    assert out["gate_failed"] is False

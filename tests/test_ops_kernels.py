@@ -121,3 +121,16 @@ def test_ncc_peak_at_known_location(rng):
     got = np.asarray(ncc_valid(jnp.asarray(img), jnp.asarray(tpl)))
     assert np.unravel_index(np.argmax(got), got.shape) == (40, 50)
     assert got.max() == pytest.approx(1.0, abs=1e-8)
+
+
+def test_radial_binned_core_accepts_any_dtype():
+    """Regression: the host-precomputed bin counts must not crash for
+    uint16/float16 inputs (id dtype resolution used a jnp class repr)."""
+    import jax.numpy as jnp
+
+    from barc4dip_tpu.ops.radialcore import radial_mean_binned_core
+
+    for dt in (np.uint16, np.float16, np.float32):
+        r, c = radial_mean_binned_core(jnp.asarray(np.ones((16, 16), dt)))
+        r = np.asarray(r, np.float64)
+        assert np.allclose(r[np.isfinite(r)], 1.0), dt
