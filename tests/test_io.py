@@ -489,3 +489,50 @@ def test_cbf_byte_offset_int64_escape():
     got = _byte_offset_decode(stream, 5)
     expected = np.cumsum([10, big, -3, -big, 1])
     np.testing.assert_array_equal(got, expected)
+
+
+@pytest.mark.skipif(
+    not __import__("pathlib").Path("/root/reference/src").exists(),
+    reason="reference package not mounted",
+)
+def test_edf_differential_fuzz_vs_reference(tmp_path):
+    """Differential validation: random arrays written by the REFERENCE's
+    vendored PyMca EdfFile writer must decode identically through our
+    clean-room parser (dtype map, header padding, multi-frame layout)."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/reference/src")
+    try:
+        from barc4dip.io.uti_EdfFile import EdfFile as RefEdf
+    finally:
+        _sys.path.remove("/root/reference/src")
+
+    from barc4dip_tpu.io.edf import EdfFile as OurEdf
+
+    rng = np.random.default_rng(42)
+    cases = []
+    for dt in (np.uint16, np.int32, np.float32, np.float64, np.uint8):
+        h, w = (int(v) for v in rng.integers(1, 40, 2))
+        n = int(rng.integers(1, 4))
+        if np.issubdtype(dt, np.floating):
+            arrs = [rng.normal(0, 1e4, (h, w)).astype(dt) for _ in range(n)]
+        else:
+            info = np.iinfo(dt)
+            arrs = [
+                rng.integers(info.min, info.max, (h, w), dtype=dt)
+                for _ in range(n)
+            ]
+        cases.append(arrs)
+
+    for ci, arrs in enumerate(cases):
+        path = tmp_path / f"fuzz_{ci}.edf"
+        ref = RefEdf(str(path), access="ab")
+        for i, a in enumerate(arrs):
+            ref.WriteImage({"case": f"{ci}:{i}"}, a)
+        del ref
+        ours = OurEdf(path)
+        assert ours.NumImages == len(arrs), (ci, ours.NumImages)
+        for i, a in enumerate(arrs):
+            got = ours.GetData(i)
+            assert got.dtype == a.dtype, (ci, i, got.dtype, a.dtype)
+            np.testing.assert_array_equal(got, a, err_msg=f"case {ci} frame {i}")
