@@ -47,3 +47,9 @@ def __getattr__(name: str):
         mod = _importlib.import_module(_LAZY_FUNCTIONS[name])
         return getattr(mod, name)
     raise AttributeError(f"module 'barc4dip_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    # advertise the lazy names: dir()/tab completion must show the same
+    # surface the reference package shows eagerly
+    return sorted(set(globals()) | set(__all__))

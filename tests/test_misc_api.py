@@ -182,3 +182,20 @@ def test_review4_regressions(rng):
     assert rect.get_y() == 10.0 and rect.get_height() == 20.0
     lo, hi = fig.axes[0].get_ylim()
     assert lo > hi  # inverted axis: row 0 at the top
+
+
+def test_dir_advertises_lazy_surface():
+    import barc4dip_tpu as dip
+
+    for name in ("metrics", "io", "speckle_stats", "logbook_report",
+                 "read_image", "preprocessing"):
+        assert name in dir(dip), name
+
+
+def test_uti_edffile_compat_path():
+    """User code importing the reference's vendored module path must keep
+    working (reference io/uti_EdfFile.py:175)."""
+    from barc4dip_tpu.io.uti_EdfFile import EdfFile
+    from barc4dip_tpu.io.edf import EdfFile as Canonical
+
+    assert EdfFile is Canonical
