@@ -16,6 +16,8 @@ theorems give exact subpixel motion for tracking ground truth.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 __all__ = ["speckle_field", "speckle_stack", "spiral_motion"]
@@ -86,7 +88,8 @@ def speckle_stack(
     base_F = np.fft.fft2(a) * H
 
     out = np.empty((int(T), ny, nx), dtype)
-    for t in range(int(T)):
+
+    def _one(t: int) -> None:
         phase = np.exp(-2j * np.pi * (fy * dys[t] + fx * dxs[t]))
         field = np.abs(np.fft.ifft2(base_F * phase)) ** 2
         field = field / field.mean() * float(mean_counts)
@@ -94,4 +97,16 @@ def speckle_stack(
             info = np.iinfo(dtype)
             field = np.clip(field, info.min, info.max)
         out[t] = field
+
+    # Frames are independent (each derives from the shared base_F), and the
+    # hot ops (pocketfft, exp) release the GIL — thread the loop for large
+    # stacks. Deterministic: every thread writes only its own out[t].
+    if int(T) >= 4 and ny * nx >= 512 * 512:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as ex:
+            list(ex.map(_one, range(int(T))))
+    else:
+        for t in range(int(T)):
+            _one(t)
     return out

@@ -33,10 +33,14 @@ def _run_bench(env_extra: dict, timeout: float = 180.0):
     )
 
 
-def _parse_stdout(proc) -> dict:
+def _parse_stdout(proc, expect_lines: int = 1) -> dict:
+    """Every stdout line must be valid JSON; the driver grades the LAST."""
     lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
-    assert len(lines) == 1, f"expected exactly one stdout line, got: {lines!r}"
-    return json.loads(lines[0])
+    assert len(lines) == expect_lines, (
+        f"expected {expect_lines} stdout line(s), got: {lines!r}"
+    )
+    parsed = [json.loads(ln) for ln in lines]
+    return parsed[-1]
 
 
 @pytest.mark.slow
@@ -52,10 +56,13 @@ def test_watchdog_emits_valid_json_on_stall():
             "BENCH_SIZE": "256",
         }
     )
-    out = _parse_stdout(proc)
+    # two artifacts: the budget-expiry checkpoint, then the hard-deadline
+    # final emitted from CURRENT state (it supersedes a stale checkpoint —
+    # the driver parses the last JSON line)
+    out = _parse_stdout(proc, expect_lines=2)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert out["degraded"] is True
-    assert out["checkpoint"] is True
+    assert out["checkpoint"] is False
     assert out["gate_failed"] is False
     assert out["detail"]["gate_checked"] is False
     assert out["detail"]["stage_reached"] == "warmup"
