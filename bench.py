@@ -369,7 +369,7 @@ def make_stack(T: int, side: int, grain_px: float = 8.0) -> np.ndarray:
     want_shape = (T, side, side)
     if cache_ok:
         best = None
-        for p in REPO.glob(f".bench_stack_{side}_T*_v1.npy"):
+        for p in REPO.glob(f".bench_stack_{side}_T*_v2.npy"):
             try:
                 tc = int(p.stem.split("_T")[1].split("_")[0])
             except (IndexError, ValueError):
@@ -395,7 +395,7 @@ def make_stack(T: int, side: int, grain_px: float = 8.0) -> np.ndarray:
     assert stack.shape == want_shape
     if cache_ok:
         try:
-            path = REPO / f".bench_stack_{side}_T{T}_v1.npy"
+            path = REPO / f".bench_stack_{side}_T{T}_v2.npy"
             tmp = path.with_suffix(".tmp.npy")
             np.save(tmp, stack)
             os.replace(tmp, path)
