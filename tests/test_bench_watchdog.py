@@ -56,10 +56,10 @@ def test_watchdog_emits_valid_json_on_stall():
             "BENCH_SIZE": "256",
         }
     )
-    # two artifacts: the budget-expiry checkpoint, then the hard-deadline
-    # final emitted from CURRENT state (it supersedes a stale checkpoint —
-    # the driver parses the last JSON line)
-    out = _parse_stdout(proc, expect_lines=2)
+    # three artifacts: the startup liveness snapshot, the budget-expiry
+    # checkpoint, then the hard-deadline final emitted from CURRENT state
+    # (each supersedes the previous — the driver parses the last JSON line)
+    out = _parse_stdout(proc, expect_lines=3)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert out["degraded"] is True
     assert out["checkpoint"] is False
@@ -67,6 +67,11 @@ def test_watchdog_emits_valid_json_on_stall():
     assert out["detail"]["gate_checked"] is False
     assert out["detail"]["stage_reached"] == "warmup"
     assert out["metric"] == "speckle_stack_pipeline_throughput"
+    # the first line is the pre-block startup snapshot: even a driver
+    # timeout shorter than the watchdog budget finds a parseable artifact
+    first = json.loads([ln for ln in proc.stdout.splitlines() if ln.strip()][0])
+    assert first["checkpoint"] is True
+    assert first["detail"]["stage_reached"] == "init"
     # heartbeats must make the stall diagnosable from stderr alone
     assert "stage: warmup" in proc.stderr
     assert "WATCHDOG" in proc.stderr
@@ -164,7 +169,7 @@ def test_fast_crash_still_emits_json():
     is just the fast version of it."""
     proc = _run_bench({"BENCH_SELFTEST_CRASH": "warmup", "BENCH_T": "4",
                        "BENCH_SIZE": "256"})
-    out = _parse_stdout(proc)
+    out = _parse_stdout(proc, expect_lines=2)  # startup snapshot + final
     assert proc.returncode == 1
     assert out["degraded"] is True
     assert out["detail"]["stage_reached"] == "warmup"
