@@ -44,10 +44,16 @@ def rng():
 
 def make_speckle(rng, shape=(256, 256), grain_px=6.0, dtype=np.float64):
     """Synthetic speckle field with a known Gaussian correlation length
-    (delegates to the public generator, barc4dip_tpu.utils.speckle_field)."""
+    (delegates to the public generator, barc4dip_tpu.utils.speckle_field).
+
+    precision="double" pins the generator's original bit-exact float64
+    path so committed golden values stay stable across rounds regardless
+    of the generator's default (single) precision."""
     from barc4dip_tpu.utils import speckle_field
 
-    return speckle_field(shape, grain_px=grain_px, seed=rng, dtype=dtype)
+    return speckle_field(
+        shape, grain_px=grain_px, seed=rng, dtype=dtype, precision="double"
+    )
 
 
 @pytest.fixture()
