@@ -25,6 +25,14 @@ else:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in os.environ["XLA_FLAGS"]:
+    # 8 fake devices time-slice the host's real cores (1 on the CI VM):
+    # barrier skew can exceed XLA:CPU's default 40 s rendezvous deadline,
+    # which F-checks the whole process (seen at production-geometry
+    # shapes). Unbounded skew is legitimate on an oversubscribed mesh.
+    os.environ["XLA_FLAGS"] += (
+        " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+    )
 
 import jax
 
