@@ -97,7 +97,7 @@ def _make_track_frame_fn(H, W, s, starts, subpixel, method, search=None):
                 # array leaves only: the static shape/hw ints must not ride
                 # through vmap (they'd become tracers and break the FFT size)
                 p = ncc_ops.zncc_prepare_image(win, s, s, eps=eps)
-                return {"F": p["F"], "s1": p["s1"], "var_sum": p["var_sum"]}
+                return {k: v for k, v in p.items() if k not in ("shape", "hw")}
 
             def with_shape(p):
                 return {**p, "shape": (w, w), "hw": (s, s)}

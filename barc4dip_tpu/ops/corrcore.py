@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from . import mxufft
+
 __all__ = ["xcorr1d_core", "xcorr2d_core", "autocorr2d_core"]
 
 
@@ -70,8 +72,15 @@ def autocorr2d_core(a, *, remove_mean=True, standardize=False, normalize="peak")
     """
     a = _precondition(a, remove_mean, standardize)
     shape = a.shape[-2:]
-    F = jnp.fft.rfft2(a)
-    P = jnp.real(F) ** 2 + jnp.imag(F) ** 2
-    corr = jnp.fft.irfft2(P, s=shape)
+    if mxufft.mxu_fft_enabled() and mxufft.perm_supported_2d(shape):
+        # power spectrum is order-agnostic (pointwise); the permuted-order
+        # matmul DFT (ops/mxufft.py) keeps the whole round trip on the MXU
+        # with zero transposes and a real-only inverse output plane.
+        fre, fim = mxufft.fftp2(a)
+        corr = mxufft.ifftp2_real(fre * fre + fim * fim, None)
+    else:
+        F = jnp.fft.rfft2(a)
+        P = jnp.real(F) ** 2 + jnp.imag(F) ** 2
+        corr = jnp.fft.irfft2(P, s=shape)
     corr = jnp.fft.fftshift(corr, axes=(-2, -1))
     return _finalize(corr, normalize)

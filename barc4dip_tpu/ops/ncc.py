@@ -23,7 +23,20 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from . import mxufft
+
 __all__ = ["ncc_valid", "window_sums", "zncc_prepare_image", "ncc_valid_from_prepared"]
+
+
+def _use_perm(h: int, w: int) -> bool:
+    # Permuted-order matmul DFT (ops/mxufft.py): same correlation map, the
+    # spectrum only ever feeds a pointwise product so its frequency ORDER is
+    # irrelevant. On the TPU backend this runs the transforms on the MXU and
+    # measures 1.4x faster than the XLA FFT on the tracker's fwd+18inv
+    # pattern at 2048^2 (split re/im floats also sidestep the axon backend's
+    # complex64 boundary hazard). Off-TPU or for unsupported sizes the
+    # callers below keep the rfft2/irfft2 path bit-for-bit.
+    return mxufft.mxu_fft_enabled() and mxufft.perm_supported_2d((h, w))
 
 
 def window_sums(image, h: int, w: int):
@@ -53,13 +66,17 @@ def zncc_prepare_image(image, h: int, w: int, *, eps: float = 1e-9):
     s = jnp.nanstd(image)
     img = (image - m) / (s + eps)
 
-    F = jnp.fft.rfft2(img)
     s1 = window_sums(img, h, w)
     s2 = window_sums(img * img, h, w)
     area = float(h * w)
     # sum over window of (I - mean_w)^2 = S2 - S1^2/A ; clamp tiny negatives.
     var_sum = jnp.maximum(s2 - (s1 * s1) / area, 0.0)
-    return {"F": F, "s1": s1, "var_sum": var_sum, "shape": image.shape, "hw": (h, w)}
+    out = {"s1": s1, "var_sum": var_sum, "shape": image.shape, "hw": (h, w)}
+    if _use_perm(*image.shape[-2:]):
+        out["Fre"], out["Fim"] = mxufft.fftp2(img)
+    else:
+        out["F"] = jnp.fft.rfft2(img)
+    return out
 
 
 def prep_template(template, H: int, W: int):
@@ -71,6 +88,9 @@ def prep_template(template, H: int, W: int):
     tpl_pad = jnp.pad(t, ((0, H - h), (0, W - w)))
     # (h, w) ride on the image prep; only array leaves here so the dict
     # vmaps cleanly as a template bank
+    if _use_perm(H, W):
+        ftre, ftim = mxufft.fftp2(tpl_pad)
+        return {"Ftre": ftre, "Ftim": ftim, "energy": jnp.sum(t * t)}
     return {"Ft": jnp.fft.rfft2(tpl_pad), "energy": jnp.sum(t * t)}
 
 
@@ -78,7 +98,15 @@ def ncc_valid_from_preps(img_prep, tpl_prep, *, eps: float = 1e-9):
     """NCC valid map from a prepared image and a prepared template."""
     H, W = img_prep["shape"]
     h, w = img_prep["hw"]
-    corr_full = jnp.fft.irfft2(img_prep["F"] * jnp.conj(tpl_prep["Ft"]), s=(H, W))
+    if "Fre" in img_prep:
+        # conj product in split re/im, inverse consumes permuted order
+        pre = img_prep["Fre"] * tpl_prep["Ftre"] + img_prep["Fim"] * tpl_prep["Ftim"]
+        pim = img_prep["Fim"] * tpl_prep["Ftre"] - img_prep["Fre"] * tpl_prep["Ftim"]
+        corr_full = mxufft.ifftp2_real(pre, pim)
+    else:
+        corr_full = jnp.fft.irfft2(
+            img_prep["F"] * jnp.conj(tpl_prep["Ft"]), s=(H, W)
+        )
     numer = corr_full[: H - h + 1, : W - w + 1]
     denom = jnp.sqrt(img_prep["var_sum"] * tpl_prep["energy"])
     safe = denom > eps

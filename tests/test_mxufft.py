@@ -1,0 +1,132 @@
+# SPDX-License-Identifier: CECILL-2.1
+"""MXU matmul-DFT (ops/mxufft.py) vs the NumPy/XLA FFT ground truth.
+
+The module is platform-gated (auto = off on CPU); these tests force the
+knob on so the matmul path itself runs on the CPU backend and can be
+compared at float64 tolerances. A final test pins the default-off CPU
+behavior so the golden/parity suites keep exercising the rfft2 path.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from barc4dip_tpu.ops import mxufft, ncc
+from barc4dip_tpu.ops.corrcore import autocorr2d_core
+
+
+@pytest.fixture()
+def force_on(monkeypatch):
+    monkeypatch.setenv("BARC4DIP_TPU_MXU_FFT", "1")
+
+
+@pytest.fixture()
+def force_off(monkeypatch):
+    monkeypatch.setenv("BARC4DIP_TPU_MXU_FFT", "0")
+
+
+@pytest.mark.parametrize("n", [64, 256])
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_fft2_matches_numpy(force_on, rng, n, dtype):
+    x = rng.normal(size=(3, n, n)).astype(dtype)
+    got = np.asarray(mxufft.fft2(jnp.asarray(x)))
+    ref = np.fft.fft2(x.astype(np.float64))
+    tol = 2e-5 if dtype == np.float32 else 1e-10
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=tol * scale)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_ifft2_roundtrip(force_on, rng, dtype):
+    x = rng.normal(size=(2, 128, 128)).astype(dtype)
+    y = mxufft.ifft2(mxufft.fft2(jnp.asarray(x)))
+    tol = 2e-6 if dtype == np.float32 else 1e-12
+    np.testing.assert_allclose(np.asarray(y.real), x, atol=tol * np.abs(x).max())
+    assert float(jnp.abs(y.imag).max()) < tol * float(np.abs(x).max())
+
+
+def test_rfft2_irfft2_match_numpy(force_on, rng):
+    x = rng.normal(size=(128, 256))
+    F = mxufft.rfft2(jnp.asarray(x))
+    ref = np.fft.rfft2(x)
+    np.testing.assert_allclose(np.asarray(F), ref, atol=1e-10 * np.abs(ref).max())
+    y = mxufft.irfft2(jnp.asarray(ref), s=(128, 256))
+    np.testing.assert_allclose(np.asarray(y), x, atol=1e-12)
+
+
+def test_unsupported_size_falls_back(force_on, rng):
+    x = rng.normal(size=(100, 100))  # not a supported size
+    np.testing.assert_allclose(
+        np.asarray(mxufft.fft2(jnp.asarray(x))), np.fft.fft2(x), atol=1e-9
+    )
+
+
+def test_permuted_correlation_equals_xla(force_on, rng):
+    """fftp2 -> conj product -> ifftp2_real == rfft2/irfft2 correlation."""
+    a = rng.normal(size=(256, 128))
+    b = rng.normal(size=(256, 128))
+    ja, jb = jnp.asarray(a), jnp.asarray(b)
+    assert mxufft.perm_supported_2d(ja.shape)
+    are, aim = mxufft.fftp2(ja)
+    bre, bim = mxufft.fftp2(jb)
+    pre = are * bre + aim * bim
+    pim = aim * bre - are * bim
+    got = np.asarray(mxufft.ifftp2_real(pre, pim))
+    ref = np.fft.irfft2(np.fft.rfft2(a) * np.conj(np.fft.rfft2(b)), s=a.shape)
+    np.testing.assert_allclose(got, ref, atol=1e-10 * np.abs(ref).max())
+
+
+def test_ifftp2_real_none_imag_matches_zeros(force_on, rng):
+    """The im=None power-spectrum fast path == explicit zero plane."""
+    x = rng.normal(size=(128, 128))
+    fre, fim = mxufft.fftp2(jnp.asarray(x))
+    p = fre * fre + fim * fim
+    a = np.asarray(mxufft.ifftp2_real(p, None))
+    b = np.asarray(mxufft.ifftp2_real(p, jnp.zeros_like(p)))
+    np.testing.assert_allclose(a, b, atol=1e-9 * max(np.abs(b).max(), 1.0))
+
+
+def test_autocorr_core_knob_invariant(rng, monkeypatch):
+    """grain's autocorrelation is identical with the matmul path on/off."""
+    x = rng.normal(size=(256, 256)) + 10.0
+    monkeypatch.setenv("BARC4DIP_TPU_MXU_FFT", "0")
+    off = np.asarray(autocorr2d_core(jnp.asarray(x)))
+    monkeypatch.setenv("BARC4DIP_TPU_MXU_FFT", "1")
+    on = np.asarray(autocorr2d_core(jnp.asarray(x)))
+    np.testing.assert_allclose(on, off, atol=1e-10 * np.abs(off).max())
+
+
+def test_ncc_knob_invariant(rng, monkeypatch):
+    """Tracker NCC maps are identical with the matmul path on/off."""
+    img = rng.normal(size=(256, 256))
+    tpl = np.ascontiguousarray(img[40:71, 50:81])
+    monkeypatch.setenv("BARC4DIP_TPU_MXU_FFT", "0")
+    off = np.asarray(ncc.ncc_valid(jnp.asarray(img), jnp.asarray(tpl)))
+    monkeypatch.setenv("BARC4DIP_TPU_MXU_FFT", "1")
+    on = np.asarray(ncc.ncc_valid(jnp.asarray(img), jnp.asarray(tpl)))
+    np.testing.assert_allclose(on, off, atol=1e-9)
+    # peak still lands on the true location
+    iy, ix = np.unravel_index(np.argmax(on), on.shape)
+    assert (iy, ix) == (40, 50)
+
+
+def test_ncc_vmapped_template_bank(force_on, rng):
+    """The permuted prep dicts vmap as a template bank (stack-tracking shape)."""
+    img = jnp.asarray(rng.normal(size=(256, 256)))
+    tiles = jnp.stack([img[10:41, 10:41], img[100:131, 150:181]])
+    prep = ncc.zncc_prepare_image(img, 31, 31)
+    banks = jax.vmap(lambda t: ncc.prep_template(t, 256, 256))(tiles)
+    maps = jax.vmap(lambda tp: ncc.ncc_valid_from_preps(prep, tp))(banks)
+    peaks = [np.unravel_index(int(jnp.argmax(m)), m.shape) for m in maps]
+    assert peaks == [(10, 10), (100, 150)]
+
+
+def test_default_off_on_cpu(force_off):
+    assert not mxufft.mxu_fft_enabled()
+    # and 'auto' resolves off on the CPU backend too
+    import os
+
+    os.environ.pop("BARC4DIP_TPU_MXU_FFT", None)
+    assert jax.default_backend() == "cpu"
+    assert not mxufft.mxu_fft_enabled()
