@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geometry.masks import square_embed_slices
+from ..ops import mxufft
 from ..ops.corrcore import autocorr2d_core
 from ..ops.fftcore import psd2d_core
 from ..ops.momentscore import distribution_moments_core
@@ -212,22 +213,51 @@ def bandwidth_core(img) -> dict:
     mu = jnp.nanmean(data)
     data = data - mu
 
+    N = int(data.shape[-1])
+    if mxufft.mxu_fft_enabled() and mxufft.perm_supported_2d(data.shape):
+        # Permuted-order MXU path (ops/mxufft.py): every bandwidth statistic
+        # is a reduction over functions of the integer frequency index, and
+        # the index of any permuted position is computable from iota — so
+        # the PSD never needs the Hermitian mirror, the fftshift pass, or a
+        # materialized complex spectrum.
+        fre, fim = mxufft.fftp2(data)
+        P = (fre * fre + fim * fim) * (1.0 / float(N * N))
+        return _bandwidth_from_psd(P, permuted=True)
     P = psd2d_core(data, step_x=1.0, step_y=1.0, scale=True)
     return _bandwidth_from_psd(P)
 
 
-def _bandwidth_from_psd(P) -> dict:
-    """The bandwidth metric body, given the scaled shifted PSD of the
-    mean-removed padded image (shared by the fused grain+bandwidth core)."""
+def _perm_signed_index(N: int, axis: int):
+    """Signed (fftfreq-order) integer frequency index of every position of a
+    PERMUTED-order axis of length N (see ops/mxufft.py: flat position
+    p = k1*128 + k2 holds natural frequency k = k1 + (N/128)*k2)."""
+    pos = jax.lax.broadcasted_iota(jnp.int32, (N, N), axis)
+    k = (pos // 128) + (N // 128) * (pos % 128)
+    return ((k + N // 2) % N) - (N // 2)
+
+
+def _bandwidth_from_psd(P, *, permuted: bool = False) -> dict:
+    """The bandwidth metric body, given the scaled PSD of the mean-removed
+    padded image (shared by the fused grain+bandwidth core) — fftshifted
+    natural order by default, ops/mxufft.py permuted order when
+    ``permuted=True`` (identical statistics; only the index fields and the
+    DC position change)."""
     N = int(P.shape[-1])
     P = jnp.nan_to_num(P, nan=0.0, posinf=0.0, neginf=0.0)
-    P = P.at[N // 2, N // 2].set(0.0)
 
-    # shifted fftfreq: (arange(N) - N//2) / N
     dt = P.dtype
-    fx1 = (jnp.arange(N, dtype=dt) - (N // 2)) / N
-    FX = jnp.broadcast_to(fx1[None, :], (N, N))
-    FY = jnp.broadcast_to(fx1[:, None], (N, N))
+    if permuted:
+        P = P.at[0, 0].set(0.0)  # natural k=(0,0) sits at permuted (0,0)
+        ixi = _perm_signed_index(N, 1)
+        iyi = _perm_signed_index(N, 0)
+    else:
+        P = P.at[N // 2, N // 2].set(0.0)
+        ixi = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1) - (N // 2)
+        iyi = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) - (N // 2)
+
+    # shifted fftfreq values: signed index / N
+    FX = ixi.astype(dt) / N
+    FY = iyi.astype(dt) / N
     FR = jnp.sqrt(FX * FX + FY * FY)
     f_max = float(max(N // 2, N - 1 - N // 2)) / N  # max|shifted freq|
     inside = FR <= f_max
@@ -253,8 +283,6 @@ def _bandwidth_from_psd(P) -> dict:
     # a (N/2)^2-segment scatter costs ~30 ms/frame at 2048^2 on TPU
     # (scatter-hostile hardware), the bisection ~1 ms for the same exact
     # integer-class semantics.
-    ixi = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1) - (N // 2)
-    iyi = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) - (N // 2)
     s_flat = (ixi * ixi + iyi * iyi).reshape(-1)
     smax = (N // 2) ** 2  # FR <= f_max  <=>  s <= (N//2)^2 exactly
     target = jnp.asarray(0.95, dt) * tsafe
@@ -339,10 +367,18 @@ def spectral_entropy_core(
     if remove_mean:
         x = x - jnp.mean(x)
 
-    P = psd2d_core(x, step_x=1.0, step_y=1.0, scale=False)
-    ny, nx = P.shape[-2], P.shape[-1]
-    if remove_dc:
-        P = P.at[ny // 2, nx // 2].set(0.0)
+    if mxufft.mxu_fft_enabled() and mxufft.perm_supported_2d(x.shape) and not jnp.iscomplexobj(x):
+        # entropy is order-agnostic: permuted-order MXU PSD, DC at (0, 0)
+        fre, fim = mxufft.fftp2(x)
+        P = fre * fre + fim * fim
+        ny, nx = P.shape[-2], P.shape[-1]
+        if remove_dc:
+            P = P.at[0, 0].set(0.0)
+    else:
+        P = psd2d_core(x, step_x=1.0, step_y=1.0, scale=False)
+        ny, nx = P.shape[-2], P.shape[-1]
+        if remove_dc:
+            P = P.at[ny // 2, nx // 2].set(0.0)
 
     s = jnp.sum(P)
     ssafe = jnp.where(s > 0, s, 1.0)

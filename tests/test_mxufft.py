@@ -122,6 +122,35 @@ def test_ncc_vmapped_template_bank(force_on, rng):
     assert peaks == [(10, 10), (100, 150)]
 
 
+def test_bandwidth_knob_invariant(rng, monkeypatch):
+    """bandwidth_core's permuted-order PSD == natural-order PSD statistics."""
+    from barc4dip_tpu.metrics.estimators import bandwidth_core
+
+    # speckle-like field so the spectral moments are non-trivial
+    a = rng.normal(size=(256, 256))
+    k = np.exp(-((np.arange(256) - 128) ** 2) / (2 * 20.0**2))
+    field = np.abs(np.fft.ifft2(np.fft.fft2(a) * np.outer(k, k))) ** 2 + 1.0
+    x = jnp.asarray(field)
+    monkeypatch.setenv("BARC4DIP_TPU_MXU_FFT", "0")
+    off = {k: float(v) for k, v in bandwidth_core(x).items()}
+    monkeypatch.setenv("BARC4DIP_TPU_MXU_FFT", "1")
+    on = {k: float(v) for k, v in bandwidth_core(x).items()}
+    assert on.keys() == off.keys()
+    for key in off:
+        np.testing.assert_allclose(on[key], off[key], rtol=1e-9, err_msg=key)
+
+
+def test_spectral_entropy_knob_invariant(rng, monkeypatch):
+    from barc4dip_tpu.metrics.estimators import spectral_entropy_core
+
+    x = jnp.asarray(rng.normal(size=(128, 256)) + 5.0)
+    monkeypatch.setenv("BARC4DIP_TPU_MXU_FFT", "0")
+    off = float(spectral_entropy_core(x)["spectral_entropy"])
+    monkeypatch.setenv("BARC4DIP_TPU_MXU_FFT", "1")
+    on = float(spectral_entropy_core(x)["spectral_entropy"])
+    np.testing.assert_allclose(on, off, rtol=1e-10)
+
+
 def test_default_off_on_cpu(force_off):
     assert not mxufft.mxu_fft_enabled()
     # and 'auto' resolves off on the CPU backend too
