@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import mxufft
 from ..ops import ncc as ncc_ops
 from ..ops import phasecorr as pc_ops
 from ..utils import progress_done, progress_update
@@ -155,14 +156,25 @@ def _make_track_frame_fn(H, W, s, starts, subpixel, method, search=None):
         return frame_fn
 
     # phase correlation
+    use_perm = mxufft.perm_active_2d((H, W))
+
     def frame_fn(img, prev, tpl_arg, eps):
         img_z = pc_ops.zscore2d(img, eps=eps)
-        Fi = jnp.fft.rfft2(img_z)
+        if use_perm:
+            fire, fiim = mxufft.fftp2(img_z)
+        else:
+            Fi = jnp.fft.rfft2(img_z)
 
         def peak_shift(Ft):
-            prod = Fi * jnp.conj(Ft)
-            cps = prod / (jnp.abs(prod) + eps)
-            corr = jnp.fft.irfft2(cps, s=(H, W))
+            if use_perm:
+                pre = fire * Ft["re"] + fiim * Ft["im"]
+                pim = fiim * Ft["re"] - fire * Ft["im"]
+                m = jnp.sqrt(pre * pre + pim * pim) + eps
+                corr = mxufft.ifftp2_real(pre / m, pim / m)
+            else:
+                prod = Fi * jnp.conj(Ft)
+                cps = prod / (jnp.abs(prod) + eps)
+                corr = jnp.fft.irfft2(cps, s=(H, W))
             mag = jnp.abs(jnp.fft.fftshift(corr, axes=(-2, -1)))
             i, j = pc_ops.argmax2d(mag)
             di, dj = taylor(mag, i, j)
@@ -181,7 +193,11 @@ def _make_track_frame_fn(H, W, s, starts, subpixel, method, search=None):
                 for k, (y0, x0) in enumerate(starts)
             ]
         )
-        Ft_inc = jnp.fft.rfft2(emb)
+        if use_perm:
+            ire, iim = mxufft.fftp2(emb)
+            Ft_inc = {"re": ire, "im": iim}
+        else:
+            Ft_inc = jnp.fft.rfft2(emb)
 
         dy_a, dx_a = jax.vmap(peak_shift)(tpl_arg)
         dy_i, dx_i = jax.vmap(peak_shift)(Ft_inc)
@@ -213,8 +229,10 @@ _TRACK_SUB = int(os.environ.get("BARC4DIP_TPU_TRACK_SUB", "4"))
 @lru_cache(maxsize=64)
 def _metrics_chunk_program(
     groups: tuple, mode: str, sat: float | None, eps: float, flip: bool,
-    full_maps: bool, half_maps: bool = False,
+    full_maps: bool, half_maps: bool = False, _mxu: bool = False,
 ):
+    # _mxu discriminates the cache on the BARC4DIP_TPU_MXU_FFT knob state:
+    # the trace reads the knob, so a toggled env must not reuse a stale jit.
     metric_fn = speckle_device_fn(
         frozenset(groups), mode, sat, eps, full_maps, half_maps
     )
@@ -229,8 +247,9 @@ def _metrics_chunk_program(
 @lru_cache(maxsize=64)
 def _track_chunk_program(
     method: str, subpixel: bool, H: int, W: int, s: int, starts_key: tuple,
-    search: int | None = None,
+    search: int | None = None, _mxu: bool = False,
 ):
+    # _mxu: see _metrics_chunk_program — knob state is part of the cache key.
     starts = np.asarray(starts_key, np.int32).reshape(-1, 2)
     track_fn = _make_track_frame_fn(H, W, s, starts, subpixel, method, search)
     windows = (
@@ -301,11 +320,13 @@ def device_compute_probe(
     from ..config import on_tpu
 
     metrics_prog = _metrics_chunk_program(
-        tuple(sorted(groups)), mode, sat, eps, bool(flip), False, on_tpu()
+        tuple(sorted(groups)), mode, sat, eps, bool(flip), False, on_tpu(),
+        mxufft.mxu_fft_enabled(),
     )
     track_prog = _track_chunk_program(
         method, bool(subpixel), H, W, s, starts_key,
         None if search_radius is None else int(search_radius),
+        mxufft.mxu_fft_enabled(),
     )
     frame0_dev = jnp.asarray(np.asarray(stack[0], dtype=compute_dtype))
     eps_t = jnp.asarray(track_eps, dtype=compute_dtype)
@@ -379,6 +400,9 @@ def _build_tpl0(frame0, starts, s, H, W, method, eps, corr_w=None):
             for k, (y0, x0) in enumerate(starts)
         ]
     )
+    if mxufft.perm_active_2d((H, W)):
+        re, im = mxufft.fftp2(emb)
+        return {"re": re, "im": im}
     return jnp.fft.rfft2(emb)
 
 
@@ -432,10 +456,12 @@ def run_fused_speckle_stack(
     metrics_prog = _metrics_chunk_program(
         tuple(sorted(groups)), mode, sat, eps, bool(flip), bool(full_maps),
         on_tpu(),  # halve autocorr-map transfers over the device link
+        mxufft.mxu_fft_enabled(),
     )
     track_prog = _track_chunk_program(
         method, bool(subpixel), H, W, s, starts_key,
         None if search_radius is None else int(search_radius),
+        mxufft.mxu_fft_enabled(),
     )
 
     dy_abs = np.empty((T, 9), np.float32)

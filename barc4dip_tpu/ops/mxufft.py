@@ -55,6 +55,7 @@ __all__ = [
     "fftp2",
     "ifftp2_real",
     "perm_supported_2d",
+    "perm_active_2d",
     "mxu_fft_enabled",
     "supported_size",
 ]
@@ -350,6 +351,11 @@ def perm_supported_2d(shape: tuple[int, ...]) -> bool:
         and _perm_supported(shape[-1])
         and _perm_supported(shape[-2])
     )
+
+
+def perm_active_2d(shape: tuple[int, ...]) -> bool:
+    """perm_supported_2d AND the backend knob resolves on."""
+    return mxu_fft_enabled() and perm_supported_2d(shape)
 
 
 def fftp2(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -151,6 +151,64 @@ def test_spectral_entropy_knob_invariant(rng, monkeypatch):
     np.testing.assert_allclose(on, off, rtol=1e-10)
 
 
+def test_phase_corr_surface_knob_invariant(rng, monkeypatch):
+    from barc4dip_tpu.ops.phasecorr import phase_corr_surface, zscore2d
+
+    img = rng.normal(size=(256, 256))
+    tpl_pad = np.zeros_like(img)
+    tpl_pad[60:91, 80:111] = img[70:101, 90:121]
+    a = zscore2d(jnp.asarray(img))
+    b = zscore2d(jnp.asarray(tpl_pad))
+    monkeypatch.setenv("BARC4DIP_TPU_MXU_FFT", "0")
+    off = np.asarray(phase_corr_surface(a, b))
+    monkeypatch.setenv("BARC4DIP_TPU_MXU_FFT", "1")
+    on = np.asarray(phase_corr_surface(a, b))
+    np.testing.assert_allclose(on, off, atol=1e-9 * off.max())
+
+
+def test_stack_phase_tracking_knob_invariant(monkeypatch):
+    """The stack phase tracker at a perm-supported frame size recovers known
+    shifts with the matmul path on and off (whitening amplifies the ~1e-6
+    f32 FFT differences, so the agreement tolerance is in subpixel units)."""
+    from barc4dip_tpu.metrics.stack_fused import _track_chunk_program
+    from barc4dip_tpu.utils.synthetic import speckle_field
+
+    base = np.asarray(
+        speckle_field((256, 256), grain_px=6.0, seed=3, precision="double"),
+        np.float64,
+    )
+    shifts = [(0, 0), (2, -1), (-3, 4)]
+    stack = np.stack(
+        [np.roll(np.roll(base, dy, 0), dx, 1) for dy, dx in shifts]
+    ).astype(np.float32)
+
+    s = 65
+    starts = [(gy, gx) for gy in (64, 96, 128) for gx in (64, 96, 128)]
+    starts_key = tuple(np.asarray(starts, np.int32).reshape(-1))
+
+    def run(knob):
+        monkeypatch.setenv("BARC4DIP_TPU_MXU_FFT", knob)
+        _track_chunk_program.cache_clear()
+        prog = _track_chunk_program(
+            "phase", True, 256, 256, s, starts_key, None, knob == "1"
+        )
+        out, _ = prog(
+            jnp.asarray(stack), jnp.asarray(stack[0]), jnp.asarray(stack[0]),
+            jnp.asarray(1e-9, jnp.float32),
+        )
+        return (
+            np.asarray(out["dy_a"]).mean(axis=1),
+            np.asarray(out["dx_a"]).mean(axis=1),
+        )
+
+    dy_off, dx_off = run("0")
+    dy_on, dx_on = run("1")
+    np.testing.assert_allclose(dy_on, dy_off, atol=0.1)
+    np.testing.assert_allclose(dx_on, dx_off, atol=0.1)
+    np.testing.assert_allclose(dy_on, [dy for dy, _ in shifts], atol=0.2)
+    np.testing.assert_allclose(dx_on, [dx for _, dx in shifts], atol=0.2)
+
+
 def test_default_off_on_cpu(force_off):
     assert not mxufft.mxu_fft_enabled()
     # and 'auto' resolves off on the CPU backend too
