@@ -25,6 +25,7 @@ import numpy as np
 
 from ..config import MIN_TILE_PX
 from ..geometry.roi import odd_size, roi_grid_3x3
+from ..ops import mxufft
 from ..utils import elapsed_time, now
 from .common import (
     chunk_layout_signature,
@@ -241,7 +242,12 @@ def amplitude(image, verbose: bool = False) -> dict:
 
 
 @lru_cache(maxsize=32)
-def _grain_jit(fraction: float, radial_method: str, with_map: bool):
+def _grain_jit(
+    fraction: float, radial_method: str, with_map: bool, _mxu: bool = False
+):
+    # _mxu keys the cache on the MXU-FFT knob/device state: the same
+    # wrapper runs both on the accelerator and under the host's
+    # jax.default_device(cpu) sizing path, and the traced branch differs.
     return jax.jit(
         lambda img: grain_core(
             img, fraction=fraction, radial_method=radial_method, with_map=with_map
@@ -266,7 +272,9 @@ def grain(
     if radial_method not in ("binned", "interpolated"):
         raise ValueError("radial_method must be 'binned' or 'interpolated'.")
 
-    out = _grain_jit(float(fraction), str(radial_method), True)(_device_float(data))
+    out = _grain_jit(
+        float(fraction), str(radial_method), True, mxufft.mxu_fft_enabled()
+    )(_device_float(data))
     metrics = {
         "lx": float(out["lx"]),
         "ly": float(out["ly"]),
@@ -519,7 +527,9 @@ def tracking_grid_from_frame0(
     T, H, W = (int(s) for s in stack.shape)
     frame0 = np.asarray(stack[0, :, :])
     with jax.default_device(jax.devices("cpu")[0]):
-        g0 = _grain_jit(float(1.0 / np.e), "interpolated", False)(
+        g0 = _grain_jit(
+            float(1.0 / np.e), "interpolated", False, mxufft.mxu_fft_enabled()
+        )(
             jnp.asarray(frame0, dtype=jnp.promote_types(frame0.dtype, jnp.float32))
         )
         grain0 = {k: float(g0[k]) for k in ("lx", "ly", "leq", "r")}

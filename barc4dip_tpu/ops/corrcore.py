@@ -75,9 +75,17 @@ def autocorr2d_core(a, *, remove_mean=True, standardize=False, normalize="peak")
     if mxufft.mxu_fft_enabled() and mxufft.perm_supported_2d(shape):
         # power spectrum is order-agnostic (pointwise); the permuted-order
         # matmul DFT (ops/mxufft.py) keeps the whole round trip on the MXU
-        # with zero transposes and a real-only inverse output plane.
+        # with zero transposes. F*conj(F) through the fused Pallas kernel
+        # (ops/pallas_fftp.py) where the backend supports it — the product
+        # is exactly |F|^2 with a zero imaginary plane.
+        from . import pallas_fftp
+
         fre, fim = mxufft.fftp2(a)
-        corr = mxufft.ifftp2_real(fre * fre + fim * fim, None)
+        if a.ndim == 2:
+            corr = pallas_fftp.corr_from_spectra(fre, fim, fre, fim)
+        else:
+            # explicit leading batch dims: einsum inverse handles any rank
+            corr = mxufft.ifftp2_real(fre * fre + fim * fim, None)
     else:
         F = jnp.fft.rfft2(a)
         P = jnp.real(F) ** 2 + jnp.imag(F) ** 2

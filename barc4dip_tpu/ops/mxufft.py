@@ -46,6 +46,13 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
+
+# On TPU the MXU's default f32 matmul is a SINGLE bf16 pass (~4e-3 rel
+# error measured on-chip on the DFT stages); HIGHEST requests the full
+# f32 multi-pass decomposition so the transforms stay ~1e-6-accurate on
+# hardware, matching the CPU validation.
+_PREC = lax.Precision.HIGHEST
 
 __all__ = [
     "fft2",
@@ -79,8 +86,15 @@ def _knob() -> str:
     return os.environ.get("BARC4DIP_TPU_MXU_FFT", "auto").lower()
 
 
-@lru_cache(maxsize=8)
 def _platform_is_tpu() -> bool:
+    """Platform of the EFFECTIVE default device (not cached: an enclosing
+    ``jax.default_device(cpu)`` — e.g. the host-side frame-0 grain sizing —
+    must flip this off even when the process default backend is the TPU)."""
+    dev = getattr(jax.config, "jax_default_device", None)
+    if dev is not None:
+        plat = getattr(dev, "platform", None)
+        if plat is not None:
+            return plat not in ("cpu",)
     try:
         plat = jax.default_backend()
     except Exception:  # pragma: no cover - no backend at all
@@ -140,11 +154,11 @@ def _fft1d_last(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
     lead = x.shape[:-1]
     v = x.reshape(lead + (n1, n2))  # v[..., n1, n2], n = N2*n1 + n2
     # stage 1: DFT over n1 -> A[..., k1, n2]  (matmul, contraction n1)
-    a = jnp.einsum("ab,...bc->...ac", w1, v)
+    a = jnp.einsum("ab,...bc->...ac", w1, v, precision=_PREC)
     # stage 2: twiddle
     b = a * tw
     # stage 3: DFT over n2 -> C[..., k1, k2] (matmul, contraction n2)
-    c = jnp.einsum("...an,kn->...ak", b, w2)
+    c = jnp.einsum("...an,kn->...ak", b, w2, precision=_PREC)
     # stage 4: k = k1 + N1*k2 -> index (k2, k1) row-major
     return jnp.swapaxes(c, -1, -2).reshape(lead + (n,))
 
@@ -269,36 +283,36 @@ def _fftp_last(re, im, inverse: bool):
     vre = re.reshape(lead + (n1, _N2))
     if not inverse:
         # stage 1: contraction over n1 (small), batched over everything else
-        are = jnp.einsum("ab,...bn->...an", w1re, vre)
-        aim = jnp.einsum("ab,...bn->...an", w1im, vre)
+        are = jnp.einsum("ab,...bn->...an", w1re, vre, precision=_PREC)
+        aim = jnp.einsum("ab,...bn->...an", w1im, vre, precision=_PREC)
         if im is not None:
             vim = im.reshape(lead + (n1, _N2))
-            are = are - jnp.einsum("ab,...bn->...an", w1im, vim)
-            aim = aim + jnp.einsum("ab,...bn->...an", w1re, vim)
+            are = are - jnp.einsum("ab,...bn->...an", w1im, vim, precision=_PREC)
+            aim = aim + jnp.einsum("ab,...bn->...an", w1re, vim, precision=_PREC)
         bre, bim = _cmul(are, aim, twre, twim)
         # stage 2: contraction over n2 = 128 (exact MXU fill)
-        cre = jnp.einsum("...an,kn->...ak", bre, w2re) - jnp.einsum(
+        cre = jnp.einsum("...an,kn->...ak", bre, w2re, precision=_PREC) - jnp.einsum(
             "...an,kn->...ak", bim, w2im
-        )
-        cim = jnp.einsum("...an,kn->...ak", bre, w2im) + jnp.einsum(
+        , precision=_PREC)
+        cim = jnp.einsum("...an,kn->...ak", bre, w2im, precision=_PREC) + jnp.einsum(
             "...an,kn->...ak", bim, w2re
-        )
+        , precision=_PREC)
         return cre.reshape(lead + (n,)), cim.reshape(lead + (n,))
     # inverse, consuming permuted (k1, k2) blocks
     vim = im.reshape(lead + (n1, _N2))
-    dre = jnp.einsum("...ak,nk->...an", vre, w2re) - jnp.einsum(
+    dre = jnp.einsum("...ak,nk->...an", vre, w2re, precision=_PREC) - jnp.einsum(
         "...ak,nk->...an", vim, w2im
-    )
-    dim = jnp.einsum("...ak,nk->...an", vre, w2im) + jnp.einsum(
+    , precision=_PREC)
+    dim = jnp.einsum("...ak,nk->...an", vre, w2im, precision=_PREC) + jnp.einsum(
         "...ak,nk->...an", vim, w2re
-    )
+    , precision=_PREC)
     ere, eim = _cmul(dre, dim, twre, twim)
-    xre = jnp.einsum("ba,...an->...bn", w1re, ere) - jnp.einsum(
+    xre = jnp.einsum("ba,...an->...bn", w1re, ere, precision=_PREC) - jnp.einsum(
         "ba,...an->...bn", w1im, eim
-    )
-    xim = jnp.einsum("ba,...an->...bn", w1re, eim) + jnp.einsum(
+    , precision=_PREC)
+    xim = jnp.einsum("ba,...an->...bn", w1re, eim, precision=_PREC) + jnp.einsum(
         "ba,...an->...bn", w1im, ere
-    )
+    , precision=_PREC)
     return xre.reshape(lead + (n,)), xim.reshape(lead + (n,))
 
 
@@ -314,33 +328,33 @@ def _fftp_rows(re, im, inverse: bool):
     tw_im = twim[:, :, None]
     vre = re.reshape(lead + (n1, _N2, w))
     if not inverse:
-        are = jnp.einsum("ab,...bnw->...anw", w1re, vre)
-        aim = jnp.einsum("ab,...bnw->...anw", w1im, vre)
+        are = jnp.einsum("ab,...bnw->...anw", w1re, vre, precision=_PREC)
+        aim = jnp.einsum("ab,...bnw->...anw", w1im, vre, precision=_PREC)
         if im is not None:
             vim = im.reshape(lead + (n1, _N2, w))
-            are = are - jnp.einsum("ab,...bnw->...anw", w1im, vim)
-            aim = aim + jnp.einsum("ab,...bnw->...anw", w1re, vim)
+            are = are - jnp.einsum("ab,...bnw->...anw", w1im, vim, precision=_PREC)
+            aim = aim + jnp.einsum("ab,...bnw->...anw", w1re, vim, precision=_PREC)
         bre, bim = _cmul(are, aim, tw_re, tw_im)
-        cre = jnp.einsum("...anw,kn->...akw", bre, w2re) - jnp.einsum(
+        cre = jnp.einsum("...anw,kn->...akw", bre, w2re, precision=_PREC) - jnp.einsum(
             "...anw,kn->...akw", bim, w2im
-        )
-        cim = jnp.einsum("...anw,kn->...akw", bre, w2im) + jnp.einsum(
+        , precision=_PREC)
+        cim = jnp.einsum("...anw,kn->...akw", bre, w2im, precision=_PREC) + jnp.einsum(
             "...anw,kn->...akw", bim, w2re
-        )
+        , precision=_PREC)
         return cre.reshape(lead + (h, w)), cim.reshape(lead + (h, w))
-    dre = jnp.einsum("...akw,nk->...anw", vre, w2re)
-    dim = jnp.einsum("...akw,nk->...anw", vre, w2im)
+    dre = jnp.einsum("...akw,nk->...anw", vre, w2re, precision=_PREC)
+    dim = jnp.einsum("...akw,nk->...anw", vre, w2im, precision=_PREC)
     if im is not None:
         vim = im.reshape(lead + (n1, _N2, w))
-        dre = dre - jnp.einsum("...akw,nk->...anw", vim, w2im)
-        dim = dim + jnp.einsum("...akw,nk->...anw", vim, w2re)
+        dre = dre - jnp.einsum("...akw,nk->...anw", vim, w2im, precision=_PREC)
+        dim = dim + jnp.einsum("...akw,nk->...anw", vim, w2re, precision=_PREC)
     ere, eim = _cmul(dre, dim, tw_re, tw_im)
-    xre = jnp.einsum("ba,...anw->...bnw", w1re, ere) - jnp.einsum(
+    xre = jnp.einsum("ba,...anw->...bnw", w1re, ere, precision=_PREC) - jnp.einsum(
         "ba,...anw->...bnw", w1im, eim
-    )
-    xim = jnp.einsum("ba,...anw->...bnw", w1re, eim) + jnp.einsum(
+    , precision=_PREC)
+    xim = jnp.einsum("ba,...anw->...bnw", w1re, eim, precision=_PREC) + jnp.einsum(
         "ba,...anw->...bnw", w1im, ere
-    )
+    , precision=_PREC)
     return xre.reshape(lead + (h, w)), xim.reshape(lead + (h, w))
 
 
@@ -393,16 +407,16 @@ def _fftp_last_real_out(re, im):
     lead = re.shape[:-1]
     vre = re.reshape(lead + (n1, _N2))
     vim = im.reshape(lead + (n1, _N2))
-    dre = jnp.einsum("...ak,nk->...an", vre, w2re) - jnp.einsum(
+    dre = jnp.einsum("...ak,nk->...an", vre, w2re, precision=_PREC) - jnp.einsum(
         "...ak,nk->...an", vim, w2im
-    )
-    dim = jnp.einsum("...ak,nk->...an", vre, w2im) + jnp.einsum(
+    , precision=_PREC)
+    dim = jnp.einsum("...ak,nk->...an", vre, w2im, precision=_PREC) + jnp.einsum(
         "...ak,nk->...an", vim, w2re
-    )
+    , precision=_PREC)
     ere, eim = _cmul(dre, dim, twre, twim)
-    xre = jnp.einsum("ba,...an->...bn", w1re, ere) - jnp.einsum(
+    xre = jnp.einsum("ba,...an->...bn", w1re, ere, precision=_PREC) - jnp.einsum(
         "ba,...an->...bn", w1im, eim
-    )
+    , precision=_PREC)
     return xre.reshape(lead + (n,))
 
 

@@ -99,10 +99,14 @@ def ncc_valid_from_preps(img_prep, tpl_prep, *, eps: float = 1e-9):
     H, W = img_prep["shape"]
     h, w = img_prep["hw"]
     if "Fre" in img_prep:
-        # conj product in split re/im, inverse consumes permuted order
-        pre = img_prep["Fre"] * tpl_prep["Ftre"] + img_prep["Fim"] * tpl_prep["Ftim"]
-        pim = img_prep["Fim"] * tpl_prep["Ftre"] - img_prep["Fre"] * tpl_prep["Ftim"]
-        corr_full = mxufft.ifftp2_real(pre, pim)
+        # conj product + permuted-order inverse; the fused Pallas kernel
+        # when the backend supports it, einsum otherwise (same math)
+        from . import pallas_fftp
+
+        corr_full = pallas_fftp.corr_from_spectra(
+            img_prep["Fre"], img_prep["Fim"],
+            tpl_prep["Ftre"], tpl_prep["Ftim"],
+        )
     else:
         corr_full = jnp.fft.irfft2(
             img_prep["F"] * jnp.conj(tpl_prep["Ft"]), s=(H, W)

@@ -151,6 +151,57 @@ def test_spectral_entropy_knob_invariant(rng, monkeypatch):
     np.testing.assert_allclose(on, off, rtol=1e-10)
 
 
+def test_pallas_corr_kernel_interpret(force_on, rng):
+    """The fused Pallas correlation kernel == the einsum inverse (interpret
+    mode on CPU; the same kernel runs compiled on TPU, gated by the bench)."""
+    from barc4dip_tpu.ops import pallas_fftp
+
+    H = W = 256
+    img = jnp.asarray(rng.normal(size=(H, W)).astype(np.float32))
+    tpl = jnp.asarray(rng.normal(size=(3, H, W)).astype(np.float32))
+    Fre, Fim = mxufft.fftp2(img)
+    Gre, Gim = mxufft.fftp2(tpl)
+    pre = Fre[None] * Gre + Fim[None] * Gim
+    pim = Fim[None] * Gre - Fre[None] * Gim
+    ref = np.asarray(mxufft.ifftp2_real(pre, pim))
+    got = np.asarray(
+        pallas_fftp.corr_from_spectra(Fre, Fim, Gre, Gim, interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, atol=3e-6 * np.abs(ref).max())
+    # single-template squeeze path
+    got1 = np.asarray(
+        pallas_fftp.corr_from_spectra(Fre, Fim, Gre[0], Gim[0], interpret=True)
+    )
+    np.testing.assert_allclose(got1, ref[0], atol=3e-6 * np.abs(ref).max())
+
+
+def test_pallas_corr_kernel_vmap_interpret(force_on, rng):
+    """vmap over frames of the Pallas kernel (the tracker chunk pattern)."""
+    from barc4dip_tpu.ops import pallas_fftp
+
+    H = W = 128
+    frames = jnp.asarray(rng.normal(size=(2, H, W)).astype(np.float32))
+    tpl = jnp.asarray(rng.normal(size=(3, H, W)).astype(np.float32))
+    Gre, Gim = mxufft.fftp2(tpl)
+
+    def per_frame(img):
+        fre, fim = mxufft.fftp2(img)
+        return pallas_fftp.corr_from_spectra(
+            fre, fim, Gre, Gim, interpret=True
+        )
+
+    got = np.asarray(jax.vmap(per_frame)(frames))
+
+    def ref_frame(img):
+        fre, fim = mxufft.fftp2(img)
+        pre = fre[None] * Gre + fim[None] * Gim
+        pim = fim[None] * Gre - fre[None] * Gim
+        return mxufft.ifftp2_real(pre, pim)
+
+    ref = np.asarray(jax.vmap(ref_frame)(frames))
+    np.testing.assert_allclose(got, ref, atol=3e-6 * np.abs(ref).max())
+
+
 def test_phase_corr_surface_knob_invariant(rng, monkeypatch):
     from barc4dip_tpu.ops.phasecorr import phase_corr_surface, zscore2d
 
