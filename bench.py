@@ -70,6 +70,11 @@ import numpy as np
 
 REPO = Path(__file__).resolve().parent
 BASELINE_CACHE = REPO / ".bench_baseline.json"
+# Last measured device-compute probe, keyed by shape+chunk+git rev. The
+# quantity is wire-independent: when a degraded link forces the probe to be
+# skipped, the cached value (explicitly marked "cache") is still the truth
+# about the chip, unlike the link-hostage MP/s headline.
+DEVCOMPUTE_CACHE = REPO / ".bench_device_compute.json"
 T0 = time.perf_counter()
 
 # Shared mutable record of everything measured so far. Stages write into it
@@ -85,6 +90,7 @@ STATE: dict = {
     "warmup_frames": None,
     "runs": [],            # [{"elapsed_s":, "track_err_px":, "stages": {...}}]
     "device_compute": None,
+    "device_compute_source": None,   # "measured" | "cache" | None
     "cpu_sec_per_frame": None,
     "cpu_baseline_source": None,
     "handshake_s": None,
@@ -246,6 +252,7 @@ def emit(degraded: bool, kind: str = "final") -> int:
             "pct_of_upload_roofline": round(pct_roofline, 1)
             if pct_roofline else None,
             "device_compute_mpix_s": dc.get("compute_mpix_s") if dc else None,
+            "device_compute_source": STATE["device_compute_source"],
             "degraded": degraded,
             "checkpoint": kind in ("startup", "checkpoint"),
             "detail": {
@@ -601,9 +608,67 @@ def measure_device_compute(stack: np.ndarray, frame_chunk: int) -> None:
             "note": "frames pre-uploaded; fused metrics+tracking programs "
                     "+ scalar pulls only (the wire-independent chip rate)",
         }
+        STATE["device_compute_source"] = "measured"
+        write_device_compute_cache(stack.shape[1], frame_chunk)
         log(f"device compute: {probe['mpix_s']:.1f} MP/s")
     except Exception as exc:  # pragma: no cover - probe must never gate
         log(f"device-compute probe failed: {exc!r}")
+
+
+def _git_rev() -> str:
+    try:
+        import subprocess
+
+        return subprocess.run(
+            ["git", "-C", str(REPO), "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def _devcompute_key(side: int, frame_chunk: int) -> str:
+    return f"{side}x{side}-chunk{frame_chunk}"
+
+
+def write_device_compute_cache(side: int, frame_chunk: int) -> None:
+    try:
+        cache = {}
+        if DEVCOMPUTE_CACHE.exists():
+            cache = json.loads(DEVCOMPUTE_CACHE.read_text())
+        entry = dict(STATE["device_compute"])
+        entry["git_rev"] = _git_rev()
+        entry["measured_utc"] = time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        cache[_devcompute_key(side, frame_chunk)] = entry
+        DEVCOMPUTE_CACHE.write_text(json.dumps(cache, indent=2))
+    except Exception as exc:  # cache is best-effort
+        log(f"device-compute cache write failed: {exc!r}")
+
+
+def read_device_compute_cache(side: int, frame_chunk: int) -> None:
+    """Fallback when the probe is skipped (degraded link / budget): the
+    chip rate does not change with the wire, so the last measured value —
+    explicitly marked source='cache' with its git rev and date — is more
+    informative than null. Only used if the probe never ran this process;
+    a measurement always supersedes it."""
+    if STATE["device_compute"] is not None:
+        return
+    try:
+        if not DEVCOMPUTE_CACHE.exists():
+            return
+        cache = json.loads(DEVCOMPUTE_CACHE.read_text())
+        entry = cache.get(_devcompute_key(side, frame_chunk))
+        if not entry:
+            return
+        STATE["device_compute"] = entry
+        STATE["device_compute_source"] = (
+            f"cache({entry.get('git_rev', '?')} "
+            f"{entry.get('measured_utc', '?')})")
+        log(f"device compute from cache: {entry.get('compute_mpix_s')} "
+            f"MP/s ({STATE['device_compute_source']})")
+    except Exception as exc:
+        log(f"device-compute cache read failed: {exc!r}")
 
 
 def read_baseline_cache(side: int) -> None:
@@ -673,6 +738,9 @@ def main() -> int:
     frame_chunk = int(os.environ.get("BENCH_CHUNK", 4))
     STATE["side"] = side
     read_baseline_cache(side)
+    # cached chip rate available from the very first (checkpoint) emission;
+    # a live probe later this run overwrites it with source="measured"
+    read_device_compute_cache(side, frame_chunk)
     # Liveness line FIRST: round 3's graded artifact was rc=124 with an
     # empty stdout. If the driver's timeout is shorter than even the
     # watchdog budget, this startup snapshot (value 0, stage 'init') is
