@@ -184,19 +184,29 @@ def _make_track_frame_fn(H, W, s, starts, subpixel, method, search=None):
 
         tiles_prev = _extract_tiles(prev, starts, s)
         tiles_prev_z = jax.vmap(lambda t: pc_ops.zscore2d(t, eps=eps))(tiles_prev)
-        emb = jnp.stack(
-            [
-                jnp.pad(
+        if use_perm:
+            # small-block DFT at each tile's static offset (no padded frame)
+            pairs = [
+                mxufft.fftp2_small(
                     tiles_prev_z[k].astype(jnp.float32).astype(img.dtype),
-                    ((y0, H - y0 - s), (x0, W - x0 - s)),
+                    (H, W), offset=(int(y0), int(x0)),
                 )
                 for k, (y0, x0) in enumerate(starts)
             ]
-        )
-        if use_perm:
-            ire, iim = mxufft.fftp2(emb)
-            Ft_inc = {"re": ire, "im": iim}
+            Ft_inc = {
+                "re": jnp.stack([p[0] for p in pairs]),
+                "im": jnp.stack([p[1] for p in pairs]),
+            }
         else:
+            emb = jnp.stack(
+                [
+                    jnp.pad(
+                        tiles_prev_z[k].astype(jnp.float32).astype(img.dtype),
+                        ((y0, H - y0 - s), (x0, W - x0 - s)),
+                    )
+                    for k, (y0, x0) in enumerate(starts)
+                ]
+            )
             Ft_inc = jnp.fft.rfft2(emb)
 
         dy_a, dx_a = jax.vmap(peak_shift)(tpl_arg)
@@ -391,6 +401,21 @@ def _build_tpl0(frame0, starts, s, H, W, method, eps, corr_w=None):
         fft_w = W if corr_w is None else corr_w
         return jax.vmap(lambda t: ncc_ops.prep_template(t, fft_h, fft_w))(tiles)
     tiles_z = jax.vmap(lambda t: pc_ops.zscore2d(t, eps=eps))(tiles)
+    if mxufft.perm_active_2d((H, W)):
+        # thin-matmul DFT of each tile at its static in-frame offset: the
+        # padded frame is never materialised or transformed (ops/mxufft.py
+        # fftp2_small — 3x cheaper than pad+fftp2 for the 9-tile bank)
+        pairs = [
+            mxufft.fftp2_small(
+                tiles_z[k].astype(jnp.float32).astype(frame0.dtype),
+                (H, W), offset=(int(y0), int(x0)),
+            )
+            for k, (y0, x0) in enumerate(starts)
+        ]
+        return {
+            "re": jnp.stack([p[0] for p in pairs]),
+            "im": jnp.stack([p[1] for p in pairs]),
+        }
     emb = jnp.stack(
         [
             jnp.pad(
@@ -400,9 +425,6 @@ def _build_tpl0(frame0, starts, s, H, W, method, eps, corr_w=None):
             for k, (y0, x0) in enumerate(starts)
         ]
     )
-    if mxufft.perm_active_2d((H, W)):
-        re, im = mxufft.fftp2(emb)
-        return {"re": re, "im": im}
     return jnp.fft.rfft2(emb)
 
 

@@ -268,3 +268,53 @@ def test_default_off_on_cpu(force_off):
     os.environ.pop("BARC4DIP_TPU_MXU_FFT", None)
     assert jax.default_backend() == "cpu"
     assert not mxufft.mxu_fft_enabled()
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+@pytest.mark.parametrize("offset", [(0, 0), (37, 101)])
+def test_fftp2_small_matches_padded_fftp2(force_on, rng, dtype, offset):
+    """fftp2_small == fftp2 of the block zero-padded at the offset, for the
+    tracker geometry (small odd block inside a supported frame)."""
+    H = W = 256
+    s = 29
+    t = rng.normal(size=(s, s)).astype(dtype)
+    y0, x0 = offset
+    pad = np.zeros((H, W), dtype)
+    pad[y0:y0 + s, x0:x0 + s] = t
+    ref_re, ref_im = mxufft.fftp2(jnp.asarray(pad))
+    got_re, got_im = mxufft.fftp2_small(jnp.asarray(t), (H, W), offset=offset)
+    tol = 1e-10 if dtype == np.float64 else 2e-4
+    scale = float(np.abs(np.asarray(ref_re)).max())
+    np.testing.assert_allclose(np.asarray(got_re), np.asarray(ref_re),
+                               atol=tol * scale)
+    np.testing.assert_allclose(np.asarray(got_im), np.asarray(ref_im),
+                               atol=tol * scale)
+
+
+def test_fftp2_small_batched_and_rect(force_on, rng):
+    """Leading batch axes and a non-square block/frame."""
+    H, W = 128, 256
+    sh, sw = 13, 21
+    t = rng.normal(size=(4, sh, sw)).astype(np.float64)
+    got_re, got_im = mxufft.fftp2_small(jnp.asarray(t), (H, W))
+    for k in range(4):
+        pad = np.zeros((H, W))
+        pad[:sh, :sw] = t[k]
+        ref_re, ref_im = mxufft.fftp2(jnp.asarray(pad))
+        np.testing.assert_allclose(np.asarray(got_re[k]), np.asarray(ref_re),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(got_im[k]), np.asarray(ref_im),
+                                   atol=1e-9)
+
+
+def test_prep_template_small_path_equals_rfft_path(rng, monkeypatch):
+    """NCC with the thin-matmul template prep must match the rfft2 golden
+    path through the full public surface (knob-invariance of ncc_valid)."""
+    img = rng.normal(size=(160, 128)).astype(np.float64)
+    tpl = img[40:69, 30:59].copy()
+    monkeypatch.setenv("BARC4DIP_TPU_MXU_FFT", "0")
+    ref = np.asarray(ncc.ncc_valid(jnp.asarray(img), jnp.asarray(tpl)))
+    monkeypatch.setenv("BARC4DIP_TPU_MXU_FFT", "1")
+    got = np.asarray(ncc.ncc_valid(jnp.asarray(img), jnp.asarray(tpl)))
+    np.testing.assert_allclose(got, ref, atol=1e-9)
+    assert np.unravel_index(np.argmax(got), got.shape) == (40, 30)
