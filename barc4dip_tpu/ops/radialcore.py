@@ -144,12 +144,24 @@ def radial_mean_interpolated_core(
     nr: int | None = None,
     ntheta: int | None = None,
     fill_value: float = 0.0,
+    centrosymmetric: bool = False,
 ):
     """Polar-resampled radial mean (bilinear, high-definition).
 
     Returns (radial[nr], r[nr]). Matches SciPy RegularGridInterpolator
     bilinear semantics (out-of-bounds points take ``fill_value`` entirely,
     reference maths/radial.py:163-166).
+
+    ``centrosymmetric=True`` (internal fast path for autocorrelation / PSD
+    maps, which satisfy map[c+k] == map[c-k] about the shifted centre
+    c = n//2): sample theta over [0, pi) only — for an (exactly)
+    centro-symmetric map the theta_k and theta_k + pi bilinear samples
+    mirror onto the same grid nodes with the same weights, so the half-ring
+    mean IS the full-ring mean; half the gather traffic, which dominates
+    this kernel on TPU. Requires even ``ntheta`` (the default is even);
+    falls back to the full circle otherwise. Public callers keep the
+    default (exact equality with the composed reference semantics on
+    arbitrary inputs).
     """
     shape = tuple(int(s) for s in signal_2d.shape[-2:])
     ny, nx = shape
@@ -161,8 +173,12 @@ def radial_mean_interpolated_core(
     )
 
     dt = signal_2d.dtype
+    step = 2.0 * jnp.pi / nt_
+    half = bool(centrosymmetric and nt_ % 2 == 0)
+    if half:
+        nt_ = nt_ // 2
     r = jnp.linspace(0.0, rm, nr_, dtype=dt)
-    theta = (jnp.arange(nt_, dtype=dt)) * (2.0 * jnp.pi / nt_)
+    theta = (jnp.arange(nt_, dtype=dt)) * jnp.asarray(step, dt)
 
     Xs = r[:, None] * jnp.cos(theta)[None, :]
     Ys = r[:, None] * jnp.sin(theta)[None, :]
@@ -171,7 +187,27 @@ def radial_mean_interpolated_core(
     xi = (Xs + (nx // 2)).reshape(-1)
     yi = (Ys + (ny // 2)).reshape(-1)
 
-    oob = (xi < 0) | (xi > nx - 1) | (yi < 0) | (yi > ny - 1)
+    def _inb(x, y):
+        return (x >= 0) & (x <= nx - 1) & (y >= 0) & (y <= ny - 1)
+
+    if half:
+        # Each dropped theta_k + pi sample mirrors the kept one through the
+        # centre (value-equal on a symmetric map), EXCEPT for bounds: the
+        # grid is asymmetric about n//2 for even n, so one member of a pair
+        # can be out-of-bounds while its mirror is not (the outermost
+        # ring). Reproduce the full-circle mean exactly: evaluate at
+        # whichever member is in-bounds and weight by the in-bounds count.
+        xm = 2.0 * (nx // 2) - xi
+        ym = 2.0 * (ny // 2) - yi
+        in_p = _inb(xi, yi)
+        in_m = _inb(xm, ym)
+        xi = jnp.where(in_p, xi, xm)
+        yi = jnp.where(in_p, yi, ym)
+        w = 0.5 * (in_p.astype(dt) + in_m.astype(dt))
+        oob = ~(in_p | in_m)
+    else:
+        w = None
+        oob = ~_inb(xi, yi)
 
     x0 = jnp.clip(jnp.floor(xi), 0, nx - 2).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor(yi), 0, ny - 2).astype(jnp.int32)
@@ -189,6 +225,9 @@ def radial_mean_interpolated_core(
         (1 - fy) * ((1 - fx) * v00 + fx * v01)
         + fy * ((1 - fx) * v10 + fx * v11)
     )
-    vals = jnp.where(oob, jnp.asarray(fill_value, dtype=dt), vals)
+    fill = jnp.asarray(fill_value, dtype=dt)
+    vals = jnp.where(oob, fill, vals)
+    if w is not None:
+        vals = w * vals + (1.0 - w) * fill
     radial = vals.reshape(nr_, nt_).mean(axis=1)
     return radial, jnp.asarray(r_np, dtype=radial.dtype)

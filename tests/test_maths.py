@@ -215,3 +215,46 @@ def test_binned_counts_match_device_ids(dtype, bin_size):
     radial = np.asarray(radial)
     populated = np.isfinite(radial)
     np.testing.assert_allclose(radial[populated], 1.0, rtol=1e-6)
+
+
+@pytest.mark.parametrize("n", [64, 65, 128])
+def test_radial_interpolated_centrosymmetric_exact(rng, n):
+    """The half-ring fast path must equal the full-circle mean EXACTLY
+    (f64 roundoff) on a centro-symmetric map, for even and odd sizes —
+    including the outermost ring where one member of a theta pair is
+    out-of-bounds on even grids."""
+    import jax.numpy as jnp
+
+    from barc4dip_tpu.ops.corrcore import autocorr2d_core
+    from barc4dip_tpu.ops.radialcore import radial_mean_interpolated_core
+
+    img = rng.normal(size=(n, n))
+    ac = autocorr2d_core(
+        jnp.asarray(img), remove_mean=True, standardize=False,
+        normalize="peak",
+    )
+    full, r1 = radial_mean_interpolated_core(ac)
+    half, r2 = radial_mean_interpolated_core(ac, centrosymmetric=True)
+    np.testing.assert_allclose(np.asarray(half), np.asarray(full),
+                               atol=1e-13, rtol=0)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_radial_interpolated_centrosymmetric_fill_value(rng):
+    """Non-zero fill_value must weight exactly like the full circle."""
+    import jax.numpy as jnp
+
+    from barc4dip_tpu.ops.corrcore import autocorr2d_core
+    from barc4dip_tpu.ops.radialcore import radial_mean_interpolated_core
+
+    img = rng.normal(size=(64, 64))
+    ac = autocorr2d_core(
+        jnp.asarray(img), remove_mean=True, standardize=False,
+        normalize="peak",
+    )
+    full, _ = radial_mean_interpolated_core(ac, fill_value=7.5)
+    half, _ = radial_mean_interpolated_core(
+        ac, fill_value=7.5, centrosymmetric=True
+    )
+    np.testing.assert_allclose(np.asarray(half), np.asarray(full),
+                               atol=1e-13, rtol=0)
