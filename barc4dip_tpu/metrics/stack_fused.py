@@ -64,15 +64,24 @@ def _make_track_frame_fn(H, W, s, starts, subpixel, method, search=None):
     centers_y = (starts[:, 0] + (s - 1) / 2.0).astype(np.float64)
     centers_x = (starts[:, 1] + (s - 1) / 2.0).astype(np.float64)
 
-    def taylor(corr, i, j):
+    def taylor(corr, i, j, bounds=None):
         if subpixel:
-            return pc_ops.subpixel_taylor(corr, i, j, convention="newton")
+            return pc_ops.subpixel_taylor(
+                corr, i, j, convention="newton", bounds=bounds
+            )
         zero = jnp.zeros((), corr.dtype)
         return zero, zero
 
     def peak_of(corr):
         i, j = pc_ops.argmax2d(corr)
         di, dj = taylor(corr, i, j)
+        return i.astype(corr.dtype) + di, j.astype(corr.dtype) + dj
+
+    def peak_of_masked(corr, bounds):
+        # full-size ALIGNED map with the wrap region masked to -inf: same
+        # peak as the sliced valid map without breaking the TPU tiling
+        i, j = pc_ops.argmax2d(corr)
+        di, dj = taylor(corr, i, j, bounds)
         return i.astype(corr.dtype) + di, j.astype(corr.dtype) + dj
 
     windows = (
@@ -136,10 +145,13 @@ def _make_track_frame_fn(H, W, s, starts, subpixel, method, search=None):
             prep = ncc_ops.zncc_prepare_image(img, s, s, eps=eps)
 
             def run_prep(tp):
-                return peak_of(ncc_ops.ncc_valid_from_preps(prep, tp, eps=eps))
+                c, vb = ncc_ops.ncc_full_masked_from_preps(prep, tp, eps=eps)
+                return peak_of_masked(c, vb)
 
             def run_tpl(tpl):
-                return peak_of(ncc_ops.ncc_valid_from_prepared(prep, tpl, eps=eps))
+                tp = ncc_ops.prep_template(tpl, H, W)
+                c, vb = ncc_ops.ncc_full_masked_from_preps(prep, tp, eps=eps)
+                return peak_of_masked(c, vb)
 
             tpl_inc = _extract_tiles(prev, starts, s)
             py_a, px_a = jax.vmap(run_prep)(tpl_arg)

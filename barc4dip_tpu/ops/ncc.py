@@ -25,7 +25,13 @@ import jax.numpy as jnp
 
 from . import mxufft
 
-__all__ = ["ncc_valid", "window_sums", "zncc_prepare_image", "ncc_valid_from_prepared"]
+__all__ = [
+    "ncc_valid",
+    "window_sums",
+    "zncc_prepare_image",
+    "ncc_valid_from_prepared",
+    "ncc_full_masked_from_preps",
+]
 
 
 def _use_perm(h: int, w: int) -> bool:
@@ -117,6 +123,47 @@ def ncc_valid_from_preps(img_prep, tpl_prep, *, eps: float = 1e-9):
     denom = jnp.sqrt(img_prep["var_sum"] * tpl_prep["energy"])
     safe = denom > eps
     return jnp.where(safe, numer / jnp.where(safe, denom, 1.0), 0.0)
+
+
+def ncc_full_masked_from_preps(img_prep, tpl_prep, *, eps: float = 1e-9):
+    """Full-frame ALIGNED NCC map for peak finding: the (H, W) correlation
+    with the circular-wrap region (beyond the valid (H-h+1, W-w+1) window)
+    set to -inf instead of sliced away.
+
+    Peak semantics are identical to argmax over
+    :func:`ncc_valid_from_preps` — valid cells carry the same NCC values
+    (degenerate denominators still read 0.0, matching the sliced map) and
+    masked cells can never win the argmax — but the unaligned slice is
+    gone: on TPU the (H-h+1, W-w+1) slice breaks the (8, 128) tiling of
+    every downstream pass, measured ~25% of the whole peak pipeline at
+    2048². Returns (corr_masked, (Vh, Vw)); pass the valid extent to
+    ``subpixel_taylor(..., bounds=(Vh, Vw))`` so border peaks zero out
+    exactly like the sliced path."""
+    from jax import lax
+
+    H, W = img_prep["shape"]
+    h, w = img_prep["hw"]
+    Vh, Vw = H - h + 1, W - w + 1
+    if "Fre" in img_prep:
+        from . import pallas_fftp
+
+        corr_full = pallas_fftp.corr_from_spectra(
+            img_prep["Fre"], img_prep["Fim"],
+            tpl_prep["Ftre"], tpl_prep["Ftim"],
+        )
+    else:
+        corr_full = jnp.fft.irfft2(
+            img_prep["F"] * jnp.conj(tpl_prep["Ft"]), s=(H, W)
+        )
+    var_full = jnp.pad(img_prep["var_sum"], ((0, h - 1), (0, w - 1)))
+    denom = jnp.sqrt(var_full * tpl_prep["energy"])
+    iy = lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    ix = lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    valid = (iy < Vh) & (ix < Vw)
+    safe = denom > eps
+    ncc = jnp.where(safe, corr_full / jnp.where(safe, denom, 1.0), 0.0)
+    neg_inf = jnp.asarray(-jnp.inf, ncc.dtype)
+    return jnp.where(valid, ncc, neg_inf), (Vh, Vw)
 
 
 def ncc_valid_from_prepared(prep, template, *, eps: float = 1e-9):

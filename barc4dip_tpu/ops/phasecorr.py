@@ -80,14 +80,19 @@ def peak_quality(corr, i, j, *, eps: float = 1e-9):
     return peak, jnp.abs(peak) / (bg + eps)
 
 
-def subpixel_taylor(corr, i, j, *, convention: str = "newton"):
+def subpixel_taylor(corr, i, j, *, convention: str = "newton", bounds=None):
     """Subpixel (di, dj) from a 3x3 quadratic fit around the integer peak.
 
     Border peaks and degenerate Hessians return (0, 0) like the reference.
     ``convention="newton"`` is the proper 2D Newton step; ``"reference"``
-    reproduces the reference's swapped-component solve.
+    reproduces the reference's swapped-component solve. ``bounds=(by, bx)``
+    overrides the border extent for maps whose trailing region is masked
+    rather than sliced (ops/ncc.py ncc_full_masked_from_preps): a peak on
+    the VALID-region border must zero out exactly like the sliced map's.
     """
     ny, nx = corr.shape[-2], corr.shape[-1]
+    if bounds is not None:
+        ny, nx = bounds
 
     ic = jnp.clip(i, 1, ny - 2)
     jc = jnp.clip(j, 1, nx - 2)

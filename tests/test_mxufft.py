@@ -318,3 +318,52 @@ def test_prep_template_small_path_equals_rfft_path(rng, monkeypatch):
     got = np.asarray(ncc.ncc_valid(jnp.asarray(img), jnp.asarray(tpl)))
     np.testing.assert_allclose(got, ref, atol=1e-9)
     assert np.unravel_index(np.argmax(got), got.shape) == (40, 30)
+
+
+def test_ncc_full_masked_matches_sliced_peaks(rng, monkeypatch):
+    """ncc_full_masked_from_preps must give the same argmax peak and
+    subpixel values as the sliced valid map — both knob states."""
+    from barc4dip_tpu.ops import phasecorr as pc
+
+    for knob in ("0", "1"):
+        monkeypatch.setenv("BARC4DIP_TPU_MXU_FFT", knob)
+        img = jnp.asarray(rng.normal(size=(128, 128)))
+        tpl = img[40:61, 30:51] + 0.0
+        prep = ncc.zncc_prepare_image(img, 21, 21)
+        tp = ncc.prep_template(tpl, 128, 128)
+        sliced = ncc.ncc_valid_from_preps(prep, tp)
+        masked, (vh, vw) = ncc.ncc_full_masked_from_preps(prep, tp)
+        assert (vh, vw) == (108, 108)
+        # valid region values match exactly; wrap region is -inf
+        np.testing.assert_array_equal(
+            np.asarray(masked)[:vh, :vw], np.asarray(sliced)
+        )
+        assert np.all(np.isneginf(np.asarray(masked)[vh:, :]))
+        assert np.all(np.isneginf(np.asarray(masked)[:, vw:]))
+        i1, j1 = (np.asarray(v) for v in pc.argmax2d(sliced))
+        i2, j2 = (np.asarray(v) for v in pc.argmax2d(masked))
+        assert (i1, j1) == (i2, j2) == (40, 30)
+        d1 = pc.subpixel_taylor(sliced, *pc.argmax2d(sliced))
+        d2 = pc.subpixel_taylor(masked, *pc.argmax2d(masked),
+                                bounds=(vh, vw))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2))
+
+
+def test_subpixel_taylor_bounds_border_zeroes(rng):
+    """A peak ON the valid-region border must return (0, 0) through the
+    bounds override exactly like the sliced map does natively — even
+    though the masked map has -inf neighbours there."""
+    from barc4dip_tpu.ops import phasecorr as pc
+
+    m = np.full((64, 64), -np.inf)
+    m[:50, :50] = rng.normal(size=(50, 50))
+    m[49, 20] = 100.0  # peak on the valid border row
+    mj = jnp.asarray(m)
+    i, j = pc.argmax2d(mj)
+    di, dj = pc.subpixel_taylor(mj, i, j, bounds=(50, 50))
+    assert float(di) == 0.0 and float(dj) == 0.0
+    # sliced equivalent: same zero
+    sj = jnp.asarray(m[:50, :50])
+    i2, j2 = pc.argmax2d(sj)
+    d2 = pc.subpixel_taylor(sj, i2, j2)
+    assert float(d2[0]) == 0.0 and float(d2[1]) == 0.0
