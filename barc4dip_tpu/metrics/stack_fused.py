@@ -144,18 +144,20 @@ def _make_track_frame_fn(H, W, s, starts, subpixel, method, search=None):
         def frame_fn(img, prev, tpl_arg, eps):
             prep = ncc_ops.zncc_prepare_image(img, s, s, eps=eps)
 
-            def run_prep(tp):
-                c, vb = ncc_ops.ncc_full_masked_from_preps(prep, tp, eps=eps)
-                return peak_of_masked(c, vb)
-
-            def run_tpl(tpl):
-                tp = ncc_ops.prep_template(tpl, H, W)
-                c, vb = ncc_ops.ncc_full_masked_from_preps(prep, tp, eps=eps)
-                return peak_of_masked(c, vb)
-
             tpl_inc = _extract_tiles(prev, starts, s)
-            py_a, px_a = jax.vmap(run_prep)(tpl_arg)
-            py_i, px_i = jax.vmap(run_tpl)(tpl_inc)
+            inc_bank = jax.vmap(
+                lambda t: ncc_ops.prep_template(t, H, W)
+            )(tpl_inc)
+            # whole banks through the fused kernel (explicit batch so the
+            # Pallas grid sees the real bank size), peaks vmapped after
+            maps_a, vb = ncc_ops.ncc_bank_masked_from_preps(
+                prep, tpl_arg, eps=eps
+            )
+            maps_i, _ = ncc_ops.ncc_bank_masked_from_preps(
+                prep, inc_bank, eps=eps
+            )
+            py_a, px_a = jax.vmap(lambda c: peak_of_masked(c, vb))(maps_a)
+            py_i, px_i = jax.vmap(lambda c: peak_of_masked(c, vb))(maps_i)
 
             half = (s - 1) / 2.0
             cy = jnp.asarray(centers_y, dtype=img.dtype)

@@ -31,6 +31,7 @@ __all__ = [
     "zncc_prepare_image",
     "ncc_valid_from_prepared",
     "ncc_full_masked_from_preps",
+    "ncc_bank_masked_from_preps",
 ]
 
 
@@ -164,6 +165,40 @@ def ncc_full_masked_from_preps(img_prep, tpl_prep, *, eps: float = 1e-9):
     ncc = jnp.where(safe, corr_full / jnp.where(safe, denom, 1.0), 0.0)
     neg_inf = jnp.asarray(-jnp.inf, ncc.dtype)
     return jnp.where(valid, ncc, neg_inf), (Vh, Vw)
+
+
+def ncc_bank_masked_from_preps(img_prep, tpl_bank, *, eps: float = 1e-9):
+    """Masked full-frame NCC maps for a whole template bank at once.
+
+    ``tpl_bank`` is a vmapped :func:`prep_template` dict (leading bank
+    axis). On the permuted-order path this routes through the fused Pallas
+    kernel (``ops/pallas_fftp.py::ncc_masked_from_spectra``): inverse
+    correlation + denominator + wrap mask finalised in VMEM, one HBM write
+    per map. Otherwise it is exactly a vmap of
+    :func:`ncc_full_masked_from_preps`. Returns (bank_maps, (Vh, Vw))."""
+    H, W = img_prep["shape"]
+    h, w = img_prep["hw"]
+    Vh, Vw = H - h + 1, W - w + 1
+    if "Fre" in img_prep:
+        from . import pallas_fftp
+
+        var_full = jnp.pad(img_prep["var_sum"], ((0, h - 1), (0, w - 1)))
+        maps = pallas_fftp.ncc_masked_from_spectra(
+            img_prep["Fre"], img_prep["Fim"],
+            tpl_bank["Ftre"], tpl_bank["Ftim"],
+            var_full, tpl_bank["energy"],
+            valid_hw=(Vh, Vw), eps=eps,
+        )
+        return maps, (Vh, Vw)
+    import jax
+
+    def one(ftre_or_ft, energy):
+        tp = {"Ft": ftre_or_ft, "energy": energy}
+        m, _vb = ncc_full_masked_from_preps(img_prep, tp, eps=eps)
+        return m
+
+    maps = jax.vmap(one)(tpl_bank["Ft"], tpl_bank["energy"])
+    return maps, (Vh, Vw)
 
 
 def ncc_valid_from_prepared(prep, template, *, eps: float = 1e-9):

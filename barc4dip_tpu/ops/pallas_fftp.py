@@ -49,7 +49,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import mxufft
 
-__all__ = ["corr_from_spectra", "pallas_fftp_enabled", "supported"]
+__all__ = [
+    "corr_from_spectra",
+    "ncc_masked_from_spectra",
+    "pallas_fftp_enabled",
+    "supported",
+]
 
 _N2 = 128  # fixed small-DFT size (matches mxufft and the MXU/lane width)
 
@@ -202,6 +207,66 @@ def _stage2_kernel(
         out_ref[...] = out_ref[...] * scale
 
 
+def _stage2_ncc_kernel(
+    mre_ref, mim_ref, var_ref, en_ref, eps_ref,
+    w1re_ref, w1im_ref, twre_ref, twim_ref, w2re_ref, w2im_ref,
+    out_ref, *, n1: int, scale: float, vh: int, vw: int,
+):
+    """Stage-2 inverse with the NCC epilogue fused into the final slab:
+    divide by sqrt(var * energy), zero degenerate denominators, mask the
+    circular-wrap region (rows >= vh or cols >= vw) to -inf. The 16 MB
+    correlation plane never round-trips HBM between the inverse and the
+    peak search — the strip is finalised in VMEM and written once as the
+    masked NCC map (ops/ncc.py ncc_full_masked_from_preps semantics)."""
+    a = pl.program_id(2)
+    i = pl.program_id(1)
+    b = pl.program_id(0)
+
+    @pl.when(a == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    mre = mre_ref[0]
+    mim = mim_ref[0]
+    w2re = w2re_ref[...]
+    w2im = w2im_ref[...]
+    dre = (
+        jnp.dot(mre, w2re.T, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
+        - jnp.dot(mim, w2im.T, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
+    )
+    dim = (
+        jnp.dot(mre, w2im.T, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
+        + jnp.dot(mim, w2re.T, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
+    )
+    twre = twre_ref[0]
+    twim = twim_ref[0]
+    ere = dre * twre - dim * twim
+    eim = dre * twim + dim * twre
+    for bb in range(n1):
+        wre = w1re_ref[a, bb]
+        wim = w1im_ref[a, bb]
+        sl = slice(bb * _N2, (bb + 1) * _N2)
+        out_ref[0, :, sl] += wre * ere - wim * eim
+
+    @pl.when(a == pl.num_programs(2) - 1)
+    def _():
+        corr = out_ref[...] * scale                      # (1, 128, W)
+        h, w = corr.shape[-2], corr.shape[-1]
+        var = var_ref[...]                               # (128, W)
+        # whole small arrays in SMEM, rows indexed dynamically — (1, 1)
+        # blocks of a (B, 1) array violate Mosaic's divisible-or-equal rule
+        en = en_ref[b, 0]
+        eps = eps_ref[0, 0]                              # runtime (traced)
+        denom = jnp.sqrt(var * en)
+        safe = denom > eps
+        ncc = jnp.where(safe, corr[0] / jnp.where(safe, denom, 1.0), 0.0)
+        ri = lax.broadcasted_iota(jnp.int32, (h, w), 0) + i * _N2
+        ci = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        valid = (ri < vh) & (ci < vw)
+        neg = jnp.float32(-jnp.inf)
+        out_ref[...] = jnp.where(valid, ncc, neg)[None]
+
+
 @lru_cache(maxsize=16)
 def _build(B: int, H: int, W: int, interpret: bool):
     """(Fre, Fim, Gre, Gim) -> corr runner for one geometry."""
@@ -283,6 +348,142 @@ def _build(B: int, H: int, W: int, interpret: bool):
         )
 
     return run
+
+
+@lru_cache(maxsize=16)
+def _build_ncc(
+    B: int, H: int, W: int, vh: int, vw: int, interpret: bool
+):
+    """(Fre, Fim, Gre, Gim, var_full, energy, eps) -> masked NCC bank
+    runner (eps is a runtime SMEM scalar: callers pass it traced)."""
+    n1h, n1w = H // _N2, W // _N2
+    ch = _inv_consts(H)
+    cw = _inv_consts(W)
+
+    # stage 1 is the generic rows inverse — share the same kernel/specs
+    strip = pl.BlockSpec(
+        (_N2, _N2), lambda j, b, a: (a, j), memory_space=pltpu.VMEM
+    )
+    gspec = pl.BlockSpec(
+        (1, _N2, _N2), lambda j, b, a: (b, a, j), memory_space=pltpu.VMEM
+    )
+    w1col = pl.BlockSpec(
+        (n1h, n1h), lambda j, b, a: (0, 0), memory_space=pltpu.SMEM
+    )
+    twcol = pl.BlockSpec(
+        (1, _N2, 1), lambda j, b, a: (a, 0, 0), memory_space=pltpu.VMEM
+    )
+    whole = pl.BlockSpec(
+        (_N2, _N2), lambda j, b, a: (0, 0), memory_space=pltpu.VMEM
+    )
+    ostrip = pl.BlockSpec(
+        (1, H, _N2), lambda j, b, a: (b, 0, j), memory_space=pltpu.VMEM
+    )
+    stage1 = pl.pallas_call(
+        functools.partial(_stage1_kernel, n1=n1h),
+        grid=(W // _N2, B, n1h),
+        in_specs=[strip, strip, gspec, gspec, w1col, w1col, twcol, twcol,
+                  whole, whole],
+        out_specs=(ostrip, ostrip),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, W), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, W), jnp.float32),
+        ),
+        interpret=interpret,
+    )
+
+    mspec = pl.BlockSpec(
+        (1, _N2, _N2), lambda b, i, a: (b, i, a), memory_space=pltpu.VMEM
+    )
+    varspec = pl.BlockSpec(
+        (_N2, W), lambda b, i, a: (i, 0), memory_space=pltpu.VMEM
+    )
+    enspec = pl.BlockSpec(
+        (B, 1), lambda b, i, a: (0, 0), memory_space=pltpu.SMEM
+    )
+    epspec = pl.BlockSpec(
+        (1, 1), lambda b, i, a: (0, 0), memory_space=pltpu.SMEM
+    )
+    w1col2 = pl.BlockSpec(
+        (n1w, n1w), lambda b, i, a: (0, 0), memory_space=pltpu.SMEM
+    )
+    twrow2 = pl.BlockSpec(
+        (1, 1, _N2), lambda b, i, a: (a, 0, 0), memory_space=pltpu.VMEM
+    )
+    whole2 = pl.BlockSpec(
+        (_N2, _N2), lambda b, i, a: (0, 0), memory_space=pltpu.VMEM
+    )
+    orow = pl.BlockSpec(
+        (1, _N2, W), lambda b, i, a: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    stage2 = pl.pallas_call(
+        functools.partial(
+            _stage2_ncc_kernel, n1=n1w, scale=1.0 / float(H * W),
+            vh=vh, vw=vw,
+        ),
+        grid=(B, H // _N2, n1w),
+        in_specs=[mspec, mspec, varspec, enspec, epspec, w1col2, w1col2,
+                  twrow2, twrow2, whole2, whole2],
+        out_specs=orow,
+        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.float32),
+        interpret=interpret,
+    )
+
+    def run(Fre, Fim, Gre, Gim, var_full, energy, eps):
+        mid_re, mid_im = stage1(
+            Fre, Fim, Gre, Gim,
+            jnp.asarray(ch["w1t_re"]), jnp.asarray(ch["w1t_im"]),
+            jnp.asarray(ch["tw_col_re"]), jnp.asarray(ch["tw_col_im"]),
+            jnp.asarray(ch["w2_re"]), jnp.asarray(ch["w2_im"]),
+        )
+        return stage2(
+            mid_re, mid_im, var_full, energy.reshape(B, 1),
+            jnp.asarray(eps, jnp.float32).reshape(1, 1),
+            jnp.asarray(cw["w1t_re"]), jnp.asarray(cw["w1t_im"]),
+            jnp.asarray(cw["tw_row_re"]), jnp.asarray(cw["tw_row_im"]),
+            jnp.asarray(cw["w2_re"]), jnp.asarray(cw["w2_im"]),
+        )
+
+    return run
+
+
+def ncc_masked_from_spectra(
+    Fre, Fim, Gre, Gim, var_full, energy, *,
+    valid_hw: tuple, eps: float = 1e-9, interpret: bool | None = None,
+):
+    """Masked NCC bank straight from permuted-order spectra: the inverse
+    correlation, denominator divide and wrap-region -inf mask fused in one
+    kernel — the correlation plane is finalised in VMEM and written to HBM
+    exactly once, already in ops/ncc.py ``ncc_full_masked_from_preps``
+    form. ``var_full`` is the (H, W) zero-padded window-variance plane
+    shared by the bank; ``energy`` the per-template (B,) energies.
+
+    Falls back to the unfused composition (corr kernel/einsum + XLA
+    divide/mask — identical math) when the kernel is off/unsupported.
+    """
+    squeeze = False
+    if Gre.ndim == 2:
+        Gre, Gim = Gre[None], Gim[None]
+        energy = jnp.reshape(energy, (1,))
+        squeeze = True
+    vh, vw = (int(v) for v in valid_hw)
+    use = pallas_fftp_enabled() if interpret is None else True
+    if use and supported(Gre.shape) and Fre.dtype == jnp.float32:
+        B, H, W = Gre.shape
+        out = _build_ncc(
+            int(B), int(H), int(W), vh, vw, bool(interpret)
+        )(Fre, Fim, Gre, Gim, var_full, energy, eps)
+    else:
+        corr = corr_from_spectra(Fre, Fim, Gre, Gim, interpret=interpret)
+        denom = jnp.sqrt(var_full[None] * energy[:, None, None])
+        safe = denom > eps
+        ncc = jnp.where(safe, corr / jnp.where(safe, denom, 1.0), 0.0)
+        H, W = Fre.shape[-2:]
+        ri = lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        ci = lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        valid = (ri < vh) & (ci < vw)
+        out = jnp.where(valid[None], ncc, jnp.asarray(-jnp.inf, ncc.dtype))
+    return out[0] if squeeze else out
 
 
 def corr_from_spectra(Fre, Fim, Gre, Gim, *, interpret: bool | None = None):

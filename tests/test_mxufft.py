@@ -367,3 +367,56 @@ def test_subpixel_taylor_bounds_border_zeroes(rng):
     i2, j2 = pc.argmax2d(sj)
     d2 = pc.subpixel_taylor(sj, i2, j2)
     assert float(d2[0]) == 0.0 and float(d2[1]) == 0.0
+
+
+def test_pallas_ncc_masked_kernel_interpret(force_on, rng):
+    """The fused NCC-epilogue kernel == the unfused composition (inverse +
+    divide + wrap mask), interpret mode; and the whole bank path through
+    ncc_bank_masked_from_preps matches per-template
+    ncc_full_masked_from_preps."""
+    from barc4dip_tpu.ops import pallas_fftp
+
+    H = W = 256
+    h = w = 21
+    img = jnp.asarray(rng.normal(size=(H, W)).astype(np.float32))
+    tiles = jnp.asarray(rng.normal(size=(3, h, w)).astype(np.float32))
+    prep = ncc.zncc_prepare_image(img, h, w)
+    bank = jax.vmap(lambda t: ncc.prep_template(t, H, W))(tiles)
+    var_full = jnp.pad(prep["var_sum"], ((0, h - 1), (0, w - 1)))
+
+    fused = np.asarray(
+        pallas_fftp.ncc_masked_from_spectra(
+            prep["Fre"], prep["Fim"], bank["Ftre"], bank["Ftim"],
+            var_full, bank["energy"], valid_hw=(H - h + 1, W - w + 1),
+            interpret=True,
+        )
+    )
+    for k in range(3):
+        tp = jax.tree_util.tree_map(lambda x: x[k], bank)
+        ref, vb = ncc.ncc_full_masked_from_preps(prep, tp)
+        ref = np.asarray(ref)
+        valid = np.isfinite(ref)
+        assert (np.isfinite(fused[k]) == valid).all()
+        np.testing.assert_allclose(
+            fused[k][valid], ref[valid], atol=5e-6 * np.abs(ref[valid]).max()
+        )
+
+
+def test_ncc_bank_masked_matches_single_cpu(rng, monkeypatch):
+    """CPU fallback of the bank call == per-template masked maps, and the
+    whole tracker surface stays knob-invariant through it."""
+    monkeypatch.setenv("BARC4DIP_TPU_MXU_FFT", "0")
+    img = jnp.asarray(rng.normal(size=(160, 128)))
+    tiles = jnp.asarray(rng.normal(size=(2, 17, 17)))
+    prep = ncc.zncc_prepare_image(img, 17, 17)
+    bank = jax.vmap(lambda t: ncc.prep_template(t, 160, 128))(tiles)
+    maps, vb = ncc.ncc_bank_masked_from_preps(prep, bank)
+    assert vb == (144, 112)
+    for k in range(2):
+        tp = jax.tree_util.tree_map(lambda x: x[k], bank)
+        ref, _ = ncc.ncc_full_masked_from_preps(prep, tp)
+        valid = np.isfinite(np.asarray(ref))
+        np.testing.assert_array_equal(
+            np.asarray(maps[k])[valid], np.asarray(ref)[valid]
+        )
+        assert (np.isfinite(np.asarray(maps[k])) == valid).all()
