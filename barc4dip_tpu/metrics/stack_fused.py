@@ -77,13 +77,6 @@ def _make_track_frame_fn(H, W, s, starts, subpixel, method, search=None):
         di, dj = taylor(corr, i, j)
         return i.astype(corr.dtype) + di, j.astype(corr.dtype) + dj
 
-    def peak_of_masked(corr, bounds):
-        # full-size ALIGNED map with the wrap region masked to -inf: same
-        # peak as the sliced valid map without breaking the TPU tiling
-        i, j = pc_ops.argmax2d(corr)
-        di, dj = taylor(corr, i, j, bounds)
-        return i.astype(corr.dtype) + di, j.astype(corr.dtype) + dj
-
     windows = (
         _search_windows(H, W, s, starts, search)
         if (method == "template" and search is not None)
@@ -148,16 +141,24 @@ def _make_track_frame_fn(H, W, s, starts, subpixel, method, search=None):
             inc_bank = jax.vmap(
                 lambda t: ncc_ops.prep_template(t, H, W)
             )(tpl_inc)
+
             # whole banks through the fused kernel (explicit batch so the
-            # Pallas grid sees the real bank size), peaks vmapped after
-            maps_a, vb = ncc_ops.ncc_bank_masked_from_preps(
-                prep, tpl_arg, eps=eps
-            )
-            maps_i, _ = ncc_ops.ncc_bank_masked_from_preps(
-                prep, inc_bank, eps=eps
-            )
-            py_a, px_a = jax.vmap(lambda c: peak_of_masked(c, vb))(maps_a)
-            py_i, px_i = jax.vmap(lambda c: peak_of_masked(c, vb))(maps_i)
+            # Pallas grid sees the real bank size); integer peaks come out
+            # of the kernel's per-strip reduction, only the 3x3 subpixel
+            # neighbourhoods touch the maps afterwards
+            def bank_peaks(bank):
+                maps, iy, ix, vb = ncc_ops.ncc_bank_masked_peaks(
+                    prep, bank, eps=eps
+                )
+
+                def pk(c, i, j):
+                    di, dj = taylor(c, i, j, vb)
+                    return i.astype(c.dtype) + di, j.astype(c.dtype) + dj
+
+                return jax.vmap(pk)(maps, iy, ix)
+
+            py_a, px_a = bank_peaks(tpl_arg)
+            py_i, px_i = bank_peaks(inc_bank)
 
             half = (s - 1) / 2.0
             cy = jnp.asarray(centers_y, dtype=img.dtype)

@@ -32,6 +32,7 @@ __all__ = [
     "ncc_valid_from_prepared",
     "ncc_full_masked_from_preps",
     "ncc_bank_masked_from_preps",
+    "ncc_bank_masked_peaks",
 ]
 
 
@@ -170,12 +171,25 @@ def ncc_full_masked_from_preps(img_prep, tpl_prep, *, eps: float = 1e-9):
 def ncc_bank_masked_from_preps(img_prep, tpl_bank, *, eps: float = 1e-9):
     """Masked full-frame NCC maps for a whole template bank at once.
 
+    Returns (bank_maps, (Vh, Vw)). See :func:`ncc_bank_masked_peaks`."""
+    maps, _iy, _ix, vb = ncc_bank_masked_peaks(img_prep, tpl_bank, eps=eps)
+    return maps, vb
+
+
+def ncc_bank_masked_peaks(img_prep, tpl_bank, *, eps: float = 1e-9):
+    """Masked full-frame NCC maps + integer peaks for a template bank.
+
     ``tpl_bank`` is a vmapped :func:`prep_template` dict (leading bank
     axis). On the permuted-order path this routes through the fused Pallas
-    kernel (``ops/pallas_fftp.py::ncc_masked_from_spectra``): inverse
-    correlation + denominator + wrap mask finalised in VMEM, one HBM write
-    per map. Otherwise it is exactly a vmap of
-    :func:`ncc_full_masked_from_preps`. Returns (bank_maps, (Vh, Vw))."""
+    kernel (``ops/pallas_fftp.py::ncc_masked_peaks_from_spectra``):
+    inverse correlation + denominator + wrap mask + per-strip peak
+    reduction finalised in VMEM, one HBM write per map and NO full-map
+    argmax re-read. Otherwise it is the vmap of
+    :func:`ncc_full_masked_from_preps` plus an XLA argmax — identical
+    results. Returns (bank_maps, iy, ix, (Vh, Vw)) with (iy, ix) int32
+    (B,) equal to ``argmax2d`` of each masked map."""
+    import jax
+
     H, W = img_prep["shape"]
     h, w = img_prep["hw"]
     Vh, Vw = H - h + 1, W - w + 1
@@ -183,14 +197,13 @@ def ncc_bank_masked_from_preps(img_prep, tpl_bank, *, eps: float = 1e-9):
         from . import pallas_fftp
 
         var_full = jnp.pad(img_prep["var_sum"], ((0, h - 1), (0, w - 1)))
-        maps = pallas_fftp.ncc_masked_from_spectra(
+        maps, iy, ix = pallas_fftp.ncc_masked_peaks_from_spectra(
             img_prep["Fre"], img_prep["Fim"],
             tpl_bank["Ftre"], tpl_bank["Ftim"],
             var_full, tpl_bank["energy"],
             valid_hw=(Vh, Vw), eps=eps,
         )
-        return maps, (Vh, Vw)
-    import jax
+        return maps, iy, ix, (Vh, Vw)
 
     def one(ftre_or_ft, energy):
         tp = {"Ft": ftre_or_ft, "energy": energy}
@@ -198,7 +211,10 @@ def ncc_bank_masked_from_preps(img_prep, tpl_bank, *, eps: float = 1e-9):
         return m
 
     maps = jax.vmap(one)(tpl_bank["Ft"], tpl_bank["energy"])
-    return maps, (Vh, Vw)
+    flat = jnp.argmax(maps.reshape(maps.shape[0], -1), axis=1)
+    iy = (flat // W).astype(jnp.int32)
+    ix = (flat % W).astype(jnp.int32)
+    return maps, iy, ix, (Vh, Vw)
 
 
 def ncc_valid_from_prepared(prep, template, *, eps: float = 1e-9):

@@ -52,6 +52,7 @@ from . import mxufft
 __all__ = [
     "corr_from_spectra",
     "ncc_masked_from_spectra",
+    "ncc_masked_peaks_from_spectra",
     "pallas_fftp_enabled",
     "supported",
 ]
@@ -210,7 +211,7 @@ def _stage2_kernel(
 def _stage2_ncc_kernel(
     mre_ref, mim_ref, var_ref, en_ref, eps_ref,
     w1re_ref, w1im_ref, twre_ref, twim_ref, w2re_ref, w2im_ref,
-    out_ref, *, n1: int, scale: float, vh: int, vw: int,
+    out_ref, stat_ref, *, n1: int, scale: float, vh: int, vw: int,
 ):
     """Stage-2 inverse with the NCC epilogue fused into the final slab:
     divide by sqrt(var * energy), zero degenerate denominators, mask the
@@ -225,6 +226,7 @@ def _stage2_ncc_kernel(
     @pl.when(a == 0)
     def _():
         out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+        stat_ref[...] = jnp.zeros(stat_ref.shape, stat_ref.dtype)
 
     mre = mre_ref[0]
     mim = mim_ref[0]
@@ -264,7 +266,21 @@ def _stage2_ncc_kernel(
         ci = lax.broadcasted_iota(jnp.int32, (h, w), 1)
         valid = (ri < vh) & (ci < vw)
         neg = jnp.float32(-jnp.inf)
-        out_ref[...] = jnp.where(valid, ncc, neg)[None]
+        masked = jnp.where(valid, ncc, neg)
+        out_ref[...] = masked[None]
+        # per-strip peak (max + first-occurrence flat index) so the host
+        # argmax never re-reads the 16 MB map: the flat index fits f32
+        # exactly (H*W < 2^24). stat row layout: lane 0 = max, lane 1 =
+        # flat index within the FULL map (row-major), rest zero.
+        m = jnp.max(masked)
+        flat = ri * jnp.int32(w) + ci
+        big = jnp.int32(h * w * pl.num_programs(1))
+        idx = jnp.min(jnp.where(masked == m, flat, big)).astype(jnp.float32)
+        lane = lax.broadcasted_iota(jnp.int32, (1, _N2), 1)
+        row = jnp.where(
+            lane == 0, m, jnp.where(lane == 1, idx, jnp.float32(0.0))
+        )
+        stat_ref[0, 0, 0:1, :] = row
 
 
 @lru_cache(maxsize=16)
@@ -416,16 +432,27 @@ def _build_ncc(
     orow = pl.BlockSpec(
         (1, _N2, W), lambda b, i, a: (b, i, 0), memory_space=pltpu.VMEM
     )
+    # per-strip peak stats: rank-4 (1, 1, 8, 128) blocks satisfy Mosaic's
+    # divisible-or-equal rule with static in-block indexing (a (1, 128)
+    # block of a (B, G, 128) array would not); rows 1..7 are padding
+    statspec = pl.BlockSpec(
+        (1, 1, 8, _N2), lambda b, i, a: (b, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    G = H // _N2
     stage2 = pl.pallas_call(
         functools.partial(
             _stage2_ncc_kernel, n1=n1w, scale=1.0 / float(H * W),
             vh=vh, vw=vw,
         ),
-        grid=(B, H // _N2, n1w),
+        grid=(B, G, n1w),
         in_specs=[mspec, mspec, varspec, enspec, epspec, w1col2, w1col2,
                   twrow2, twrow2, whole2, whole2],
-        out_specs=orow,
-        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.float32),
+        out_specs=(orow, statspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, W), jnp.float32),
+            jax.ShapeDtypeStruct((B, G, 8, _N2), jnp.float32),
+        ),
         interpret=interpret,
     )
 
@@ -436,30 +463,44 @@ def _build_ncc(
             jnp.asarray(ch["tw_col_re"]), jnp.asarray(ch["tw_col_im"]),
             jnp.asarray(ch["w2_re"]), jnp.asarray(ch["w2_im"]),
         )
-        return stage2(
+        maps, stats = stage2(
             mid_re, mid_im, var_full, energy.reshape(B, 1),
             jnp.asarray(eps, jnp.float32).reshape(1, 1),
             jnp.asarray(cw["w1t_re"]), jnp.asarray(cw["w1t_im"]),
             jnp.asarray(cw["tw_row_re"]), jnp.asarray(cw["tw_row_im"]),
             jnp.asarray(cw["w2_re"]), jnp.asarray(cw["w2_im"]),
         )
+        # reduce (B, G) strip peaks to one (i, j) per map on the host side
+        # of the kernel (tiny): first-occurrence semantics match
+        # jnp.argmax over the full map exactly
+        maxs = stats[:, :, 0, 0]                    # (B, G)
+        idxf = stats[:, :, 0, 1]                    # (B, G) flat f32
+        g = jnp.argmax(maxs, axis=1)                # first best strip
+        flat = jnp.take_along_axis(idxf, g[:, None], axis=1)[:, 0]
+        flat = flat.astype(jnp.int32)
+        return maps, flat // W, flat % W
 
     return run
 
 
-def ncc_masked_from_spectra(
+def ncc_masked_peaks_from_spectra(
     Fre, Fim, Gre, Gim, var_full, energy, *,
     valid_hw: tuple, eps: float = 1e-9, interpret: bool | None = None,
 ):
-    """Masked NCC bank straight from permuted-order spectra: the inverse
-    correlation, denominator divide and wrap-region -inf mask fused in one
-    kernel — the correlation plane is finalised in VMEM and written to HBM
-    exactly once, already in ops/ncc.py ``ncc_full_masked_from_preps``
-    form. ``var_full`` is the (H, W) zero-padded window-variance plane
-    shared by the bank; ``energy`` the per-template (B,) energies.
+    """Masked NCC bank + integer peaks straight from permuted-order
+    spectra: the inverse correlation, denominator divide, wrap-region
+    -inf mask AND the per-strip peak reduction fused in one kernel — the
+    correlation plane is finalised in VMEM and written to HBM exactly
+    once, and the host-side argmax reduces a (B, H/128) stat table
+    instead of re-reading 16 MB per map. ``var_full`` is the (H, W)
+    zero-padded window-variance plane shared by the bank; ``energy`` the
+    per-template (B,) energies. Returns (maps, iy, ix) with (iy, ix)
+    int32 (B,) equal to jnp.argmax over each masked map
+    (first-occurrence, row-major).
 
     Falls back to the unfused composition (corr kernel/einsum + XLA
-    divide/mask — identical math) when the kernel is off/unsupported.
+    divide/mask/argmax — identical results) when the kernel is
+    off/unsupported.
     """
     squeeze = False
     if Gre.ndim == 2:
@@ -470,7 +511,7 @@ def ncc_masked_from_spectra(
     use = pallas_fftp_enabled() if interpret is None else True
     if use and supported(Gre.shape) and Fre.dtype == jnp.float32:
         B, H, W = Gre.shape
-        out = _build_ncc(
+        out, iy, ix = _build_ncc(
             int(B), int(H), int(W), vh, vw, bool(interpret)
         )(Fre, Fim, Gre, Gim, var_full, energy, eps)
     else:
@@ -483,7 +524,25 @@ def ncc_masked_from_spectra(
         ci = lax.broadcasted_iota(jnp.int32, (H, W), 1)
         valid = (ri < vh) & (ci < vw)
         out = jnp.where(valid[None], ncc, jnp.asarray(-jnp.inf, ncc.dtype))
-    return out[0] if squeeze else out
+        flat = jnp.argmax(out.reshape(out.shape[0], -1), axis=1)
+        iy = (flat // W).astype(jnp.int32)
+        ix = (flat % W).astype(jnp.int32)
+    if squeeze:
+        return out[0], iy[0], ix[0]
+    return out, iy, ix
+
+
+def ncc_masked_from_spectra(
+    Fre, Fim, Gre, Gim, var_full, energy, *,
+    valid_hw: tuple, eps: float = 1e-9, interpret: bool | None = None,
+):
+    """Masked NCC bank (maps only) — see
+    :func:`ncc_masked_peaks_from_spectra`."""
+    out, _iy, _ix = ncc_masked_peaks_from_spectra(
+        Fre, Fim, Gre, Gim, var_full, energy,
+        valid_hw=valid_hw, eps=eps, interpret=interpret,
+    )
+    return out
 
 
 def corr_from_spectra(Fre, Fim, Gre, Gim, *, interpret: bool | None = None):

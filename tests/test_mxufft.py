@@ -420,3 +420,47 @@ def test_ncc_bank_masked_matches_single_cpu(rng, monkeypatch):
             np.asarray(maps[k])[valid], np.asarray(ref)[valid]
         )
         assert (np.isfinite(np.asarray(maps[k])) == valid).all()
+
+
+def test_ncc_bank_masked_peaks_match_argmax(force_on, rng):
+    """The kernel's per-strip peak reduction must equal argmax2d over the
+    masked maps exactly (interpret mode), including on the CPU fallback."""
+    from barc4dip_tpu.ops import phasecorr as pc
+
+    img = jnp.asarray(rng.normal(size=(256, 256)).astype(np.float32))
+    tiles = jnp.stack([img[40:69, 30:59], img[100:129, 200:229],
+                       img[5:34, 5:34]])
+    prep = ncc.zncc_prepare_image(img, 29, 29)
+    bank = jax.vmap(lambda t: ncc.prep_template(t, 256, 256))(tiles)
+    maps, iy, ix, vb = ncc.ncc_bank_masked_peaks(prep, bank)
+    assert vb == (228, 228)
+    for k in range(3):
+        i_ref, j_ref = pc.argmax2d(maps[k])
+        assert (int(iy[k]), int(ix[k])) == (int(i_ref), int(j_ref))
+    # the self-match tiles must peak at their own positions
+    assert (int(iy[0]), int(ix[0])) == (40, 30)
+    assert (int(iy[1]), int(ix[1])) == (100, 200)
+    assert (int(iy[2]), int(ix[2])) == (5, 5)
+
+
+def test_pallas_ncc_peak_reduction_interpret(force_on, rng):
+    """The in-kernel per-strip (max, argmax) reduction == jnp.argmax over
+    the kernel's own masked maps (interpret mode, first-occurrence ties)."""
+    from barc4dip_tpu.ops import pallas_fftp
+
+    H = W = 256
+    h = w = 21
+    img = jnp.asarray(rng.normal(size=(H, W)).astype(np.float32))
+    tiles = jnp.asarray(rng.normal(size=(3, h, w)).astype(np.float32))
+    prep = ncc.zncc_prepare_image(img, h, w)
+    bank = jax.vmap(lambda t: ncc.prep_template(t, H, W))(tiles)
+    var_full = jnp.pad(prep["var_sum"], ((0, h - 1), (0, w - 1)))
+    maps, iy, ix = pallas_fftp.ncc_masked_peaks_from_spectra(
+        prep["Fre"], prep["Fim"], bank["Ftre"], bank["Ftim"],
+        var_full, bank["energy"], valid_hw=(H - h + 1, W - w + 1),
+        interpret=True,
+    )
+    m = np.asarray(maps)
+    for k in range(3):
+        flat = int(np.argmax(m[k]))
+        assert (int(iy[k]), int(ix[k])) == (flat // W, flat % W)
