@@ -51,8 +51,15 @@ from jax import lax
 # On TPU the MXU's default f32 matmul is a SINGLE bf16 pass (~4e-3 rel
 # error measured on-chip on the DFT stages); HIGHEST requests the full
 # f32 multi-pass decomposition so the transforms stay ~1e-6-accurate on
-# hardware, matching the CPU validation.
-_PREC = lax.Precision.HIGHEST
+# hardware, matching the CPU validation. BARC4DIP_TPU_DFT_PRECISION
+# (highest|high|default) trades DFT matmul passes for accuracy — an A/B
+# knob for the tracking-gate-vs-speed frontier; read once per process
+# (the jitted programs bake the traced precision in).
+_PREC = {
+    "highest": lax.Precision.HIGHEST,
+    "high": lax.Precision.HIGH,
+    "default": lax.Precision.DEFAULT,
+}[os.environ.get("BARC4DIP_TPU_DFT_PRECISION", "highest").lower()]
 
 __all__ = [
     "fft2",

@@ -143,12 +143,12 @@ def _stage1_kernel(
     w2im = w2im_ref[...]
     # rows DFT of the slab: d[n, c] = sum_k w2[n, k] p[k, c]  (MXU)
     dre = (
-        jnp.dot(w2re, pre, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
-        - jnp.dot(w2im, pim, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
+        jnp.dot(w2re, pre, preferred_element_type=jnp.float32, precision=mxufft._PREC)
+        - jnp.dot(w2im, pim, preferred_element_type=jnp.float32, precision=mxufft._PREC)
     )
     dim = (
-        jnp.dot(w2im, pre, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
-        + jnp.dot(w2re, pim, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
+        jnp.dot(w2im, pre, preferred_element_type=jnp.float32, precision=mxufft._PREC)
+        + jnp.dot(w2re, pim, preferred_element_type=jnp.float32, precision=mxufft._PREC)
     )
     # twiddle for this slab: tw[a, n], pre-shaped (128, 1) for sublanes
     twre = twre_ref[0]
@@ -184,12 +184,12 @@ def _stage2_kernel(
     w2im = w2im_ref[...]
     # d[r, n] = sum_k m[r, k] w2[n, k]  (contraction over the lane axis)
     dre = (
-        jnp.dot(mre, w2re.T, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
-        - jnp.dot(mim, w2im.T, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
+        jnp.dot(mre, w2re.T, preferred_element_type=jnp.float32, precision=mxufft._PREC)
+        - jnp.dot(mim, w2im.T, preferred_element_type=jnp.float32, precision=mxufft._PREC)
     )
     dim = (
-        jnp.dot(mre, w2im.T, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
-        + jnp.dot(mim, w2re.T, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
+        jnp.dot(mre, w2im.T, preferred_element_type=jnp.float32, precision=mxufft._PREC)
+        + jnp.dot(mim, w2re.T, preferred_element_type=jnp.float32, precision=mxufft._PREC)
     )
     # twiddle: tw[a, n], pre-shaped (1, 128) for lanes
     twre = twre_ref[0]
@@ -233,12 +233,12 @@ def _stage2_ncc_kernel(
     w2re = w2re_ref[...]
     w2im = w2im_ref[...]
     dre = (
-        jnp.dot(mre, w2re.T, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
-        - jnp.dot(mim, w2im.T, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
+        jnp.dot(mre, w2re.T, preferred_element_type=jnp.float32, precision=mxufft._PREC)
+        - jnp.dot(mim, w2im.T, preferred_element_type=jnp.float32, precision=mxufft._PREC)
     )
     dim = (
-        jnp.dot(mre, w2im.T, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
-        + jnp.dot(mim, w2re.T, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
+        jnp.dot(mre, w2im.T, preferred_element_type=jnp.float32, precision=mxufft._PREC)
+        + jnp.dot(mim, w2re.T, preferred_element_type=jnp.float32, precision=mxufft._PREC)
     )
     twre = twre_ref[0]
     twim = twim_ref[0]

@@ -214,6 +214,12 @@ def radial_mean_interpolated_core(
     fx = jnp.clip(xi - x0, 0.0, 1.0)
     fy = jnp.clip(yi - y0, 0.0, 1.0)
 
+    # Four scalar gathers. Sliced gathers are a measured dead end on this
+    # backend (docs/AXON_BACKEND_NOTES.md §4): fetching each bilinear
+    # neighbourhood as one (2, 2) patch is ~75x slower, and 1-D 2-element
+    # row-pair slices are ~100x slower — any slice_sizes > 1 falls off the
+    # fast scalar-gather lowering. The four flat gathers below are the
+    # fast path.
     flat = signal_2d.reshape(-1)
     base = y0 * nx + x0
     v00 = flat[base]
