@@ -592,8 +592,13 @@ def speckle_stack_stats(
 
     t0 = now()
 
-    if not isinstance(stack, np.ndarray):
-        raise TypeError("speckle_stack_stats expects a numpy.ndarray")
+    if not isinstance(stack, (np.ndarray, jax.Array)):
+        # a device-resident jax.Array takes the few-dispatch superchunk
+        # path (stack_fused._run_resident_stack) — the serving pattern;
+        # host arrays keep the upload-overlapped chunk loop
+        raise TypeError(
+            "speckle_stack_stats expects a numpy.ndarray or jax.Array"
+        )
     if stack.ndim != 3:
         raise ValueError(
             f"stack must be a 3D array with shape (T, H, W); got ndim={stack.ndim}"

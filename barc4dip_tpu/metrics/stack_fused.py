@@ -269,6 +269,96 @@ def _metrics_chunk_program(
     return jax.jit(jax.vmap(per_frame))
 
 
+@lru_cache(maxsize=16)
+def _metrics_stack_program(
+    groups: tuple, mode: str, sat: float | None, eps: float, flip: bool,
+    full_maps: bool, half_maps: bool = False, _mxu: bool = False,
+    slab: int = 4,
+):
+    """Superchunk metrics program: ONE executable processes a whole
+    (T_exec, H, W) batch by ``lax.map`` over ``slab``-wide sub-batches.
+
+    Identical per-frame math to :func:`_metrics_chunk_program` (the map
+    body IS that program's vmapped frame function at the same width, so
+    per-iteration buffer sizes match the known-clean chunk path) — but on
+    the tunneled backend every executable dispatch costs ~30-60 ms of
+    serialized wall-clock even when enqueued asynchronously
+    (docs/AXON_BACKEND_NOTES.md §3), so processing T frames in one
+    dispatch instead of T/slab removes that tax from device-resident runs.
+    ``T_exec`` must be a multiple of ``slab``.
+    """
+    metric_fn = speckle_device_fn(
+        frozenset(groups), mode, sat, eps, full_maps, half_maps
+    )
+
+    def per_frame(img):
+        img = _to_compute(img)
+        return metric_fn(img[::-1, :] if flip else img)
+
+    slab_fn = jax.vmap(per_frame)
+
+    @jax.jit
+    def run(stack_dev):
+        T = stack_dev.shape[0]
+        slabs = stack_dev.reshape((T // slab, slab) + stack_dev.shape[1:])
+        out = jax.lax.map(slab_fn, slabs)
+        return jax.tree_util.tree_map(
+            lambda a: a.reshape((T,) + a.shape[2:]), out
+        )
+
+    return run
+
+
+@lru_cache(maxsize=16)
+def _track_stack_program(
+    method: str, subpixel: bool, H: int, W: int, s: int, starts_key: tuple,
+    search: int | None = None, _mxu: bool = False, slab: int = 4,
+):
+    """Superchunk tracking program: ONE executable tracks a whole
+    (T_exec, H, W) batch by ``lax.scan`` over ``slab``-wide sub-batches,
+    carrying the incremental-tracking tail frame through the scan.
+
+    The scan body is exactly the ``_TRACK_SUB``-wide tracker the chunked
+    path runs (same vmapped frame function, same per-iteration buffer
+    sizes — the 2^31-byte miscompile cliff of wider trackers is never
+    approached; scan reuses the body's buffers across iterations).
+    ``T_exec`` must be a multiple of ``slab``. Returns
+    ({dy_a, dx_a, dy_i, dx_i} with leading T_exec axis, tail_frame).
+    """
+    starts = np.asarray(starts_key, np.int32).reshape(-1, 2)
+    track_fn = _make_track_frame_fn(H, W, s, starts, subpixel, method, search)
+    windows = (
+        _search_windows(H, W, s, starts, search)
+        if (method == "template" and search is not None)
+        else None
+    )
+    corr_w = windows[2] if windows is not None else None
+
+    @jax.jit
+    def run(stack_raw, prev_tail, frame0, track_eps):
+        tpl_arg = _build_tpl0(frame0, starts, s, H, W, method, track_eps, corr_w)
+        T = stack_raw.shape[0]
+        slabs = stack_raw.reshape(T // slab, slab, H, W)
+
+        def body(prev, slab_raw):
+            slab_frames = _to_compute(slab_raw)
+            prevs = jnp.concatenate([prev[None], slab_frames[:-1]], axis=0)
+            dy_a, dx_a, dy_i, dx_i = jax.vmap(
+                lambda im, pr: track_fn(im, pr, tpl_arg, track_eps)
+            )(slab_frames, prevs)
+            return slab_frames[-1], {
+                "dy_a": dy_a, "dx_a": dx_a, "dy_i": dy_i, "dx_i": dx_i
+            }
+
+        tail, outs = jax.lax.scan(body, _to_compute(prev_tail), slabs)
+        outs = jax.tree_util.tree_map(
+            lambda a: a.reshape((T,) + a.shape[2:]), outs
+        )
+        return outs, tail
+
+    return run
+
+
 @lru_cache(maxsize=64)
 def _track_chunk_program(
     method: str, subpixel: bool, H: int, W: int, s: int, starts_key: tuple,
@@ -317,12 +407,15 @@ def device_compute_probe(
 ) -> dict:
     """Pure device-compute throughput of the fused stack programs.
 
-    Every padded chunk is pre-uploaded and blocked to residency FIRST;
-    the timed region then runs only the metrics+tracking chunk programs
-    (with the same ``_TRACK_SUB`` slicing as production) and the scalar
-    result pulls. On a wire-bound link this is the number the pipeline's
-    ``pull_wait_s`` hides: what the chip could sustain if the transfers
-    were free. Returns {"elapsed_s", "frames", "mpix_s"}.
+    The probed stack is uploaded and forced to residency FIRST; the timed
+    region then runs the superchunk metrics+tracking programs (the same
+    per-slab math and widths as production: ``frame_chunk``-wide metrics
+    sub-batches, ``_TRACK_SUB``-wide tracking sub-batches — see
+    :func:`_metrics_stack_program` / :func:`_track_stack_program`, the
+    device-resident path of :func:`run_fused_speckle_stack`) and the
+    scalar result pulls. On a wire-bound link this is the number the
+    pipeline's ``pull_wait_s`` hides: what the chip could sustain if the
+    transfers were free. Returns {"elapsed_s", "frames", "mpix_s"}.
     """
     import time as _time
 
@@ -332,7 +425,7 @@ def device_compute_probe(
     compute_dtype = np.float64 if stack.dtype == np.float64 else np.float32
     B = max(1, min(int(frame_chunk), T))
 
-    # The probe holds every chunk device-resident simultaneously; cap the
+    # The probe holds the whole probed stack device-resident; cap the
     # probed frame count so a production-size stack cannot OOM the chip
     # (~2 GB of resident frames leaves headroom for program temporaries
     # on a 16 GB v5e).
@@ -344,53 +437,60 @@ def device_compute_probe(
 
     from ..config import on_tpu
 
-    metrics_prog = _metrics_chunk_program(
+    # Superchunk programs: the whole probed stack runs through TWO
+    # executables (metrics lax.map + tracking lax.scan) instead of
+    # 2*ceil(T/B) — per-dispatch wall-clock tax (~30-60 ms serialized on
+    # the tunneled backend even for async dispatch) would otherwise
+    # dominate what is supposed to be a chip-compute number.
+    track_slab = min(_TRACK_SUB, B)
+    import math as _math
+
+    step = _math.lcm(B, track_slab)
+    if T >= step:
+        T = T // step * step
+        stack = stack[:T]
+    else:
+        stack = np.concatenate(
+            [stack, np.repeat(stack[-1:], step - T, axis=0)], axis=0
+        )
+        T = step
+
+    metrics_prog = _metrics_stack_program(
         tuple(sorted(groups)), mode, sat, eps, bool(flip), False, on_tpu(),
-        mxufft.mxu_fft_enabled(),
+        mxufft.mxu_fft_enabled(), B,
     )
-    track_prog = _track_chunk_program(
+    track_prog = _track_stack_program(
         method, bool(subpixel), H, W, s, starts_key,
         None if search_radius is None else int(search_radius),
-        mxufft.mxu_fft_enabled(),
+        mxufft.mxu_fft_enabled(), track_slab,
     )
-    frame0_dev = jnp.asarray(np.asarray(stack[0], dtype=compute_dtype))
+    stack_dev = jnp.asarray(np.ascontiguousarray(stack))
+    # chunk-0 semantics: the prev of frame 0 is frame 0 itself, so the
+    # initial incremental tail IS the abs-tracking reference frame
+    frame0_dev = stack_dev[0]
     eps_t = jnp.asarray(track_eps, dtype=compute_dtype)
 
-    def run_chunks(chunks, *, metrics=True, tracking=True):
-        outs = []
-        prev_tail = jnp.asarray(np.asarray(stack[0], dtype=compute_dtype))
-        for chunk_dev in chunks:
-            m = metrics_prog(chunk_dev) if metrics else None
-            sub_outs = []
-            if tracking:
-                for s0 in range(0, B, _TRACK_SUB):
-                    sub, prev_tail = track_prog(
-                        chunk_dev[s0 : min(s0 + _TRACK_SUB, B)],
-                        prev_tail, frame0_dev, eps_t,
-                    )
-                    sub_outs.append(sub)
-            outs.append((m, sub_outs))
+    def run_all(*, metrics=True, tracking=True):
+        m = metrics_prog(stack_dev) if metrics else None
+        t = (
+            track_prog(stack_dev, frame0_dev, frame0_dev, eps_t)[0]
+            if tracking
+            else None
+        )
         # realise everything (scalar leaves force the device work)
-        return jax.device_get(outs)
+        return jax.device_get((m, t))
 
-    chunks = []
-    for c0 in range(0, T, B):
-        dev, _nbytes, _iov = upload_padded_chunk(stack, c0, B, T, jnp.asarray)
-        chunks.append(dev)
-
-    run_chunks(chunks[:1])  # compile + warm
+    run_all()  # compile + warm (also forces the stack upload to residency)
 
     def timed(**kw):
         t0 = _time.perf_counter()
-        out = run_chunks(chunks, **kw)
+        out = run_all(**kw)
         return _time.perf_counter() - t0, out
 
     elapsed, out = timed()
     metrics_s, _ = timed(tracking=False)
     tracking_s, _ = timed(metrics=False)
-    if not all(
-        np.all(np.isfinite(s["dy_a"])) for _m, subs in out for s in subs
-    ):
+    if not np.all(np.isfinite(out[1]["dy_a"])):
         # explicit raise (not assert: a no-op under python -O) — a probe
         # that produced non-finite tracking must not report a throughput
         raise RuntimeError(
@@ -466,7 +566,26 @@ def run_fused_speckle_stack(
 
     Returns (metrics_pytree_with_T_axis, (dx_abs, dy_abs, dx_inc, dy_inc)
     each (T, 3, 3) float32).
+
+    A stack that is ALREADY device-resident (a ``jax.Array``) takes the
+    few-dispatch superchunk path (:func:`_run_resident_stack`): there is
+    no upload to overlap, so the wire-chunked loop's 2*ceil(T/B)
+    dispatches would pay only the backend's per-dispatch serialization
+    tax. Mesh/checkpoint runs keep the chunked loop (their semantics are
+    chunk-layout-keyed).
     """
+    if (
+        mesh is None
+        and checkpoint is None
+        and isinstance(stack, jax.Array)
+        and getattr(stack, "ndim", 0) == 3
+    ):
+        return _run_resident_stack(
+            stack, grid_slices, groups=groups, mode=mode, sat=sat, eps=eps,
+            flip=flip, method=method, subpixel=subpixel, track_eps=track_eps,
+            frame_chunk=frame_chunk, verbose=verbose,
+            search_radius=search_radius,
+        )
     T, H, W = (int(v) for v in stack.shape)
     starts, _centers, s = _grid_geometry(grid_slices)
     starts_key = tuple(int(v) for v in starts.ravel())
@@ -647,6 +766,134 @@ def run_fused_speckle_stack(
         if hi > lo:
             perf["upload_io_s"] += hi - lo
         edge = max(edge, hi)
+    LAST_RUN_PERF.clear()
+    LAST_RUN_PERF.update(perf)
+
+    metrics_tree = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs, axis=0), *metric_pieces
+    )
+    return metrics_tree, (
+        dx_abs.reshape(T, 3, 3),
+        dy_abs.reshape(T, 3, 3),
+        dx_inc.reshape(T, 3, 3),
+        dy_inc.reshape(T, 3, 3),
+    )
+
+
+def _run_resident_stack(
+    stack,
+    grid_slices,
+    *,
+    groups: set,
+    mode: str,
+    sat: float | None,
+    eps: float,
+    flip: bool,
+    method: str = "template",
+    subpixel: bool = True,
+    track_eps: float = 1e-9,
+    frame_chunk: int = 4,
+    verbose: bool = False,
+    full_maps: bool = False,
+    search_radius: int | None = None,
+):
+    """Few-dispatch pipeline for an ALREADY device-resident (jax.Array)
+    stack — the serving pattern, and the workload the device-compute
+    probe reports.
+
+    The wire-chunked loop exists to overlap uploads with compute; with a
+    resident stack there is nothing to overlap, and on the tunneled
+    backend every executable dispatch costs ~30-60 ms of wall-clock even
+    when enqueued asynchronously (executions do NOT pipeline —
+    docs/AXON_BACKEND_NOTES.md §3). So the stack runs through two
+    superchunk executables per up-to-``BARC4DIP_TPU_STACK_EXEC`` frames
+    (default 64): metrics as ``lax.map`` over ``frame_chunk``-wide slabs,
+    tracking as ``lax.scan`` over ``_TRACK_SUB``-wide slabs. Per-slab
+    math, widths and buffer sizes are identical to the chunked loop
+    (tests assert exact output equality), only the dispatch count drops
+    from 2*ceil(T/frame_chunk) to 2*ceil(T/64).
+    """
+    import math as _math
+    import time as _time
+
+    T, H, W = (int(v) for v in stack.shape)
+    starts, _centers, s = _grid_geometry(grid_slices)
+    starts_key = tuple(int(v) for v in starts.ravel())
+    compute_dtype = (
+        np.float64 if stack.dtype == jnp.float64 else np.float32
+    )
+
+    B = max(1, min(int(frame_chunk), T))
+    track_slab = min(_TRACK_SUB, B)
+    step = _math.lcm(B, track_slab)
+    sc_env = max(step, int(os.environ.get("BARC4DIP_TPU_STACK_EXEC", "64")))
+    SC = min(sc_env // step * step, -(-T // step) * step)
+
+    from ..config import on_tpu
+
+    metrics_prog = _metrics_stack_program(
+        tuple(sorted(groups)), mode, sat, eps, bool(flip), bool(full_maps),
+        on_tpu(), mxufft.mxu_fft_enabled(), B,
+    )
+    track_prog = _track_stack_program(
+        method, bool(subpixel), H, W, s, starts_key,
+        None if search_radius is None else int(search_radius),
+        mxufft.mxu_fft_enabled(), track_slab,
+    )
+
+    frame0_dev = stack[0]
+    # chunk-0 semantics: the prev of frame 0 is frame 0 itself
+    prev_tail = frame0_dev
+    eps_t = jnp.asarray(track_eps, dtype=compute_dtype)
+
+    dy_abs = np.empty((T, 9), np.float32)
+    dx_abs = np.empty((T, 9), np.float32)
+    dy_inc = np.empty((T, 9), np.float32)
+    dx_inc = np.empty((T, 9), np.float32)
+    metric_pieces: list = []
+
+    perf = {
+        "upload_s": 0.0, "dispatch_s": 0.0, "pull_wait_s": 0.0,
+        "upload_io_s": 0.0, "upload_bytes": 0, "pull_bytes": 0,
+        "chunks": 0, "resident": True,
+    }
+
+    last = -1
+    for c0 in range(0, T, SC):
+        if verbose:
+            last = progress_update("Speckle stack loop", c0, T, last)
+        c1 = min(c0 + SC, T)
+        n = c1 - c0
+        t_disp = _time.perf_counter()
+        sub = stack[c0:c1]
+        if n < SC:
+            # pad the tail by repeating the last frame (same contract as
+            # upload_padded_chunk; the padded tail keeps frames[-1] valid)
+            sub = jnp.concatenate(
+                [sub, jnp.repeat(sub[-1:], SC - n, axis=0)], axis=0
+            )
+        metrics_dev = metrics_prog(sub)
+        track_dev, tail = track_prog(sub, prev_tail, frame0_dev, eps_t)
+        prev_tail = stack[c1 - 1] if n < SC else tail
+        perf["dispatch_s"] += _time.perf_counter() - t_disp
+        t_pull = _time.perf_counter()
+        raw = jax.device_get({"metrics": metrics_dev, "track": track_dev})
+        perf["pull_wait_s"] += _time.perf_counter() - t_pull
+        perf["pull_bytes"] += sum(
+            a.nbytes for a in jax.tree_util.tree_leaves(raw)
+        )
+        perf["chunks"] += 1
+        metric_pieces.append(
+            jax.tree_util.tree_map(lambda a: np.asarray(a)[:n], raw["metrics"])
+        )
+        tr = raw["track"]
+        dy_abs[c0:c1] = tr["dy_a"][:n]
+        dx_abs[c0:c1] = tr["dx_a"][:n]
+        dy_inc[c0:c1] = tr["dy_i"][:n]
+        dx_inc[c0:c1] = tr["dx_i"][:n]
+    if verbose:
+        progress_done("Speckle stack loop")
+
     LAST_RUN_PERF.clear()
     LAST_RUN_PERF.update(perf)
 
