@@ -67,16 +67,23 @@ def _pad_to_square_mean(img):
 # amplitude
 # ---------------------------------------------------------------------------
 
-def amplitude_core(img, *, p_low: float = 0.05, p_high: float = 99.95) -> dict:
+def amplitude_core(
+    img, *, p_low: float = 0.05, p_high: float = 99.95, integer_range=None
+) -> dict:
     """Visibility (nanstd/nanmean) and robust Michelson contrast from the
-    [p_low, p_high] nan-percentile range (sort-free exact percentiles)."""
+    [p_low, p_high] nan-percentile range (sort-free exact percentiles).
+
+    ``integer_range``: optional (lo, hi) contract that the float image
+    holds only integer values in that range (uint16 detector provenance,
+    known statically at trace time) — halves the percentile search's
+    counting passes (ops/quantile.py)."""
     from ..ops.quantile import nanpercentiles_exact
 
     mu = jnp.nanmean(img)
     sigma = jnp.nanstd(img)
     visibility = sigma / mu
 
-    q = nanpercentiles_exact(img, (p_low, p_high))
+    q = nanpercentiles_exact(img, (p_low, p_high), integer_range=integer_range)
     vmin, vmax = q[0], q[1]
     denom = vmax + vmin
     contrast = jnp.where(denom > 0, (vmax - vmin) / jnp.where(denom > 0, denom, 1.0), jnp.nan)

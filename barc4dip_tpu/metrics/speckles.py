@@ -107,6 +107,9 @@ def _speckle_program(
     fn = _speckle_device_fn(frozenset(groups), mode, sat, eps, False)
 
     def cast_fn(img):
+        from .speckles_device import int_value_hint
+
+        hint = int_value_hint(img.dtype)  # static: raw input dtype
         if img.dtype not in (jnp.float32, jnp.float64):
             img = img.astype(jnp.float32)
         # display-origin row flip happens ON DEVICE (a free layout op XLA
@@ -115,7 +118,7 @@ def _speckle_program(
         # the upload cache is redeemed byte-identically here.
         if flip:
             img = img[::-1, :]
-        return fn(img)
+        return fn(img, int_range=hint)
 
     return jax.jit(cast_fn)
 

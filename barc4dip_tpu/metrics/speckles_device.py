@@ -11,7 +11,21 @@ from .estimators import (
     grain_core,
 )
 
-__all__ = ["speckle_device_fn"]
+__all__ = ["int_value_hint", "speckle_device_fn"]
+
+
+def int_value_hint(dtype):
+    """(lo, hi) integer-value contract for a float image converted from an
+    integer dtype (uint16 detector frames), or None. Resolved at trace
+    time from the RAW input dtype — halves the amplitude percentile
+    search's counting passes (ops/quantile.py::_order_stats_int)."""
+    import jax.numpy as jnp
+
+    if jnp.issubdtype(jnp.dtype(dtype), jnp.integer):
+        info = jnp.iinfo(dtype)
+        if info.max - info.min < (1 << 24) and abs(int(info.min)) < (1 << 24):
+            return (int(info.min), int(info.max))
+    return None
 
 
 def speckle_device_fn(
@@ -31,25 +45,31 @@ def speckle_device_fn(
     plus the mirror's data movement) — docs/AXON_BACKEND_NOTES.md §4.
     """
 
-    def tile_fn(tile):
-        vals: dict = {}
-        if "amplitude" in groups:
-            vals["amplitude"] = amplitude_core(tile)
-        if "grain" in groups:
-            vals["grain"] = grain_core(tile, with_map=False)
-        if "stats" in groups:
-            vals["stats"] = distribution_moments_core(
-                tile, saturation_value=sat, eps=eps
-            )
-        if "bandwidth" in groups:
-            vals["bandwidth"] = bandwidth_core(tile)
-        # flatten to "group/field" for the generic executor
-        return {f"{g}/{k}": v for g, d in vals.items() for k, v in d.items()}
+    def make_tile_fn(int_range):
+        def tile_fn(tile):
+            vals: dict = {}
+            if "amplitude" in groups:
+                vals["amplitude"] = amplitude_core(tile, integer_range=int_range)
+            if "grain" in groups:
+                vals["grain"] = grain_core(tile, with_map=False)
+            if "stats" in groups:
+                vals["stats"] = distribution_moments_core(
+                    tile, saturation_value=sat, eps=eps
+                )
+            if "bandwidth" in groups:
+                vals["bandwidth"] = bandwidth_core(tile)
+            # flatten to "group/field" for the generic executor
+            return {f"{g}/{k}": v for g, d in vals.items() for k, v in d.items()}
 
-    def fn(img):
+        return tile_fn
+
+    def fn(img, int_range=None):
+        # int_range: static (lo, hi) hint that the float image holds only
+        # integer values (uint16 provenance) — see amplitude_core
+        tile_fn = make_tile_fn(int_range)
         out: dict = {"full": {}}
         if "amplitude" in groups:
-            out["full"]["amplitude"] = amplitude_core(img)
+            out["full"]["amplitude"] = amplitude_core(img, integer_range=int_range)
         if "grain" in groups:
             out["full"]["grain"] = grain_core(
                 img, with_map=full_maps, half_map=half_maps

@@ -30,7 +30,7 @@ from ..ops import ncc as ncc_ops
 from ..ops import phasecorr as pc_ops
 from ..utils import progress_done, progress_update
 from .common import loop_prefetcher, upload_padded_chunk
-from .speckles_device import speckle_device_fn
+from .speckles_device import int_value_hint, speckle_device_fn
 from .tracking_batch import _extract_tiles, _grid_geometry
 
 __all__ = ["run_fused_speckle_stack", "device_compute_probe", "LAST_RUN_PERF"]
@@ -263,8 +263,9 @@ def _metrics_chunk_program(
     )
 
     def per_frame(img):
+        hint = int_value_hint(img.dtype)  # static: raw chunk dtype
         img = _to_compute(img)
-        return metric_fn(img[::-1, :] if flip else img)
+        return metric_fn(img[::-1, :] if flip else img, int_range=hint)
 
     return jax.jit(jax.vmap(per_frame))
 
@@ -292,8 +293,9 @@ def _metrics_stack_program(
     )
 
     def per_frame(img):
+        hint = int_value_hint(img.dtype)  # static: raw chunk dtype
         img = _to_compute(img)
-        return metric_fn(img[::-1, :] if flip else img)
+        return metric_fn(img[::-1, :] if flip else img, int_range=hint)
 
     slab_fn = jax.vmap(per_frame)
 

@@ -68,7 +68,32 @@ def _order_stats_bits(u, finite, ks, nbits: int):
     return hi
 
 
-def nanquantiles_exact(x, qs: tuple[float, ...]):
+def _order_stats_int(x, valid, ks, lo_v: int, hi_v: int, nsteps: int):
+    """Integer-value-space variant of :func:`_order_stats_bits`: when every
+    finite value is an integer in [lo_v, hi_v] (e.g. uint16 detector counts
+    cast to float), the k-th order statistic IS an integer in that range,
+    so the binary search runs over integer thresholds — ceil(log2(span))+1
+    counting passes instead of 32/64 (17 for uint16: ~2x fewer full-array
+    reads). Exact under the caller's integer-valued contract; thresholds
+    stay exactly representable (span < 2^24 enforced by the caller)."""
+    def body(i, state):
+        lo, hi = state
+        mid = lo + (hi - lo) // 2
+        thr = mid.astype(x.dtype)
+        cnt = jnp.sum(valid[:, None] & (x[:, None] <= thr[None, :]), axis=0)
+        ge = cnt >= (ks + 1)
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, mid + 1)
+        return lo, hi
+
+    R = ks.shape[0]
+    lo0 = jnp.full((R,), lo_v, jnp.int32)
+    hi0 = jnp.full((R,), hi_v, jnp.int32)
+    _lo, hi = jax.lax.fori_loop(0, nsteps, body, (lo0, hi0))
+    return hi.astype(x.dtype)
+
+
+def nanquantiles_exact(x, qs: tuple[float, ...], *, integer_range=None):
     """Exact nan-aware quantiles (q in [0, 1]) with linear interpolation.
 
     Returns an array of shape (len(qs),) in x's dtype. All-NaN input yields
@@ -84,7 +109,15 @@ def nanquantiles_exact(x, qs: tuple[float, ...]):
     the selected PAIR of order statistics can be off by one — a value-level
     error bounded by one inter-sample gap at that quantile (negligible for
     dense detector data, noted here for exactness bookkeeping).
+
+    ``integer_range=(lo, hi)`` is a caller CONTRACT that every finite value
+    is an integer in [lo, hi] (e.g. uint16 detector frames cast to float):
+    the order-statistic search then bisects integer thresholds —
+    ceil(log2(hi-lo+1))+1 counting passes instead of 32/64. Fractional or
+    out-of-range values under the hint break exactness silently.
     """
+    import math
+
     import jax
 
     x = x.reshape(-1)
@@ -95,7 +128,16 @@ def nanquantiles_exact(x, qs: tuple[float, ...]):
     n = jnp.sum(valid)
     nf = jnp.maximum(n, 1)
 
-    u = _sortable_bits(jnp.where(valid, x, 0.0))
+    if integer_range is not None:
+        lo_v, hi_v = (int(v) for v in integer_range)
+        if not (lo_v <= hi_v and hi_v - lo_v < (1 << 24) and abs(lo_v) < (1 << 24)):
+            raise ValueError(
+                "integer_range must satisfy lo <= hi with span/magnitude "
+                "< 2^24 (float32-exact thresholds)"
+            )
+        nsteps = max(1, math.ceil(math.log2(hi_v - lo_v + 1))) + 1
+    else:
+        u = _sortable_bits(jnp.where(valid, x, 0.0))
 
     rank_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     qarr = jnp.asarray(qs, dtype=rank_dtype)
@@ -105,8 +147,11 @@ def nanquantiles_exact(x, qs: tuple[float, ...]):
     frac = (rank - jnp.floor(rank)).astype(dtype)
 
     ks = jnp.concatenate([lo_k, hi_k])
-    vals_bits = _order_stats_bits(u, valid, ks, nbits)
-    vals = _bits_to_float(vals_bits, dtype)
+    if integer_range is not None:
+        vals = _order_stats_int(x, valid, ks, lo_v, hi_v, nsteps)
+    else:
+        vals_bits = _order_stats_bits(u, valid, ks, nbits)
+        vals = _bits_to_float(vals_bits, dtype)
     R = len(qs)
     v_lo, v_hi = vals[:R], vals[R:]
 
@@ -117,9 +162,11 @@ def nanquantiles_exact(x, qs: tuple[float, ...]):
     return jnp.where(n > 0, out, jnp.nan).astype(dtype)
 
 
-def nanpercentiles_exact(x, ps: tuple[float, ...]):
+def nanpercentiles_exact(x, ps: tuple[float, ...], *, integer_range=None):
     """Exact nan-aware percentiles (p in [0, 100])."""
-    return nanquantiles_exact(x, tuple(p / 100.0 for p in ps))
+    return nanquantiles_exact(
+        x, tuple(p / 100.0 for p in ps), integer_range=integer_range
+    )
 
 
 def nanmedian_exact(x):

@@ -79,3 +79,57 @@ def test_infinities_rank_like_nanpercentile():
     np.testing.assert_allclose(
         got[1], np.nanpercentile(x, 50.0), rtol=0, atol=0
     )
+
+
+def test_integer_range_matches_generic_and_numpy():
+    """The integer-value-space bisection (uint16 provenance contract) must
+    equal both the generic bit-space path and np.nanpercentile exactly on
+    integer-valued float data, including NaN exclusion and edge ranks."""
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 65536, size=5001).astype(np.float32)
+    vals[::97] = np.nan
+    ps = (0.0, 0.05, 37.2, 50.0, 99.95, 100.0)
+    got_int = np.asarray(
+        nanpercentiles_exact(jnp.asarray(vals), ps, integer_range=(0, 65535))
+    )
+    got_gen = np.asarray(nanpercentiles_exact(jnp.asarray(vals), ps))
+    ref = np.nanpercentile(vals.astype(np.float64), list(ps))
+    np.testing.assert_array_equal(got_int, got_gen)
+    np.testing.assert_allclose(got_int, ref, rtol=1e-6)
+
+
+def test_integer_range_small_span_and_negative():
+    x = np.array([-3.0, -1.0, 0.0, 2.0, 2.0, 7.0])
+    got = np.asarray(
+        nanpercentiles_exact(jnp.asarray(x), (0.0, 50.0, 100.0),
+                             integer_range=(-3, 7))
+    )
+    ref = np.percentile(x, [0.0, 50.0, 100.0])
+    np.testing.assert_allclose(got, ref)
+
+
+def test_integer_range_rejects_wide_span():
+    import pytest
+
+    with pytest.raises(ValueError):
+        nanpercentiles_exact(
+            jnp.asarray(np.zeros(4, np.float32)), (50.0,),
+            integer_range=(0, 1 << 25),
+        )
+
+
+def test_amplitude_uint16_hint_matches_float_path():
+    """speckle_stats amplitude on a uint16 image (integer-range fast path)
+    equals the same image pre-cast to float32 (generic bit-space path)."""
+    import barc4dip_tpu as dip
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(10, 60000, size=(160, 160)).astype(np.uint16)
+    a = dip.speckle_stats(img, metrics="amplitude", tiles=False, verbose=False)
+    b = dip.speckle_stats(
+        img.astype(np.float32), metrics="amplitude", tiles=False, verbose=False
+    )
+    for k in ("visibility", "contrast"):
+        np.testing.assert_allclose(
+            a["full"]["amplitude"][k], b["full"]["amplitude"][k], rtol=0, atol=0
+        )
