@@ -274,7 +274,7 @@ def _metrics_chunk_program(
 def _metrics_stack_program(
     groups: tuple, mode: str, sat: float | None, eps: float, flip: bool,
     full_maps: bool, half_maps: bool = False, _mxu: bool = False,
-    slab: int = 4,
+    slab: int = 4, packed: bool = False,
 ):
     """Superchunk metrics program: ONE executable processes a whole
     (T_exec, H, W) batch by ``lax.map`` over ``slab``-wide sub-batches.
@@ -308,7 +308,46 @@ def _metrics_stack_program(
             lambda a: a.reshape((T,) + a.shape[2:]), out
         )
 
-    return run
+    if not packed:
+        return run
+
+    # Packed output: every leaf ravelled into ONE flat float vector so the
+    # host pull is a single round trip — pulling a ~60-leaf pytree over
+    # the tunnel costs ~0.7-4 ms PER LEAF (notes §3), which dominates the
+    # scalar results' wall-clock. Exact: leaves are cast (loss-free) to
+    # the widest float dtype present and restored by _unpack_metrics.
+    @jax.jit
+    def run_packed(stack_dev):
+        out = run(stack_dev)
+        leaves = jax.tree_util.tree_leaves(out)
+        if not all(jnp.issubdtype(l.dtype, jnp.floating) for l in leaves):
+            raise TypeError("packed metrics require all-float leaves")
+        wide = jnp.result_type(*[l.dtype for l in leaves])
+        return jnp.concatenate([jnp.ravel(l).astype(wide) for l in leaves])
+
+    return run_packed
+
+
+def metrics_pack_spec(prog_unpacked, stack_shape, dtype):
+    """(treedef, [(shape, dtype), ...]) for unpacking a packed metrics
+    vector — derived by abstract evaluation of the UNPACKED program at the
+    same input shape (no compile, no device work)."""
+    out = jax.eval_shape(
+        prog_unpacked, jax.ShapeDtypeStruct(tuple(stack_shape), dtype)
+    )
+    leaves, treedef = jax.tree_util.tree_flatten(out)
+    return treedef, [(tuple(l.shape), l.dtype) for l in leaves]
+
+
+def unpack_metrics(flat_np, treedef, shapes):
+    """Inverse of the packed-output concatenation (host-side, exact)."""
+    flat_np = np.asarray(flat_np)
+    out, off = [], 0
+    for shp, dt in shapes:
+        n = int(np.prod(shp)) if shp else 1
+        out.append(flat_np[off : off + n].reshape(shp).astype(dt, copy=False))
+        off += n
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 @lru_cache(maxsize=16)
@@ -459,7 +498,7 @@ def device_compute_probe(
 
     metrics_prog = _metrics_stack_program(
         tuple(sorted(groups)), mode, sat, eps, bool(flip), False, on_tpu(),
-        mxufft.mxu_fft_enabled(), B,
+        mxufft.mxu_fft_enabled(), B, True,  # packed: one-pull scalar vector
     )
     track_prog = _track_stack_program(
         method, bool(subpixel), H, W, s, starts_key,
@@ -833,10 +872,18 @@ def _run_resident_stack(
 
     from ..config import on_tpu
 
-    metrics_prog = _metrics_stack_program(
+    # all-scalar output trees (full_maps=False) pull as ONE packed vector:
+    # a single round trip instead of ~60 per-leaf pulls (notes §3)
+    margs = (
         tuple(sorted(groups)), mode, sat, eps, bool(flip), bool(full_maps),
         on_tpu(), mxufft.mxu_fft_enabled(), B,
     )
+    use_packed = not full_maps
+    metrics_prog = _metrics_stack_program(*margs, use_packed)
+    if use_packed:
+        pack_spec = metrics_pack_spec(
+            _metrics_stack_program(*margs), (SC, H, W), stack.dtype
+        )
     track_prog = _track_stack_program(
         method, bool(subpixel), H, W, s, starts_key,
         None if search_radius is None else int(search_radius),
@@ -885,8 +932,11 @@ def _run_resident_stack(
             a.nbytes for a in jax.tree_util.tree_leaves(raw)
         )
         perf["chunks"] += 1
+        metrics_np = raw["metrics"]
+        if use_packed:
+            metrics_np = unpack_metrics(metrics_np, *pack_spec)
         metric_pieces.append(
-            jax.tree_util.tree_map(lambda a: np.asarray(a)[:n], raw["metrics"])
+            jax.tree_util.tree_map(lambda a: np.asarray(a)[:n], metrics_np)
         )
         tr = raw["track"]
         dy_abs[c0:c1] = tr["dy_a"][:n]
