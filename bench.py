@@ -401,10 +401,35 @@ def make_stack(T: int, side: int, grain_px: float = 8.0) -> np.ndarray:
 
     from barc4dip_tpu.utils import speckle_stack
 
-    stack = speckle_stack(
-        T, (side, side), grain_px=grain_px, mean_counts=8000.0,
-        seed=np.random.default_rng(1234), dtype=np.uint16,
-    )
+    def gen(n: int) -> np.ndarray:
+        # same fixed seed for any n: the rng only feeds the shared base
+        # field, so gen(a) == gen(b)[:a] — the same identity the on-disk
+        # cache slicing relies on
+        return speckle_stack(
+            n, (side, side), grain_px=grain_px, mean_counts=8000.0,
+            seed=np.random.default_rng(1234), dtype=np.uint16,
+        )
+
+    # Budget-aware generation (cold cache + throttled host = ~0.8-2
+    # s/frame, measured eating half the watchdog budget at T=64): probe
+    # with a few frames, project, and shrink the stack rather than let
+    # generation starve the timed run. Only the generated count shrinks —
+    # frame t is identical at any T.
+    probe_T = min(T, 4)
+    t0 = time.perf_counter()
+    stack = gen(probe_T)
+    probe_s = time.perf_counter() - t0
+    if T > probe_T:
+        projected = probe_s * (T / probe_T - 1.0)
+        allowed = 0.35 * max(remaining_s(), 0.0)
+        if projected > allowed:
+            T_fit = max(probe_T, int(probe_T * (1.0 + allowed / max(probe_s, 1e-3))))
+            log(f"stack gen budget fit: {probe_T} frames took {probe_s:.1f}s; "
+                f"generating {T_fit} of {T} requested")
+            T = T_fit
+        if T > probe_T:
+            stack = gen(T)  # regenerating the probe frames costs <=10%
+    want_shape = (T, side, side)
     assert stack.shape == want_shape
     if cache_ok:
         try:
@@ -753,6 +778,7 @@ def main() -> int:
 
     stage("make_stack")
     stack = make_stack(T, side)
+    T = stack.shape[0]  # may be budget-fitted on a cold stack cache
 
     stage("handshake_wait")
     wait_backend_handshake()
