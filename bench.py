@@ -51,11 +51,21 @@ BENCH_BUDGET_S (watchdog budget), BENCH_COMPILE_CACHE=0 disables the
 persistent XLA compilation cache, BENCH_STACK_CACHE=0 disables the on-disk
 synthetic-stack cache.
 
-The run FAILS (exit 1, "gate_failed": true in the JSON) when the tracking
-error against the known synthetic motion exceeds 0.05 px — a throughput
-number from numerically wrong hardware output must not read as a win. A
-degraded (watchdog/collapsed-link) run only fails the gate if a completed
-measurement actually violated it.
+Stage order puts the cheap, wire-independent measurements first: warmup →
+device-compute probe (frame count fitted to the budget) → timed run 1 →
+metric-value gate → optional run 2 → optional CPU baseline. Round 4's
+headline kernel number reached the driver only as a cache entry because
+the probe ran last; it cannot happen again.
+
+The run FAILS (exit 1, "gate_failed": true in the JSON) when either
+hardware gate trips: the tracking error against the known synthetic
+motion exceeds 0.05 px, or the metric VALUES (full + tiles leaves of the
+first GOLDEN_K frames) differ from the host-CPU golden of the same code
+by more than METRIC_GATE_RTOL (normalized inf-norm per leaf) — a
+throughput number from numerically wrong hardware output must not read
+as a win, and a silent bf16 demotion (~4e-3) is invisible to the argmax
+gate alone. A degraded (watchdog/collapsed-link) run only fails the gate
+if a completed measurement actually violated it.
 """
 from __future__ import annotations
 
@@ -75,6 +85,24 @@ BASELINE_CACHE = REPO / ".bench_baseline.json"
 # skipped, the cached value (explicitly marked "cache") is still the truth
 # about the chip, unlike the link-hostage MP/s headline.
 DEVCOMPUTE_CACHE = REPO / ".bench_device_compute.json"
+# Host-CPU golden metric leaves (same code, CPU backend, same uint16
+# frames): the reference values for the hardware metric-value gate. Keyed
+# by frame geometry + a content hash of the compared frames, so a changed
+# generator or stack invalidates it. Committed like .bench_baseline.json —
+# the golden is a property of the DATA and the metric definitions, and
+# recomputing it costs CPU minutes the driver budget cannot spare.
+METRIC_GOLDEN_CACHE = REPO / ".bench_metric_golden.json"
+# frames compared by the metric-value gate (per-frame metrics depend only
+# on their own frame, so k frames of the golden match the first k of any
+# longer run over the same cached synthetic stack)
+GOLDEN_K = 2
+# f32 pipeline vs an independent f32 execution of the same math on the CPU
+# backend: reduction orders and FFT engines differ (XLA CPU FFT vs MXU
+# matmul DFT), giving ~1e-6 legitimate scatter on 4 MP reductions. The one
+# known silent hardware failure mode — bf16 demotion of a matmul
+# (docs/AXON_BACKEND_NOTES.md §5c) — shows up at ~4e-3, two orders above
+# the gate.
+METRIC_GATE_RTOL = 1e-4
 T0 = time.perf_counter()
 
 # Shared mutable record of everything measured so far. Stages write into it
@@ -94,8 +122,10 @@ STATE: dict = {
     "cpu_sec_per_frame": None,
     "cpu_baseline_source": None,
     "handshake_s": None,
+    "metric_gate": None,   # {"checked", "max_rel_err", "worst_leaf", ...}
     "last_rc": 0,
 }
+_RUN1_LEAVES: dict = {}   # TPU leaves captured from the first timed run
 _DONE = threading.Event()
 _EMIT_LOCK = threading.Lock()
 _EMITTED_KINDS: set = set()
@@ -225,8 +255,18 @@ def emit(degraded: bool, kind: str = "final") -> int:
             value_source = "none_completed"
 
         # Gate semantics: only a completed measurement can fail the gate.
+        # Two hardware gates: the tracking peak vs the known synthetic
+        # motion (argmax-level), and the metric VALUES vs the host-CPU
+        # golden (precision-level — an on-chip bf16 demotion passes the
+        # argmax gate but not this one).
+        mg = STATE["metric_gate"] or {}
         gate_checked = track_err is not None
         gate_failed = bool(gate_checked and not (track_err <= 0.05))
+        if mg.get("checked"):
+            gate_checked = True
+            gate_failed = gate_failed or not (
+                mg["max_rel_err"] <= mg["rtol"]
+            )
 
         cpu_spf = STATE["cpu_sec_per_frame"]
         vs_baseline = None
@@ -253,6 +293,7 @@ def emit(degraded: bool, kind: str = "final") -> int:
             if pct_roofline else None,
             "device_compute_mpix_s": dc.get("compute_mpix_s") if dc else None,
             "device_compute_source": STATE["device_compute_source"],
+            "metrics_max_rel_err": mg.get("max_rel_err"),
             "degraded": degraded,
             "checkpoint": kind in ("startup", "checkpoint"),
             "detail": {
@@ -270,6 +311,7 @@ def emit(degraded: bool, kind: str = "final") -> int:
                 "gate_checked": gate_checked,
                 "tracking_max_err_px": round(track_err, 4)
                 if track_err is not None else None,
+                "metric_gate": STATE["metric_gate"],
                 "stages": stages_detail,
                 "backend_handshake_s": STATE["handshake_s"],
                 "link": STATE["link"],
@@ -379,7 +421,6 @@ def make_stack(T: int, side: int, grain_px: float = 8.0) -> np.ndarray:
     by slicing.
     """
     cache_ok = os.environ.get("BENCH_STACK_CACHE", "1") == "1"
-    want_shape = (T, side, side)
     if cache_ok:
         best = None
         for p in REPO.glob(f".bench_stack_{side}_T*_v2.npy"):
@@ -400,13 +441,17 @@ def make_stack(T: int, side: int, grain_px: float = 8.0) -> np.ndarray:
                 log(f"stack cache unreadable ({exc!r}); regenerating")
 
     from barc4dip_tpu.utils import speckle_stack
+    from barc4dip_tpu.utils.synthetic import spiral_motion
 
-    def gen(n: int) -> np.ndarray:
-        # same fixed seed for any n: the rng only feeds the shared base
-        # field, so gen(a) == gen(b)[:a] — the same identity the on-disk
-        # cache slicing relies on
+    def gen(lo: int, hi: int) -> np.ndarray:
+        # frames [lo:hi) only: the fixed seed rebuilds the shared base
+        # field and the per-frame motion depends on t alone, so
+        # gen(0, a) == gen(0, b)[:a] and tails concatenate exactly — the
+        # same identity the on-disk cache slicing relies on
+        dys, dxs = spiral_motion(hi)
         return speckle_stack(
-            n, (side, side), grain_px=grain_px, mean_counts=8000.0,
+            hi - lo, (side, side), grain_px=grain_px, mean_counts=8000.0,
+            dys=dys[lo:], dxs=dxs[lo:],
             seed=np.random.default_rng(1234), dtype=np.uint16,
         )
 
@@ -417,20 +462,32 @@ def make_stack(T: int, side: int, grain_px: float = 8.0) -> np.ndarray:
     # frame t is identical at any T.
     probe_T = min(T, 4)
     t0 = time.perf_counter()
-    stack = gen(probe_T)
+    stack = gen(0, probe_T)
     probe_s = time.perf_counter() - t0
     if T > probe_T:
-        projected = probe_s * (T / probe_T - 1.0)
+        # the generator farms frames to a thread pool: scale the projection
+        # by the parallelism each phase actually gets, or a 4-frame probe on
+        # a many-core host overestimates the full run by up to 2x
+        pool = min(8, os.cpu_count() or 1)
+        par_probe = min(probe_T, pool)
+
+        def projected_s(n_more: int) -> float:
+            par_full = min(max(n_more, 1), pool)
+            return probe_s * (n_more / probe_T) * (par_probe / par_full)
+
         allowed = 0.35 * max(remaining_s(), 0.0)
-        if projected > allowed:
-            T_fit = max(probe_T, int(probe_T * (1.0 + allowed / max(probe_s, 1e-3))))
+        if projected_s(T - probe_T) > allowed:
+            per_frame = probe_s / probe_T * (par_probe / pool)
+            T_fit = probe_T + int(allowed / max(per_frame, 1e-3))
+            T_fit = max(probe_T, min(T, T_fit))
             log(f"stack gen budget fit: {probe_T} frames took {probe_s:.1f}s; "
                 f"generating {T_fit} of {T} requested")
             T = T_fit
         if T > probe_T:
-            stack = gen(T)  # regenerating the probe frames costs <=10%
-    want_shape = (T, side, side)
-    assert stack.shape == want_shape
+            # only the missing tail is generated (exact: per-frame
+            # independence), so the probe frames are never paid for twice
+            stack = np.concatenate([stack, gen(probe_T, T)], axis=0)
+    assert stack.shape == (T, side, side)
     if cache_ok:
         try:
             path = REPO / f".bench_stack_{side}_T{T}_v2.npy"
@@ -552,6 +609,12 @@ def timed_run(stack: np.ndarray, frame_chunk: int) -> None:
     elapsed = time.perf_counter() - t0
     perf = dict(stack_fused.LAST_RUN_PERF)
 
+    if not _RUN1_LEAVES:
+        # capture the hardware metric VALUES of the first run's leading
+        # frames (already on host — the pipeline returns NumPy) for the
+        # metric-value gate; slicing is free, outside the timed region
+        _RUN1_LEAVES.update(metric_leaves(out, GOLDEN_K))
+
     # Per-stage attribution (upload / dispatch / wait) makes a throughput
     # swing self-explaining. JAX dispatch is asynchronous: upload_s /
     # dispatch_s measure the (mostly synchronous-transfer) enqueue side,
@@ -601,10 +664,317 @@ def timed_run(stack: np.ndarray, frame_chunk: int) -> None:
         f"MP/s), track_err {track_err:.4f} px")
 
 
-def measure_device_compute(stack: np.ndarray, frame_chunk: int) -> None:
+def metric_leaves(out: dict, k: int) -> dict:
+    """Flatten the ``full`` + ``tiles`` numeric leaves of a
+    ``speckle_stack_stats`` result to {dotted.path: float64 array}, keeping
+    only the first ``k`` frames of each leading axis. Per-frame metrics
+    depend only on their own frame, so these are directly comparable
+    between a k-frame golden run and the head of a longer run.
+
+    Map-sized leaves (the grain autocorrelation, (k, H, W)) are reduced to
+    a deterministic strided sample of 4096 values plus their global
+    mean/L2/max — an element-wise check on a fixed subset of the map (the
+    same pixels both sides), which catches a precision regression anywhere
+    the FFT path touches without shipping megabytes into the committed
+    golden cache."""
+    leaves: dict = {}
+
+    def walk(path: str, node) -> None:
+        if isinstance(node, dict):
+            for key, v in node.items():
+                walk(f"{path}.{key}", v)
+            return
+        arr = np.asarray(node)
+        if arr.dtype.kind not in "fiu":
+            return
+        if arr.ndim >= 1 and arr.shape[0] >= k:
+            arr = arr[:k]
+        arr = np.asarray(arr, np.float64)
+        if arr.size > 8192:
+            flat = arr.ravel()
+            idx = np.linspace(0, flat.size - 1, 4096).astype(np.int64)
+            finite = flat[np.isfinite(flat)]
+            summary = np.array([
+                finite.mean() if finite.size else np.nan,
+                np.sqrt(np.mean(finite**2)) if finite.size else np.nan,
+                np.max(np.abs(finite)) if finite.size else np.nan,
+            ])
+            leaves[path + ".sample4096"] = flat[idx]
+            leaves[path + ".summary"] = summary
+            return
+        leaves[path] = arr
+
+    for section in ("full", "tiles"):
+        if section in out:
+            walk(section, out[section])
+    return leaves
+
+
+def _leaf_rel_err(a: np.ndarray, b: np.ndarray) -> float:
+    """Normalized inf-norm difference of one leaf: max|a-b| over the
+    leaf's own magnitude scale. Zero-valued leaves compare absolutely
+    (denominator = the larger side's scale); a finiteness mismatch is an
+    unconditional failure (inf)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.shape != b.shape:
+        return 1e30  # sentinel, not inf: the artifact must stay strict JSON
+    fa, fb = np.isfinite(a), np.isfinite(b)
+    if not np.array_equal(fa, fb):
+        return 1e30
+    if not fa.any():
+        return 0.0
+    a, b = a[fa], b[fb]
+    denom = max(float(np.max(np.abs(a))), float(np.max(np.abs(b))))
+    if denom == 0.0:
+        return 0.0
+    return float(np.max(np.abs(a - b))) / denom
+
+
+def _stack_golden_key(stack: np.ndarray, k: int) -> str:
+    import hashlib
+
+    h = hashlib.sha256(np.ascontiguousarray(stack[:k]).tobytes())
+    return (f"{stack.shape[1]}x{stack.shape[2]}-k{k}"
+            f"-{stack.dtype.name}-{h.hexdigest()[:16]}")
+
+
+def compute_metric_golden(stack: np.ndarray, k: int,
+                          frame_chunk: int) -> dict | None:
+    """Run the SAME pipeline on the host CPU backend in a subprocess and
+    return its metric leaves. An independent execution of the same math —
+    different backend, different FFT engine (XLA CPU vs MXU matmul DFT),
+    different reduction orders — so agreement bounds the hardware path's
+    numeric error. A fresh process keeps the CPU-only platform selection
+    from disturbing this process's live TPU backend."""
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".npy", delete=False) as f:
+        in_npy = f.name
+    out_json = in_npy + ".golden.json"
+    try:
+        np.save(in_npy, np.ascontiguousarray(stack[:k]))
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "bench.py"), "--make-golden",
+             in_npy, out_json, str(frame_chunk)],
+            cwd=str(REPO), capture_output=True, text=True,
+            timeout=max(remaining_s() - 30.0, 60.0),
+        )
+        if proc.returncode != 0:
+            log(f"golden subprocess failed rc={proc.returncode}: "
+                f"{proc.stderr[-400:]}")
+            return None
+        leaves = json.loads(Path(out_json).read_text())
+        return {p: np.asarray(v, np.float64) for p, v in leaves.items()}
+    except Exception as exc:
+        log(f"golden computation failed: {exc!r}")
+        return None
+    finally:
+        for p in (in_npy, out_json):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+
+
+def golden_main(in_npy: str, out_json: str, frame_chunk: str) -> int:
+    """Subprocess entry (``bench.py --make-golden``): CPU-backend golden
+    run. Must run before any other jax use in this process."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    _setup_compile_cache()  # CPU compiles of 2048² programs are not free
+
+    import barc4dip_tpu as dip
+
+    stack = np.load(in_npy)
+    out = dip.speckle_stack_stats(stack, **pipeline_kwargs(int(frame_chunk)))
+    leaves = metric_leaves(out, stack.shape[0])
+    Path(out_json).write_text(
+        json.dumps({p: v.tolist() for p, v in leaves.items()})
+    )
+    return 0
+
+
+def check_hardware_metrics(stack: np.ndarray, frame_chunk: int) -> None:
+    """The metric-VALUE hardware gate (VERDICT r4 item 2): compare run 1's
+    full+tiles leaves for the first GOLDEN_K frames against the host-CPU
+    golden at METRIC_GATE_RTOL. The golden is cached (committed) keyed by
+    frame content; on a cache miss it is recomputed here if the budget
+    allows — CPU-minutes the driver's budget usually cannot spare, which
+    is why the cache ships with the repo."""
+    if not _RUN1_LEAVES:
+        STATE["metric_gate"] = {"checked": False,
+                                "note": "no run-1 leaves captured"}
+        return
+    key = _stack_golden_key(stack, GOLDEN_K)
+    golden = None
+    source = None
+    cache: dict = {}
+    if METRIC_GOLDEN_CACHE.exists():
+        try:
+            cache = json.loads(METRIC_GOLDEN_CACHE.read_text())
+        except Exception as exc:
+            log(f"golden cache unreadable: {exc!r}")
+    entry = cache.get(key)
+    if entry:
+        golden = {p: np.asarray(v, np.float64)
+                  for p, v in entry["leaves"].items()}
+        source = (f"cache({entry.get('git_rev', '?')} "
+                  f"{entry.get('computed_utc', '?')})")
+    elif remaining_s() > 120 and not STATE["link_degraded"]:
+        log("golden cache miss: computing CPU-backend golden "
+            f"({GOLDEN_K} frames) in a subprocess")
+        golden = compute_metric_golden(stack, GOLDEN_K, frame_chunk)
+        if golden is not None:
+            source = "measured"
+            cache[key] = {
+                "leaves": {p: v.tolist() for p, v in golden.items()},
+                "git_rev": _git_rev(),
+                "computed_utc": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "backend": "cpu (same code, f32 compute, XLA CPU FFTs)",
+            }
+            try:
+                METRIC_GOLDEN_CACHE.write_text(json.dumps(cache, indent=1))
+            except Exception as exc:
+                log(f"golden cache write failed: {exc!r}")
+    if golden is None:
+        STATE["metric_gate"] = {
+            "checked": False,
+            "note": "golden unavailable (cache miss and no budget to "
+                    "compute it)",
+        }
+        return
+
+    worst = (None, -1.0)
+    per_leaf_missing = [p for p in golden if p not in _RUN1_LEAVES]
+    per_leaf_missing += [p for p in _RUN1_LEAVES if p not in golden]
+
+    def _scale(path: str) -> float:
+        vals = [v for v in (golden.get(path), _RUN1_LEAVES.get(path))
+                if v is not None]
+        fin = [np.abs(v[np.isfinite(v)]) for v in vals]
+        return max((float(f.max()) for f in fin if f.size), default=0.0)
+
+    for path, gval in golden.items():
+        if path not in _RUN1_LEAVES:
+            continue
+        err = _leaf_rel_err(_RUN1_LEAVES[path], gval)
+        if path.endswith(".std") and err < 1e29:
+            # a ``.std`` leaf is a cancellation-amplified derivative of its
+            # sibling ``.mean`` values (std of 9 near-equal tiles): its own
+            # scale can be 1e3x smaller than the quantity it derives from,
+            # so benign f32 scatter reads as ~1e-3 against it (measured
+            # 5.4e-4 on tiles.amplitude.contrast.std, hardware vs CPU,
+            # both f32-clean). Error in a std cannot exceed error in the
+            # underlying values — normalize by the PARENT scale instead.
+            parent = _scale(path[: -len(".std")] + ".mean")
+            own = _scale(path)
+            if parent > own > 0.0:
+                err *= own / parent
+        if err > worst[1]:
+            worst = (path, err)
+    STATE["metric_gate"] = {
+        "checked": True,
+        "max_rel_err": round(worst[1], 10),
+        "worst_leaf": worst[0],
+        "rtol": METRIC_GATE_RTOL,
+        "frames_compared": GOLDEN_K,
+        "leaves_compared": len(golden) - len(per_leaf_missing),
+        "schema_mismatches": per_leaf_missing or None,
+        "golden_source": source,
+    }
+    if per_leaf_missing:
+        # a leaf present on only one side is a schema divergence — fail
+        STATE["metric_gate"]["max_rel_err"] = 1e30
+    log(f"metric gate: max_rel_err={worst[1]:.3e} on '{worst[0]}' "
+        f"(rtol {METRIC_GATE_RTOL:g}, golden {source})")
+
+
+def estimate_pipeline_flops_per_frame(H: int, W: int) -> float:
+    """Estimated *algorithmic* FLOPs of one frame's fused metrics+tracking
+    programs (the MFU convention: useful work, counting every FFT at the
+    textbook 5·N·log2(N) regardless of whether it executes as an XLA FFT
+    or as the repo's dense MXU matmul DFT, which performs more raw flops).
+
+    Terms (all groups, tiles on = 9 subtiles, template tracking, 9 ROIs):
+
+    - full-frame grain autocorrelation: rfft2 + irfft2 (= one complex-FFT
+      equivalent) + pointwise |.|², radial gather, percentile/moment
+      reductions (~30 flops/px across the stats/amplitude/bandwidth
+      groups' fused reductions);
+    - the same chain on 9 subtiles of N/9 pixels each;
+    - tracking: 2 full-frame forward transforms per frame (abs + inc
+      chains), 18 correlation inverses (9 ROIs x abs/inc) each preceded by
+      a pointwise complex product (~8 flops/px) and followed by the fused
+      NCC epilogue (~12 flops/px: divide, wrap mask, peak reduction).
+    """
+    import math
+
+    N = H * W
+    fft2 = 5.0 * N * math.log2(N)     # complex 2-D FFT equivalent
+    rfft2 = 0.5 * fft2
+    metrics = 2 * rfft2 + 30.0 * N
+    n_sub = N / 9.0
+    metrics += 9 * (2 * (2.5 * n_sub * math.log2(n_sub)) + 30.0 * n_sub)
+    tracking = 2 * rfft2 + 18 * (rfft2 + 8.0 * N + 12.0 * N)
+    return metrics + tracking
+
+
+# bf16 matmul peak per chip, by device_kind substring. The DFT matmuls run
+# at Precision.HIGHEST (multi-pass bf16), so even perfect MXU occupancy
+# could not reach this number — it is a denominator, not a target: the
+# pipeline is FFT- i.e. HBM-bandwidth-bound and single-digit (or lower)
+# percentages are expected (VERDICT r4 item 6).
+_PEAK_BF16_TFLOPS = {
+    "v4": 275.0, "v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0,
+    "v6 lite": 918.0, "v6e": 918.0,
+}
+
+
+def _device_peak_tflops() -> tuple[str | None, float | None]:
+    try:
+        import jax
+
+        kind = str(jax.devices()[0].device_kind)
+        for sub, peak in _PEAK_BF16_TFLOPS.items():
+            if sub in kind.lower():
+                return kind, peak
+        return kind, None
+    except Exception:
+        return None, None
+
+
+def fit_probe_frames(T: int, frame_bytes: int, reserve_s: float) -> int:
+    """Shrink the device-probe stack to what the remaining budget can
+    upload (the probe pays its own wire: ``jnp.asarray`` of the probed
+    frames), keeping ``reserve_s`` for the stages after it. More frames =
+    better amortization of the 2-dispatch program tax, so take the most
+    the budget affords — quantized to powers-of-two frame counts so the
+    superchunk program SHAPES recur across runs and stay in the
+    persistent compile cache (an arbitrary fitted T would be a fresh
+    remote compile on every congested day), floor 4."""
+    up = (STATE["link"] or {}).get("up_MBps") or 30.0
+    allow_s = remaining_s() - reserve_s
+    # upload + ~3 timed executions (~2-6 s) + slack for the scalar pulls
+    fit = int((allow_s - 8.0) * up * 1e6 / max(frame_bytes, 1))
+    best = 4
+    while best * 2 <= min(T, fit):
+        best *= 2
+    return max(4, min(T, best))
+
+
+def measure_device_compute(stack: np.ndarray, frame_chunk: int,
+                           reserve_s: float = 0.0) -> None:
     """Wire-independent device-compute throughput of the fused programs
     (frames pre-uploaded): what the chip could sustain on a healthy link.
-    Best-effort — the headline metric never depends on it."""
+    Best-effort — the headline metric never depends on it. Runs right
+    after warmup (VERDICT r4 item 1: the cheap, wire-independent number
+    must reach the artifact even on a starved budget), with the probed
+    frame count fitted to the budget while reserving ``reserve_s`` for
+    the timed runs behind it."""
     try:
         from barc4dip_tpu.metrics.common import choose_tiling_mode, normalize_groups
         from barc4dip_tpu.metrics.speckles import (
@@ -614,6 +984,10 @@ def measure_device_compute(stack: np.ndarray, frame_chunk: int) -> None:
         from barc4dip_tpu.metrics.stack_fused import device_compute_probe
 
         T, H, W = stack.shape
+        probe_T = fit_probe_frames(T, stack[0].nbytes, reserve_s)
+        if probe_T < T:
+            log(f"device probe budget fit: {probe_T} of {T} frames")
+            stack = stack[:probe_T]
         groups = normalize_groups(
             "all", all_groups=_ALL_SPECKLE_GROUPS, context="speckles",
             param_name="metrics",
@@ -625,17 +999,31 @@ def measure_device_compute(stack: np.ndarray, frame_chunk: int) -> None:
             eps=1e-6, flip=True, method="template", subpixel=True,
             frame_chunk=frame_chunk,
         )
+        gflops_frame = estimate_pipeline_flops_per_frame(H, W) / 1e9
+        frames_per_s = probe["mpix_s"] / (H * W / 1e6)
+        est_gflops = gflops_frame * frames_per_s
+        kind, peak = _device_peak_tflops()
         STATE["device_compute"] = {
             "compute_mpix_s": round(probe["mpix_s"], 2),
             "compute_s_total": round(probe["elapsed_s"], 3),
             "metrics_only_s": round(probe["metrics_only_s"], 3),
             "tracking_only_s": round(probe["tracking_only_s"], 3),
+            "frames_probed": int(probe["frames"]),
+            "est_gflops": round(est_gflops, 1),
+            "est_gflops_per_frame": round(gflops_frame, 2),
+            "device_kind": kind,
+            "pct_of_bf16_peak": (round(100.0 * est_gflops / (peak * 1e3), 4)
+                                 if peak else None),
             "note": "frames pre-uploaded; fused metrics+tracking programs "
-                    "+ scalar pulls only (the wire-independent chip rate)",
+                    "+ scalar pulls only (the wire-independent chip rate). "
+                    "est_gflops counts algorithmic (5NlogN FFT-equivalent) "
+                    "work; the pipeline is HBM-bound, so a tiny fraction "
+                    "of matmul peak is expected and fine",
         }
         STATE["device_compute_source"] = "measured"
         write_device_compute_cache(stack.shape[1], frame_chunk)
-        log(f"device compute: {probe['mpix_s']:.1f} MP/s")
+        log(f"device compute: {probe['mpix_s']:.1f} MP/s "
+            f"(~{est_gflops:.0f} GFLOP/s algorithmic)")
     except Exception as exc:  # pragma: no cover - probe must never gate
         log(f"device-compute probe failed: {exc!r}")
 
@@ -829,23 +1217,40 @@ def main() -> int:
         T = T_run
         STATE["frames"] = T
 
+    # Device-compute probe FIRST among the measurement stages (VERDICT r4
+    # item 1: round 4's headline kernel number reached the driver only as a
+    # cache entry because the probe was sequenced after the optional run 2
+    # and a 143 s handshake ate the budget). It is wire-independent and
+    # cheap — programs warm from the warmup, frame count fitted to the
+    # budget while reserving the timed run's cost — so even a starved run
+    # carries device_compute_source="measured".
+    # the probe's minimum cost (4 frames: ~1 s wire + ~3 short executions)
+    # is small — only a genuinely exhausted budget skips it
+    if not STATE["link_degraded"] and remaining_s() > est_spf * T + 20:
+        stage("device_probe")
+        measure_device_compute(stack, frame_chunk,
+                               reserve_s=est_spf * T + 12.0)
+    else:
+        log("skipping device-compute probe (budget or degraded link)")
+
     stage("run1")
     timed_run(stack, frame_chunk)
     run1_s = STATE["runs"][0]["elapsed_s"]
 
+    # metric-VALUE hardware gate: run 1's leaves vs the host-CPU golden
+    # (cache hit = instant; only a cache miss spends budget here)
+    stage("metric_gate")
+    check_hardware_metrics(stack, frame_chunk)
+
     # best of two timed runs: a few seconds each now, and the shared
-    # host/tunnel can hiccup mid-run — one retry de-noises the record
+    # host/tunnel can hiccup mid-run — one retry de-noises the record.
+    # LAST optional stage: everything above it matters more than variance
+    # de-noising when the budget is starved.
     if not STATE["link_degraded"] and remaining_s() > 1.5 * run1_s + 30:
         stage("run2")
         timed_run(stack, frame_chunk)
     else:
         log("skipping run 2 (budget or degraded link)")
-
-    if not STATE["link_degraded"] and remaining_s() > 60:
-        stage("device_probe")
-        measure_device_compute(stack, frame_chunk)
-    else:
-        log("skipping device-compute probe (budget or degraded link)")
 
     force = os.environ.get("BENCH_FORCE_BASELINE") == "1"
     if (STATE["cpu_sec_per_frame"] is None or force) and remaining_s() > 90:
@@ -876,4 +1281,6 @@ def main_guarded() -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 4 and sys.argv[1] == "--make-golden":
+        raise SystemExit(golden_main(*sys.argv[2:5]))
     raise SystemExit(main_guarded())
