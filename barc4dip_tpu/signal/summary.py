@@ -163,7 +163,14 @@ def spectral_summary_stack(
     step_x, step_y = resolve_steps_2d(shape=(ny, nx), x=x, y=y, dx=dx, dy=dy)
 
     program = _summary_stack_program(float(step_x), float(step_y))
-    out = run_stack_program(arr, program, frame_chunk=frame_chunk, mesh=mesh)
+    # integer (detector) stacks ride the wire raw — half the bytes of the
+    # float32 default — and cast on device inside the program; a stack
+    # that is already a jax.Array never touches the host at all
+    # (upload_padded_chunk slices it on device)
+    wire_dtype = arr.dtype if np.issubdtype(arr.dtype, np.integer) else None
+    out = run_stack_program(
+        arr, program, frame_chunk=frame_chunk, mesh=mesh, dtype=wire_dtype
+    )
 
     *_, r_b = binned_geometry((ny, nx), None, 1.0)
     *_, r_i = interpolated_geometry((ny, nx), None, None, None)

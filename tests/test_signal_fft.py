@@ -183,3 +183,44 @@ class TestSpectralSummaryStack:
 
         with pytest.raises(ValueError, match="3D"):
             spectral_summary_stack(np.zeros((8, 8), np.float32))
+
+    def test_device_resident_input_matches_numpy(self):
+        # serving pattern: a jax.Array stack is sliced ON DEVICE (no host
+        # round trip; upload_padded_chunk's jax.Array branch). frame_chunk
+        # 2 over T=5 exercises the device-side tail padding too.
+        import jax.numpy as jnp
+
+        from tests.conftest import make_speckle
+
+        from barc4dip_tpu.signal import spectral_summary_stack
+
+        rng = np.random.default_rng(11)
+        base = make_speckle(rng, shape=(160, 160), grain_px=4.0).astype(np.float32)
+        stack = np.stack([base * (1 + 0.07 * t) for t in range(5)])
+
+        host = spectral_summary_stack(stack, frame_chunk=2)
+        dev = spectral_summary_stack(jnp.asarray(stack), frame_chunk=2)
+        for key in ("radial_binned", "radial_interpolated"):
+            np.testing.assert_array_equal(host[key], dev[key])
+
+    def test_uint16_input_ships_raw_and_matches_float(self):
+        # detector stacks ride the wire as uint16 (half the bytes) and
+        # cast to float32 on device — results must equal the host-cast
+        # float32 path exactly (uint16 -> f32 is lossless)
+        from tests.conftest import make_speckle
+
+        from barc4dip_tpu.signal import spectral_summary_stack
+
+        rng = np.random.default_rng(12)
+        base = make_speckle(rng, shape=(160, 160), grain_px=4.0)
+        stack_f = np.stack(
+            [base * 4000.0 * (1 + 0.05 * t) for t in range(3)]
+        )
+        stack_u16 = stack_f.astype(np.uint16)
+
+        out_u16 = spectral_summary_stack(stack_u16, frame_chunk=3)
+        out_f32 = spectral_summary_stack(
+            stack_u16.astype(np.float32), frame_chunk=3
+        )
+        for key in ("radial_binned", "radial_interpolated"):
+            np.testing.assert_array_equal(out_u16[key], out_f32[key])
