@@ -108,8 +108,13 @@ def bench_tpu(field2d, stack):
     out["C_quantized_pull_2k"] = _timeit(_cold(config_c_quantized))
 
     def config_c_device():
-        # spectra consumed on device (radial curves are the product; the
-        # maps stay chip-resident exactly like the lazy stats leaves)
+        # the reference's composed call pattern consumed on device: four
+        # public calls, maps stay chip-resident, only the radial curves
+        # land on host. Expected SLOWER than the one-program front door by
+        # the extra program launches on a backend with a measured 30-60 ms
+        # serialized per-dispatch floor — quantified in the
+        # C_dispatch_floor note (a launch-count story, not a compute or
+        # wire one).
         P, fx, fy = dip.signal.psd2d(field2d)
         ac, xl, yl = dip.signal.autocorr2d(field2d)
         rb, _ = dip.maths.radial_mean_binned(ac)
@@ -119,6 +124,32 @@ def bench_tpu(field2d, stack):
     out["C_device_resident_2k"] = _timeit(_cold(config_c_device))
 
     T = stack.shape[0]
+
+    def config_c_series():
+        # the realistic scan-series usage of the quick-look: per-frame
+        # radial curves of the whole stack through ONE chunked program
+        # chain (prefetch-overlapped uploads; the per-frame maps never
+        # materialize) — the fixed dispatch tax amortizes over T frames
+        dip.signal.spectral_summary_stack(stack, frame_chunk=8)
+
+    out["C_scan_series_per_frame"] = _timeit(
+        _cold(config_c_series), repeats=2) / T
+
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    dev_stack_c = _jnp.asarray(stack)
+    _jax.device_get(_jax.jit(_jnp.sum)(dev_stack_c))  # force residency
+
+    def config_c_series_resident():
+        # serving pattern: frames already chip-resident (produced by an
+        # on-device preprocessing chain) — pure compute + curve pulls
+        dip.signal.spectral_summary_stack(dev_stack_c, frame_chunk=8)
+
+    out["C_series_resident_per_frame"] = _timeit(
+        config_c_series_resident, repeats=2) / T
+    del dev_stack_c
+
     def config_d():
         dip.speckle_stack_stats(
             stack, metrics="all", tiles=True, tracking_backend="opencv",
@@ -347,6 +378,72 @@ def bench_cpu(field2d, stack):
     return out
 
 
+def measure_dispatch_floor_ms(n: int = 10) -> float:
+    """Measured serialized per-dispatch wall-clock floor of the backend: a
+    trivial cached program executed n times, each forced by a scalar pull
+    (block_until_ready does not force execution on this backend —
+    docs/AXON_BACKEND_NOTES.md §3). This is the launch tax every COMPOSED
+    public-call chain pays per call, and what fused one-program front
+    doors exist to avoid."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x.sum())
+    x = jnp.ones((128, 128), jnp.float32)
+    float(f(x))  # compile + claim
+    t0 = time.perf_counter()
+    for _ in range(n):
+        float(f(x))
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+def _c_floor_note(results: dict) -> str:
+    """The quantified launch-floor argument for Config C (VERDICT r4 item
+    4, the Config-E treatment): the single-frame quick-look is bound by
+    one frame upload + program round trips, so model each variant as
+    upload + N round trips x the measured dispatch floor and compare."""
+    link = results.get("link") or {}
+    up = link.get("up_MBps")
+    disp_ms = results.get("dispatch_floor_ms")
+    if not up or not disp_ms:
+        return "link/dispatch probe unavailable; C floor not computed"
+    tpu = results["tpu_seconds"]
+    frame_mb = SIDE * SIDE * 2 / 1e6  # uint16 frame on the wire
+    up_s = frame_mb / up
+    d = disp_ms / 1e3
+
+    def model(n_rt):
+        return up_s + n_rt * d
+
+    front = tpu.get("C_fourier_radial_2k")
+    composed = tpu.get("C_device_resident_2k")
+    cpu_c = (results.get("cpu_seconds") or {}).get("C_fourier_radial_2k")
+    lines = [
+        f"Single-frame quick-look floor arithmetic at this sweep's link "
+        f"(up {up:.1f} MB/s, measured dispatch floor {disp_ms:.0f} ms): "
+        f"frame upload {up_s:.2f} s.",
+        f"Front door (1 program + 2 curve pulls = 3 round trips): modeled "
+        f"{model(3):.2f} s vs {front:.2f} s measured." if front else "",
+        f"Composed device-consumed chain (4 programs + 2 pulls = 6 round "
+        f"trips): modeled {model(6):.2f} s vs {composed:.2f} s measured — "
+        f"the composed variant losing to the front door is the launch "
+        f"tax, by construction." if composed else "",
+    ]
+    if cpu_c and front:
+        cap = cpu_c / up_s
+        lines.append(
+            f"Upper bound for ANY single-frame numpy-in variant at this "
+            f"link: CPU {cpu_c:.2f} s / upload floor {up_s:.2f} s = "
+            f"{cap:.1f}x — the 10x bar is unreachable for ANY numpy-in "
+            f"form at this wire (C_scan_series_per_frame amortizes the "
+            f"dispatch tax but pays the same per-frame upload, landing at "
+            f"~the same cap); C_series_resident_per_frame is the "
+            f"production shape that escapes the wire entirely (pure "
+            f"device compute + curve pulls)."
+        )
+    return " ".join(s for s in lines if s)
+
+
 def _wire_floor_note(results: dict) -> str:
     """The quantified roofline argument for the cold numpy-in/numpy-out
     Config E chain (VERDICT r3 item 4): bytes moved x measured wire = the
@@ -393,6 +490,11 @@ def main() -> int:
     except Exception as exc:  # probe is context, not a measurement
         print(f"# link probe failed: {exc!r}", file=sys.stderr)
         results["link"] = None
+    try:
+        results["dispatch_floor_ms"] = round(measure_dispatch_floor_ms(), 1)
+    except Exception as exc:
+        print(f"# dispatch floor probe failed: {exc!r}", file=sys.stderr)
+        results["dispatch_floor_ms"] = None
     results["tpu_seconds"] = bench_tpu(field2d, stack)
     if skip_cpu:
         # reuse the previous sweep's CPU baseline (the reference's CPU time
@@ -424,6 +526,8 @@ def main() -> int:
             ("C_composed_pull_2k", "C_fourier_radial_2k"),
             ("C_quantized_pull_2k", "C_fourier_radial_2k"),
             ("C_device_resident_2k", "C_fourier_radial_2k"),
+            ("C_scan_series_per_frame", "C_fourier_radial_2k"),
+            ("C_series_resident_per_frame", "C_fourier_radial_2k"),
             ("D_stack_resident_per_frame", "D_stack_pipeline_per_frame"),
         ):
             if tpu_key in results["tpu_seconds"] and cpu_key in results["cpu_seconds"]:
@@ -437,9 +541,14 @@ def main() -> int:
                  "(signal.spectral_summary, examples/ex_03): radial curves "
                  "host-side, maps device-resident like every lazy stats "
                  "leaf. C_composed_pull_2k is the reference's literal "
-                 "composition with both full maps pulled (wire-bound). All "
-                 "C variants compare against the CPU composed run (the "
-                 "reference's only formulation).",
+                 "composition with both full maps pulled (wire-bound). "
+                 "C_scan_series_per_frame / C_series_resident_per_frame "
+                 "are the scan-series forms (spectral_summary_stack): "
+                 "per-frame radial curves of a whole stack through one "
+                 "chunked program chain, numpy-in and device-resident "
+                 "respectively. All C variants compare against the CPU "
+                 "composed run per frame (the reference's only "
+                 "formulation).",
             "E": "E_preprocess_report_2k is like-for-like without "
                  "deconvolution; E_full_with_deconv_2k compares the full "
                  "chain, with the CPU side's skimage wiener (absent in this "
@@ -447,6 +556,7 @@ def main() -> int:
                  "equivalent of the same closed form. "
                  "E_warm_calibration_2k is the serving pattern: many "
                  "frames, one cached calibration flat.",
+            "C_dispatch_floor": _c_floor_note(results),
             "E_wire_floor": _wire_floor_note(results),
             "F": "extension workload (no reference counterpart): dense XST "
                  "displacement field, 15.6k windowed ZNCCs at 2048². CPU "

