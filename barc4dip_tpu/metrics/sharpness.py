@@ -501,8 +501,13 @@ def sharpness_stack_stats(
     replaces the joblib thread pool)."""
     t0 = now()
 
-    if not isinstance(stack, np.ndarray):
-        raise TypeError("sharpness_stack_stats expects a numpy.ndarray")
+    if not isinstance(stack, (np.ndarray, jax.Array)):
+        # jax.Array = the serving pattern: frames stay device-resident and
+        # the chunked pipeline slices them on device (same contract as
+        # speckle_stack_stats)
+        raise TypeError(
+            "sharpness_stack_stats expects a numpy.ndarray or jax.Array"
+        )
     if stack.ndim != 3:
         raise ValueError(
             f"stack must be a 3D array with shape (T, H, W); got ndim={stack.ndim}"

@@ -235,6 +235,27 @@ def test_sharpness_stack_stats_focus_scan():
     assert out["meta"]["kind"] == "sharpness_stack_stats"
 
 
+def test_sharpness_stack_device_resident_matches_numpy():
+    # a jax.Array stack goes through the chunked pipeline via on-device
+    # slicing (upload_padded_chunk's jax.Array branch) — results must
+    # equal the numpy-input path exactly, incl. the padded tail chunk
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(35)
+    base = make_speckle(rng, shape=(160, 160), grain_px=4.0).astype(np.float32)
+    stack = np.stack([base * (1 + 0.05 * t) for t in range(5)])
+
+    host = sharpness_stack_stats(stack, metrics="gradient,spectral",
+                                 tiles=False, verbose=False, frame_chunk=2)
+    dev = sharpness_stack_stats(jnp.asarray(stack), metrics="gradient,spectral",
+                                tiles=False, verbose=False, frame_chunk=2)
+    for group, fields in host["full"].items():
+        for name, val in fields.items():
+            np.testing.assert_array_equal(
+                val, dev["full"][group][name], err_msg=f"{group}.{name}"
+            )
+
+
 def test_speckle_stack_grain_maps_opt_out():
     rng = np.random.default_rng(34)
     base = make_speckle(rng, shape=(160, 160), grain_px=6.0)
