@@ -162,7 +162,10 @@ class SharpnessScanPipeline:
             )
 
         out = sharpness_stack_stats(
-            stack if isinstance(stack, np.ndarray) else np.asarray(stack),
+            # jax.Array passes through: the aggregator slices resident
+            # stacks on device; np.asarray here would force a download
+            stack if isinstance(stack, (np.ndarray, jax.Array))
+            else np.asarray(stack),
             metrics=self.metrics,
             tiles=self.tiles,
             frame_chunk=self.frame_chunk,
@@ -232,7 +235,11 @@ class SpeckleStackPipeline:
         if flats is not None or darks is not None:
             stack = flat_field_correction(stack, flats=flats, darks=darks)
         return speckle_stack_stats(
-            np.asarray(stack),
+            # device in -> device stays: a resident stack (incl. the
+            # device output of flat_field_correction on device input)
+            # must not bounce through the host here
+            stack if isinstance(stack, (np.ndarray, jax.Array))
+            else np.asarray(stack),
             metrics=self.metrics,
             tiles=self.tiles,
             tracking_method=self.tracking_method,

@@ -182,3 +182,33 @@ def test_wavefront_scan_pipeline(rng, tmp_path):
     # merged meta keeps BOTH unit families
     assert single["meta"]["units"]["dy"] == "px"
     assert "wavefront" in single["meta"]["units"]
+
+
+def test_pipelines_accept_device_resident_stacks():
+    # jax.Array stacks pass through to the aggregators (which slice them
+    # on device) — np.asarray here would force a silent device->host
+    # download of the whole stack
+    import jax.numpy as jnp
+
+    from barc4dip_tpu.models.pipeline import (
+        SharpnessScanPipeline,
+        SpeckleStackPipeline,
+    )
+
+    rng = np.random.default_rng(44)
+    base = make_speckle(rng, shape=(160, 160), grain_px=5.0).astype(np.float32)
+    stack = np.stack([base * (1 + 0.03 * t) for t in range(4)])
+
+    sp = SpeckleStackPipeline(tiles=False, frame_chunk=2)
+    host = sp(stack)
+    dev = sp(jnp.asarray(stack))
+    np.testing.assert_array_equal(
+        host["full"]["amplitude"]["visibility"],
+        dev["full"]["amplitude"]["visibility"],
+    )
+
+    sh = SharpnessScanPipeline(metrics="gradient", tiles=False, frame_chunk=2)
+    np.testing.assert_array_equal(
+        sh(stack)["full"]["gradient"]["tenengrad"],
+        sh(jnp.asarray(stack))["full"]["gradient"]["tenengrad"],
+    )
