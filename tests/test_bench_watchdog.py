@@ -228,3 +228,76 @@ def test_device_compute_cache_roundtrip_and_fallback(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip())
     assert out["device_compute_mpix_s"] == 60.0
     assert out["device_compute_source"] == "measured"
+
+
+def test_emit_metric_value_gate_fails_artifact(capsys):
+    # the metric-VALUE hardware gate (run-1 leaves vs host-f64 golden)
+    # must fail the artifact even when the tracking gate is clean
+    import importlib
+
+    import bench
+
+    importlib.reload(bench)
+    bench.STATE.update(
+        side=512, frames=4,
+        runs=[{"elapsed_s": 1.0, "frames": 4, "track_err_px": 0.01,
+               "stages": {}}],
+        metric_gate={"checked": True, "max_rel_err": 4e-3,
+                     "worst_leaf": "full.grain.lx", "rtol": 1e-4},
+    )
+    rc = bench.emit(degraded=False)
+    out = json.loads(capsys.readouterr().out.strip())
+    assert rc == 1
+    assert out["gate_failed"] is True
+    assert out["metrics_max_rel_err"] == 4e-3
+
+
+def test_leaf_rel_err_semantics():
+    import importlib
+
+    import numpy as np
+
+    import bench
+
+    importlib.reload(bench)
+    a = np.array([1.0, 2.0, 4.0])
+    assert bench._leaf_rel_err(a, a) == 0.0
+    # normalized inf-norm against the leaf's own scale
+    b = a.copy(); b[2] = 4.0 + 4e-4
+    assert abs(bench._leaf_rel_err(a, b) - 1e-4) < 1e-7
+    # shape mismatch and finiteness mismatch are unconditional failures
+    assert bench._leaf_rel_err(a, a[:2]) >= 1e29
+    c = a.copy(); c[0] = np.nan
+    assert bench._leaf_rel_err(a, c) >= 1e29
+    # matching NaN patterns compare the finite part only
+    d = a.copy(); d[0] = np.nan
+    assert bench._leaf_rel_err(c, d) == 0.0
+    # all-zero leaves compare equal
+    z = np.zeros(3)
+    assert bench._leaf_rel_err(z, z) == 0.0
+
+
+def test_metric_leaves_samples_big_maps_deterministically():
+    import importlib
+
+    import numpy as np
+
+    import bench
+
+    importlib.reload(bench)
+    rng = np.random.default_rng(0)
+    big = rng.normal(size=(3, 128, 128))  # > 8192 elements
+    out = {"full": {"grain": {"autocorr": big, "lx": np.array([1.0, 2.0, 3.0])}},
+           "tiles": {}}
+    leaves = bench.metric_leaves(out, 2)
+    assert "full.grain.autocorr.sample4096" in leaves
+    assert leaves["full.grain.autocorr.sample4096"].shape == (4096,)
+    assert "full.grain.autocorr.summary" in leaves
+    # k-frame head slicing on the leading axis
+    np.testing.assert_array_equal(leaves["full.grain.lx"], [1.0, 2.0])
+    # deterministic: same input -> identical sample
+    again = bench.metric_leaves(out, 2)
+    np.testing.assert_array_equal(
+        leaves["full.grain.autocorr.sample4096"],
+        again["full.grain.autocorr.sample4096"],
+    )
