@@ -218,3 +218,18 @@ def test_displacement_stack_round_robin_mesh(stack_256):
     np.testing.assert_allclose(meshy["dy"], single["dy"], rtol=0, atol=1e-12)
     np.testing.assert_allclose(meshy["dx"], single["dx"], rtol=0, atol=1e-12)
     np.testing.assert_allclose(meshy["peak"], single["peak"], rtol=0, atol=1e-12)
+
+
+def test_spectral_summary_stack_sharded_matches_single(stack):
+    # the scan-series quick-look through the frame mesh: per-frame radial
+    # curves must equal the unsharded run exactly (pure data parallelism,
+    # no cross-frame terms)
+    from barc4dip_tpu.signal import spectral_summary_stack
+
+    mesh = frame_mesh()
+    single = spectral_summary_stack(stack, frame_chunk=4)
+    sharded = spectral_summary_stack(stack, frame_chunk=4, mesh=mesh)
+    for key in ("radial_binned", "radial_interpolated"):
+        np.testing.assert_allclose(
+            sharded[key], single[key], rtol=1e-12, atol=1e-12
+        )
