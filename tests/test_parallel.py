@@ -233,3 +233,22 @@ def test_spectral_summary_stack_sharded_matches_single(stack):
         np.testing.assert_allclose(
             sharded[key], single[key], rtol=1e-12, atol=1e-12
         )
+
+
+def test_spectral_summary_stack_resident_under_mesh(stack):
+    # a device-resident stack re-shards across the mesh per chunk
+    # (upload_padded_chunk's jax.Array branch + device_put to the frame
+    # sharding) — must equal the numpy-input unsharded run exactly
+    import jax.numpy as jnp
+
+    from barc4dip_tpu.signal import spectral_summary_stack
+
+    mesh = frame_mesh()
+    single = spectral_summary_stack(stack, frame_chunk=4)
+    resident = spectral_summary_stack(
+        jnp.asarray(stack), frame_chunk=4, mesh=mesh
+    )
+    for key in ("radial_binned", "radial_interpolated"):
+        np.testing.assert_allclose(
+            resident[key], single[key], rtol=1e-12, atol=1e-12
+        )
