@@ -462,6 +462,22 @@ def _wire_floor_note(results: dict) -> str:
         if pct >= 95.0
         else f"wire explains {pct:.0f}% of the runtime"
     )
+    full_meas = results["tpu_seconds"].get("E_full_with_deconv_2k")
+    cpu_full = (results.get("cpu_seconds") or {}).get("E_full_with_deconv_2k")
+    full_note = ""
+    if full_meas and cpu_full:
+        # same bytes as the preprocess chain (the deconvolved frame rides
+        # down instead of the corrected one); the deconvolution adds only
+        # device FFT time, not wire
+        cap = cpu_full / floor_s
+        full_note = (
+            f" E_full_with_deconv_2k moves the same {3 * frame_mb:.1f} MB, "
+            f"so its numpy-out speedup is capped at CPU {cpu_full:.2f} s / "
+            f"floor {floor_s:.2f} s = {cap:.1f}x at this link — a 10x bar "
+            f"is unreachable for ANY numpy-out deconvolution chain on this "
+            f"wire; E_full_chained_2k (one u16 upload, scalar-only "
+            f"downlink) is the documented escape."
+        )
     return (
         f"E_preprocess_report_2k (cold, numpy in -> numpy out) moves "
         f"{3 * frame_mb:.1f} MB: up frame f32 + up flat f32 ({2 * frame_mb:.1f} MB), "
@@ -473,6 +489,7 @@ def _wire_floor_note(results: dict) -> str:
         f"({pct:.0f}%): {verdict}. Residual budget: device compute ~0.05 s "
         f"+ report formatting. Device-resident variants (E_device_chained_2k, "
         f"E_warm_calibration_2k) are the documented escape from this floor."
+        + full_note
     )
 
 
