@@ -53,19 +53,27 @@ synthetic-stack cache.
 
 Stage order puts the cheap, wire-independent measurements first: warmup →
 device-compute probe (frame count fitted to the budget) → timed run 1 →
-metric-value gate → optional run 2 → optional CPU baseline. Round 4's
+metric-value gate → sharpness value gate → optional run 2 → optional CPU
+baseline. Round 4's
 headline kernel number reached the driver only as a cache entry because
 the probe ran last; it cannot happen again.
 
-The run FAILS (exit 1, "gate_failed": true in the JSON) when either
+The run FAILS (exit 1, "gate_failed": true in the JSON) when any
 hardware gate trips: the tracking error against the known synthetic
 motion exceeds 0.05 px, or the metric VALUES (full + tiles leaves of the
 first GOLDEN_K frames) differ from the host-CPU golden of the same code
 by more than METRIC_GATE_RTOL (normalized inf-norm per leaf) — a
 throughput number from numerically wrong hardware output must not read
 as a win, and a silent bf16 demotion (~4e-3) is invisible to the argmax
-gate alone. A degraded (watchdog/collapsed-link) run only fails the gate
-if a completed measurement actually violated it.
+gate alone. The value gate runs twice: on the speckle pipeline run 1
+already computed, and on ``sharpness_stack_stats`` over the same leading
+frames — the sharpness family (Sobel/Laplace stencils, spectral entropy,
+inverse autocorrelation widths, and above all the MXU subspace-iteration
+eigenvalues kernel in ``ops/eig.py``, a matmul-based kernel squarely in
+the bf16-demotion failure class of AXON notes §5c) is otherwise absent
+from the benched pipeline and would never be value-checked on hardware.
+A degraded (watchdog/collapsed-link) run only fails the gate if a
+completed measurement actually violated it.
 """
 from __future__ import annotations
 
@@ -123,6 +131,7 @@ STATE: dict = {
     "cpu_baseline_source": None,
     "handshake_s": None,
     "metric_gate": None,   # {"checked", "max_rel_err", "worst_leaf", ...}
+    "sharpness_gate": None,  # same schema, sharpness_stack_stats leaves
     "last_rc": 0,
 }
 _RUN1_LEAVES: dict = {}   # TPU leaves captured from the first timed run
@@ -260,13 +269,17 @@ def emit(degraded: bool, kind: str = "final") -> int:
         # golden (precision-level — an on-chip bf16 demotion passes the
         # argmax gate but not this one).
         mg = STATE["metric_gate"] or {}
+        sg = STATE["sharpness_gate"] or {}
         gate_checked = track_err is not None
         gate_failed = bool(gate_checked and not (track_err <= 0.05))
-        if mg.get("checked"):
-            gate_checked = True
-            gate_failed = gate_failed or not (
-                mg["max_rel_err"] <= mg["rtol"]
-            )
+        for vg in (mg, sg):
+            if vg.get("checked"):
+                gate_checked = True
+                gate_failed = gate_failed or not (
+                    vg["max_rel_err"] <= vg["rtol"]
+                )
+        value_gate_errs = [vg["max_rel_err"] for vg in (mg, sg)
+                           if vg.get("checked")]
 
         cpu_spf = STATE["cpu_sec_per_frame"]
         vs_baseline = None
@@ -293,7 +306,8 @@ def emit(degraded: bool, kind: str = "final") -> int:
             if pct_roofline else None,
             "device_compute_mpix_s": dc.get("compute_mpix_s") if dc else None,
             "device_compute_source": STATE["device_compute_source"],
-            "metrics_max_rel_err": mg.get("max_rel_err"),
+            "metrics_max_rel_err": max(value_gate_errs)
+            if value_gate_errs else None,
             "degraded": degraded,
             "checkpoint": kind in ("startup", "checkpoint"),
             "detail": {
@@ -312,6 +326,7 @@ def emit(degraded: bool, kind: str = "final") -> int:
                 "tracking_max_err_px": round(track_err, 4)
                 if track_err is not None else None,
                 "metric_gate": STATE["metric_gate"],
+                "sharpness_gate": STATE["sharpness_gate"],
                 "stages": stages_detail,
                 "backend_handshake_s": STATE["handshake_s"],
                 "link": STATE["link"],
@@ -710,11 +725,14 @@ def metric_leaves(out: dict, k: int) -> dict:
     return leaves
 
 
-def _leaf_rel_err(a: np.ndarray, b: np.ndarray) -> float:
+def _leaf_rel_err(a: np.ndarray, b: np.ndarray,
+                  absolute: bool = False) -> float:
     """Normalized inf-norm difference of one leaf: max|a-b| over the
     leaf's own magnitude scale. Zero-valued leaves compare absolutely
     (denominator = the larger side's scale); a finiteness mismatch is an
-    unconditional failure (inf)."""
+    unconditional failure (inf). ``absolute=True`` skips the scale
+    normalization (used for leaves in logarithmic units, where the
+    absolute difference is already a relative measure)."""
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
     if a.shape != b.shape:
@@ -725,6 +743,8 @@ def _leaf_rel_err(a: np.ndarray, b: np.ndarray) -> float:
     if not fa.any():
         return 0.0
     a, b = a[fa], b[fb]
+    if absolute:
+        return float(np.max(np.abs(a - b)))
     denom = max(float(np.max(np.abs(a))), float(np.max(np.abs(b))))
     if denom == 0.0:
         return 0.0
@@ -739,14 +759,15 @@ def _stack_golden_key(stack: np.ndarray, k: int) -> str:
             f"-{stack.dtype.name}-{h.hexdigest()[:16]}")
 
 
-def compute_metric_golden(stack: np.ndarray, k: int,
-                          frame_chunk: int) -> dict | None:
-    """Run the SAME pipeline on the host CPU backend in a subprocess and
-    return its metric leaves. An independent execution of the same math —
-    different backend, different FFT engine (XLA CPU vs MXU matmul DFT),
-    different reduction orders — so agreement bounds the hardware path's
-    numeric error. A fresh process keeps the CPU-only platform selection
-    from disturbing this process's live TPU backend."""
+def compute_metric_golden(stack: np.ndarray, k: int, frame_chunk: int,
+                          kind: str = "speckle") -> dict | None:
+    """Run the SAME pipeline (``kind`` ∈ {"speckle", "sharpness"}) on the
+    host CPU backend in a subprocess and return its metric leaves. An
+    independent execution of the same math — different backend, different
+    FFT engine (XLA CPU vs MXU matmul DFT), different reduction orders —
+    so agreement bounds the hardware path's numeric error. A fresh process
+    keeps the CPU-only platform selection from disturbing this process's
+    live TPU backend."""
     import subprocess
     import tempfile
 
@@ -757,7 +778,7 @@ def compute_metric_golden(stack: np.ndarray, k: int,
         np.save(in_npy, np.ascontiguousarray(stack[:k]))
         proc = subprocess.run(
             [sys.executable, str(REPO / "bench.py"), "--make-golden",
-             in_npy, out_json, str(frame_chunk)],
+             in_npy, out_json, str(frame_chunk), kind],
             cwd=str(REPO), capture_output=True, text=True,
             timeout=max(remaining_s() - 30.0, 60.0),
         )
@@ -778,7 +799,8 @@ def compute_metric_golden(stack: np.ndarray, k: int,
                 pass
 
 
-def golden_main(in_npy: str, out_json: str, frame_chunk: str) -> int:
+def golden_main(in_npy: str, out_json: str, frame_chunk: str,
+                kind: str = "speckle") -> int:
     """Subprocess entry (``bench.py --make-golden``): CPU-backend golden
     run. Must run before any other jax use in this process."""
     import jax
@@ -789,7 +811,14 @@ def golden_main(in_npy: str, out_json: str, frame_chunk: str) -> int:
     import barc4dip_tpu as dip
 
     stack = np.load(in_npy)
-    out = dip.speckle_stack_stats(stack, **pipeline_kwargs(int(frame_chunk)))
+    if kind == "sharpness":
+        out = dip.sharpness_stack_stats(
+            stack, **sharpness_kwargs(stack.shape[0])
+        )
+    else:
+        out = dip.speckle_stack_stats(
+            stack, **pipeline_kwargs(int(frame_chunk))
+        )
     leaves = metric_leaves(out, stack.shape[0])
     Path(out_json).write_text(
         json.dumps({p: v.tolist() for p, v in leaves.items()})
@@ -797,20 +826,21 @@ def golden_main(in_npy: str, out_json: str, frame_chunk: str) -> int:
     return 0
 
 
-def check_hardware_metrics(stack: np.ndarray, frame_chunk: int) -> None:
-    """The metric-VALUE hardware gate (VERDICT r4 item 2): compare run 1's
-    full+tiles leaves for the first GOLDEN_K frames against the host-CPU
-    golden at METRIC_GATE_RTOL. The golden is cached (committed) keyed by
-    frame content; on a cache miss it is recomputed here if the budget
-    allows — CPU-minutes the driver's budget usually cannot spare, which
-    is why the cache ships with the repo."""
-    if not _RUN1_LEAVES:
-        STATE["metric_gate"] = {"checked": False,
-                                "note": "no run-1 leaves captured"}
-        return
+def sharpness_kwargs(frame_chunk: int) -> dict:
+    return dict(metrics="all", tiles=True, verbose=False,
+                frame_chunk=frame_chunk)
+
+
+def _resolve_golden(stack: np.ndarray, frame_chunk: int,
+                    kind: str) -> tuple[dict | None, str | None]:
+    """(golden leaves, source) for a value gate. Reads the committed
+    cache keyed by frame content (+ pipeline kind); on a miss, recomputes
+    on the CPU backend if the budget allows — CPU-minutes the driver's
+    budget usually cannot spare, which is why the cache ships with the
+    repo."""
     key = _stack_golden_key(stack, GOLDEN_K)
-    golden = None
-    source = None
+    if kind != "speckle":
+        key += f"-{kind}"
     cache: dict = {}
     if METRIC_GOLDEN_CACHE.exists():
         try:
@@ -821,14 +851,13 @@ def check_hardware_metrics(stack: np.ndarray, frame_chunk: int) -> None:
     if entry:
         golden = {p: np.asarray(v, np.float64)
                   for p, v in entry["leaves"].items()}
-        source = (f"cache({entry.get('git_rev', '?')} "
-                  f"{entry.get('computed_utc', '?')})")
-    elif remaining_s() > 120 and not STATE["link_degraded"]:
-        log("golden cache miss: computing CPU-backend golden "
+        return golden, (f"cache({entry.get('git_rev', '?')} "
+                        f"{entry.get('computed_utc', '?')})")
+    if remaining_s() > 120 and not STATE["link_degraded"]:
+        log(f"golden cache miss ({kind}): computing CPU-backend golden "
             f"({GOLDEN_K} frames) in a subprocess")
-        golden = compute_metric_golden(stack, GOLDEN_K, frame_chunk)
+        golden = compute_metric_golden(stack, GOLDEN_K, frame_chunk, kind)
         if golden is not None:
-            source = "measured"
             cache[key] = {
                 "leaves": {p: v.tolist() for p, v in golden.items()},
                 "git_rev": _git_rev(),
@@ -840,29 +869,37 @@ def check_hardware_metrics(stack: np.ndarray, frame_chunk: int) -> None:
                 METRIC_GOLDEN_CACHE.write_text(json.dumps(cache, indent=1))
             except Exception as exc:
                 log(f"golden cache write failed: {exc!r}")
-    if golden is None:
-        STATE["metric_gate"] = {
-            "checked": False,
-            "note": "golden unavailable (cache miss and no budget to "
-                    "compute it)",
-        }
-        return
+            return golden, "measured"
+    return None, None
 
+
+def _compare_leaves(run_leaves: dict, golden: dict):
+    """((worst_path, worst_err), missing_paths) over matching leaves."""
     worst = (None, -1.0)
-    per_leaf_missing = [p for p in golden if p not in _RUN1_LEAVES]
-    per_leaf_missing += [p for p in _RUN1_LEAVES if p not in golden]
+    per_leaf_missing = [p for p in golden if p not in run_leaves]
+    per_leaf_missing += [p for p in run_leaves if p not in golden]
 
     def _scale(path: str) -> float:
-        vals = [v for v in (golden.get(path), _RUN1_LEAVES.get(path))
+        vals = [v for v in (golden.get(path), run_leaves.get(path))
                 if v is not None]
         fin = [np.abs(v[np.isfinite(v)]) for v in vals]
         return max((float(f.max()) for f in fin if f.size), default=0.0)
 
     for path, gval in golden.items():
-        if path not in _RUN1_LEAVES:
+        if path not in run_leaves:
             continue
-        err = _leaf_rel_err(_RUN1_LEAVES[path], gval)
-        if path.endswith(".std") and err < 1e29:
+        err = _leaf_rel_err(run_leaves[path], gval)
+        if ".SNRdB" in path and err < 1e29:
+            # dB is a LOGARITHMIC unit: the absolute dB difference is
+            # already a relative measure of the underlying linear ratio
+            # (Δr/r = ln(10)/20 · ΔdB). Normalizing by the dB value's own
+            # magnitude — which legitimately passes through zero at
+            # mean == std — amplifies benign f32 scatter unboundedly
+            # (measured 9.8e-5 on full.stats.SNRdB, hardware vs CPU, both
+            # f32-clean, value scale ~1 dB). Gate the ratio's rel err.
+            err = (_leaf_rel_err(run_leaves[path], gval, absolute=True)
+                   * (np.log(10.0) / 20.0))
+        elif path.endswith(".std") and err < 1e29:
             # a ``.std`` leaf is a cancellation-amplified derivative of its
             # sibling ``.mean`` values (std of 9 near-equal tiles): its own
             # scale can be 1e3x smaller than the quantity it derives from,
@@ -876,7 +913,13 @@ def check_hardware_metrics(stack: np.ndarray, frame_chunk: int) -> None:
                 err *= own / parent
         if err > worst[1]:
             worst = (path, err)
-    STATE["metric_gate"] = {
+    return worst, per_leaf_missing
+
+
+def _record_value_gate(gate_key: str, name: str, run_leaves: dict,
+                       golden: dict, source: str | None) -> None:
+    worst, per_leaf_missing = _compare_leaves(run_leaves, golden)
+    STATE[gate_key] = {
         "checked": True,
         "max_rel_err": round(worst[1], 10),
         "worst_leaf": worst[0],
@@ -888,9 +931,76 @@ def check_hardware_metrics(stack: np.ndarray, frame_chunk: int) -> None:
     }
     if per_leaf_missing:
         # a leaf present on only one side is a schema divergence — fail
-        STATE["metric_gate"]["max_rel_err"] = 1e30
-    log(f"metric gate: max_rel_err={worst[1]:.3e} on '{worst[0]}' "
+        STATE[gate_key]["max_rel_err"] = 1e30
+    log(f"{name}: max_rel_err={worst[1]:.3e} on '{worst[0]}' "
         f"(rtol {METRIC_GATE_RTOL:g}, golden {source})")
+
+
+def check_hardware_metrics(stack: np.ndarray, frame_chunk: int) -> None:
+    """The metric-VALUE hardware gate (VERDICT r4 item 2): compare run 1's
+    full+tiles leaves for the first GOLDEN_K frames against the host-CPU
+    golden at METRIC_GATE_RTOL."""
+    if not _RUN1_LEAVES:
+        STATE["metric_gate"] = {"checked": False,
+                                "note": "no run-1 leaves captured"}
+        return
+    golden, source = _resolve_golden(stack, frame_chunk, "speckle")
+    if golden is None:
+        STATE["metric_gate"] = {
+            "checked": False,
+            "note": "golden unavailable (cache miss and no budget to "
+                    "compute it)",
+        }
+        return
+    _record_value_gate("metric_gate", "metric gate", _RUN1_LEAVES,
+                       golden, source)
+
+
+def check_hardware_sharpness(stack: np.ndarray) -> None:
+    """Value-gate the sharpness family on hardware. The benched pipeline
+    is speckle-only, so without this stage the sharpness estimators —
+    fused Sobel/Laplace stencils, spectral entropy, inverse autocorrelation
+    widths, and the MXU subspace-iteration eigenvalues kernel
+    (``ops/eig.py``), a matmul-based kernel in exactly the silent-bf16
+    failure class of AXON notes §5c — would never be value-checked on the
+    chip. Runs ``sharpness_stack_stats`` over the stack's first GOLDEN_K
+    frames on the live TPU backend and compares every full+tiles leaf
+    against the host-CPU golden (reference estimator definitions:
+    /root/reference/src/barc4dip/metrics/sharpness.py:405-861)."""
+    if STATE["link_degraded"] or remaining_s() < 75:
+        STATE["sharpness_gate"] = {
+            "checked": False,
+            "note": "skipped (budget or degraded link)",
+        }
+        return
+    import barc4dip_tpu as dip
+
+    try:
+        t0 = time.perf_counter()
+        out = dip.sharpness_stack_stats(stack[:GOLDEN_K],
+                                        **sharpness_kwargs(GOLDEN_K))
+        run_leaves = metric_leaves(out, GOLDEN_K)
+        log(f"sharpness gate: device run of {GOLDEN_K} frames in "
+            f"{time.perf_counter() - t0:.1f}s")
+    except Exception as exc:
+        # a crashed device run is a failure, not a skip
+        STATE["sharpness_gate"] = {
+            "checked": True, "max_rel_err": 1e30, "worst_leaf": None,
+            "rtol": METRIC_GATE_RTOL,
+            "note": f"device sharpness run failed: {exc!r}"[:300],
+        }
+        log(f"sharpness gate: device run FAILED: {exc!r}")
+        return
+    golden, source = _resolve_golden(stack, GOLDEN_K, "sharpness")
+    if golden is None:
+        STATE["sharpness_gate"] = {
+            "checked": False,
+            "note": "golden unavailable (cache miss and no budget to "
+                    "compute it)",
+        }
+        return
+    _record_value_gate("sharpness_gate", "sharpness gate", run_leaves,
+                       golden, source)
 
 
 def estimate_pipeline_flops_per_frame(H: int, W: int) -> float:
@@ -1242,6 +1352,13 @@ def main() -> int:
     stage("metric_gate")
     check_hardware_metrics(stack, frame_chunk)
 
+    # sharpness value gate: covers the estimator family the benched
+    # pipeline never executes (incl. the matmul-based eigenvalues kernel).
+    # Cheap with a warm compile cache (~10 s incl. a GOLDEN_K-frame
+    # upload); self-skips with an explicit note when the budget is gone.
+    stage("sharpness_gate")
+    check_hardware_sharpness(stack)
+
     # best of two timed runs: a few seconds each now, and the shared
     # host/tunnel can hiccup mid-run — one retry de-noises the record.
     # LAST optional stage: everything above it matters more than variance
@@ -1282,5 +1399,5 @@ def main_guarded() -> int:
 
 if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "--make-golden":
-        raise SystemExit(golden_main(*sys.argv[2:5]))
+        raise SystemExit(golden_main(*sys.argv[2:6]))
     raise SystemExit(main_guarded())

@@ -252,6 +252,61 @@ def test_emit_metric_value_gate_fails_artifact(capsys):
     assert out["metrics_max_rel_err"] == 4e-3
 
 
+def test_emit_sharpness_gate_fails_artifact(capsys):
+    # the sharpness value gate must fail the artifact on its own, even
+    # when the tracking gate AND the speckle metric gate are both clean —
+    # it covers kernels (ops/eig.py subspace iteration, fused stencils)
+    # that no other hardware check executes
+    import importlib
+
+    import bench
+
+    importlib.reload(bench)
+    bench.STATE.update(
+        side=512, frames=4,
+        runs=[{"elapsed_s": 1.0, "frames": 4, "track_err_px": 0.01,
+               "stages": {}}],
+        metric_gate={"checked": True, "max_rel_err": 2e-6,
+                     "worst_leaf": "full.grain.lx", "rtol": 1e-4},
+        sharpness_gate={"checked": True, "max_rel_err": 5e-3,
+                        "worst_leaf": "full.eigenvalues.e1", "rtol": 1e-4},
+    )
+    rc = bench.emit(degraded=False)
+    out = json.loads(capsys.readouterr().out.strip())
+    assert rc == 1
+    assert out["gate_failed"] is True
+    # the top-level number is the max over BOTH value gates
+    assert out["metrics_max_rel_err"] == 5e-3
+    assert out["detail"]["sharpness_gate"]["worst_leaf"] == (
+        "full.eigenvalues.e1"
+    )
+
+
+def test_emit_sharpness_gate_skip_does_not_fail(capsys):
+    # an explicitly skipped (unchecked) sharpness gate must neither fail
+    # the artifact nor pollute metrics_max_rel_err
+    import importlib
+
+    import bench
+
+    importlib.reload(bench)
+    bench.STATE.update(
+        side=512, frames=4,
+        runs=[{"elapsed_s": 1.0, "frames": 4, "track_err_px": 0.01,
+               "stages": {}}],
+        metric_gate={"checked": True, "max_rel_err": 2e-6,
+                     "worst_leaf": "full.grain.lx", "rtol": 1e-4},
+        sharpness_gate={"checked": False,
+                        "note": "skipped (budget or degraded link)"},
+    )
+    rc = bench.emit(degraded=False)
+    out = json.loads(capsys.readouterr().out.strip())
+    assert rc == 0
+    assert out["gate_failed"] is False
+    assert out["metrics_max_rel_err"] == 2e-6
+    assert out["detail"]["sharpness_gate"]["note"].startswith("skipped")
+
+
 def test_leaf_rel_err_semantics():
     import importlib
 
@@ -275,6 +330,32 @@ def test_leaf_rel_err_semantics():
     # all-zero leaves compare equal
     z = np.zeros(3)
     assert bench._leaf_rel_err(z, z) == 0.0
+
+
+def test_compare_leaves_snrdb_uses_log_unit_semantics():
+    # SNRdB legitimately passes through zero (mean == std), so normalizing
+    # its error by its own magnitude amplifies benign f32 scatter; the
+    # comparison must gate the absolute dB difference converted to the
+    # linear ratio's relative error (ln10/20 per dB) instead
+    import importlib
+
+    import numpy as np
+
+    import bench
+
+    importlib.reload(bench)
+    golden = {"full.stats.SNRdB": np.array([0.05])}   # near-zero dB value
+    run = {"full.stats.SNRdB": np.array([0.05 + 2e-5])}  # tiny abs scatter
+    (path, err), missing = bench._compare_leaves(run, golden)
+    assert not missing
+    # own-scale normalization would read 2e-5/0.05 = 4e-4 (a false trip);
+    # log-unit semantics read 2e-5 * ln10/20 ≈ 2.3e-6
+    assert err < 1e-5
+    # a REAL bf16-scale demotion (~4e-3 of a ~10 dB value) still trips
+    golden2 = {"tiles.stats.SNRdB.mean": np.array([10.0])}
+    run2 = {"tiles.stats.SNRdB.mean": np.array([10.0 + 0.04])}
+    (_, err2), _ = bench._compare_leaves(run2, golden2)
+    assert err2 > bench.METRIC_GATE_RTOL
 
 
 def test_metric_leaves_samples_big_maps_deterministically():
