@@ -55,6 +55,14 @@ def _build_parser() -> argparse.ArgumentParser:
         "results while the drift stays inside the window (template method "
         "only).",
     )
+    p.add_argument(
+        "--register", choices=("first", "mean", "previous"), default=None,
+        help="Align frames against this reference (drift correction, "
+        "preprocessing.register_stack: upsampled-DFT phase correlation + "
+        "subpixel Fourier re-shift) before the analysis. Loads the whole "
+        "stack in memory (no out-of-core streaming with this flag); the "
+        "measured shifts land in the JSON summary under 'registration'.",
+    )
     return p
 
 
@@ -141,6 +149,30 @@ def main(argv: list[str] | None = None) -> int:
             metrics=args.metrics, tiles=args.tiles,
             frame_chunk=args.frame_chunk, mesh=mesh,
         )
+    else:
+        pipe = SpeckleStackPipeline(
+            metrics=args.metrics, tiles=args.tiles,
+            tracking_method=args.tracking_method,
+            frame_chunk=args.frame_chunk, mesh=mesh,
+            tracking_search_radius=args.search_radius,
+        )
+
+    reg_shifts = None
+    if args.register:
+        # drift correction needs the frames in memory (the aligned stack
+        # feeds the pipeline), so the streaming paths are bypassed
+        from ..io import read_h5, read_image
+        from ..preprocessing import register_stack
+
+        stack = read_h5(inputs[0]) if single_h5 else read_image(inputs)
+        aligned, reg_shifts = register_stack(
+            np.asarray(stack, dtype=np.float32), reference=args.register,
+            frame_chunk=args.frame_chunk,
+        )
+        out = pipe(
+            np.ascontiguousarray(aligned), checkpoint_dir=args.checkpoint_dir
+        )
+    elif args.kind == "sharpness":
         if single_h5:
             from ..io import read_h5
 
@@ -157,12 +189,6 @@ def main(argv: list[str] | None = None) -> int:
 
             out = pipe(read_image(inputs), checkpoint_dir=args.checkpoint_dir)
     else:
-        pipe = SpeckleStackPipeline(
-            metrics=args.metrics, tiles=args.tiles,
-            tracking_method=args.tracking_method,
-            frame_chunk=args.frame_chunk, mesh=mesh,
-            tracking_search_radius=args.search_radius,
-        )
         if single_h5:
             out = pipe.run_hdf5(
                 inputs[0], checkpoint_dir=args.checkpoint_dir
@@ -181,6 +207,14 @@ def main(argv: list[str] | None = None) -> int:
             )
 
     summary = _summary(out)
+    if reg_shifts is not None:
+        r = np.hypot(reg_shifts["dy"], reg_shifts["dx"])
+        summary["registration"] = {
+            "reference": reg_shifts["reference"],
+            "max_r_px": float(r.max()) if r.size else 0.0,
+            "final_dy_px": float(reg_shifts["dy"][-1]),
+            "final_dx_px": float(reg_shifts["dx"][-1]),
+        }
     text = json.dumps(summary, indent=2, default=str)
     if args.out:
         Path(args.out).write_text(text)

@@ -236,6 +236,39 @@ def test_batch_cli_search_radius(tmp_path, capsys):
         np.testing.assert_allclose(t_win[key], t_full[key], atol=1e-5)
 
 
+def test_batch_cli_register_removes_drift(tmp_path):
+    """--register aligns a drifting stack before analysis: the summary
+    carries the measured shifts and the residual tracking drops to ~0."""
+    import json
+
+    from barc4dip_tpu.report.batch_cli import main as batch_main
+
+    rng = np.random.default_rng(45)
+    base = make_speckle(rng, shape=(160, 160), grain_px=6.0).astype(np.float32)
+    stack = np.stack([np.roll(base, (2 * t, -3 * t), axis=(0, 1)) for t in range(4)])
+    save_h5(stack, tmp_path / "run.h5")
+
+    outs = {}
+    for tag, extra in (("raw", []), ("reg", ["--register", "first"])):
+        out_json = tmp_path / f"{tag}.json"
+        rc = batch_main([
+            str(tmp_path / "run.h5"), "--metrics", "amplitude,stats",
+            "--no-tiles", "--frame-chunk", "2", "--out", str(out_json),
+        ] + extra)
+        assert rc == 0
+        outs[tag] = json.loads(out_json.read_text())
+
+    # without registration the tracker sees the injected drift...
+    assert outs["raw"]["tracking"]["max_r_px"] > 5.0
+    # ...with it, the measured shifts are reported and the residual is ~0
+    reg = outs["reg"]["registration"]
+    assert reg["reference"] == "first"
+    np.testing.assert_allclose(reg["final_dy_px"], 6.0, atol=0.05)
+    np.testing.assert_allclose(reg["final_dx_px"], -9.0, atol=0.05)
+    assert outs["reg"]["tracking"]["max_r_px"] < 0.1
+    assert "registration" not in outs["raw"]
+
+
 def test_logbook_wavefront_kinds(rng):
     """The extension kinds (displacement_field / wavefront_scan) format
     through the registry with displacement, quality, and wavefront blocks."""
