@@ -9,10 +9,12 @@ from .sharpness import (
     spectral_entropy,
     tenengrad,
 )
+from .maps import visibility_map
 from .speckles import amplitude, bandwidth, grain, speckle_stack_stats, speckle_stats
 from .statistics import distribution_moments
 
 __all__ = [
+    "visibility_map",
     "speckle_stats",
     "speckle_stack_stats",
     "amplitude",
