@@ -50,6 +50,31 @@ def main(out_dir=None):
     print(f"distortion correction: center preserved "
           f"({sharp[side//2, side//2]:.4f} -> {undistorted[side//2, side//2]:.4f})")
 
+    # stack registration (extension): remove a known drift, then verify the
+    # residual with the drift measurement itself
+    T = 4 if FAST else 8
+    fy = np.fft.fftfreq(side)[:, None]
+    fx = np.fft.fftfreq(side)[None, :]
+    F = np.fft.fft2(sharp)
+    ts = np.arange(T)
+    dys, dxs = 1.3 * ts, -0.8 * ts
+    drifting = np.stack([
+        np.fft.ifft2(F * np.exp(-2j * np.pi * (fy * dy + fx * dx))).real
+        for dy, dx in zip(dys, dxs)
+    ]).astype(np.float32)
+    aligned, shifts = dip.preprocessing.register_stack(drifting)
+    _, residual = dip.preprocessing.register_stack(aligned)
+    print(f"register_stack: measured {np.hypot(shifts['dy'], shifts['dx']).max():.2f} px "
+          f"max drift; residual after alignment "
+          f"{np.hypot(residual['dy'], residual['dx']).max():.3f} px")
+
+    # dense per-pixel speckle contrast (extension): the tile metrics at
+    # full spatial resolution
+    vis = dip.metrics.visibility_map((sharp * 1000 + 50).astype(np.float32),
+                                     window=16)
+    print(f"visibility_map: {vis.shape} map, contrast "
+          f"{np.nanmin(vis):.3f}..{np.nanmax(vis):.3f}")
+
     if out_dir:
         from barc4dip_tpu.plotting import plt_image, savefig
 
