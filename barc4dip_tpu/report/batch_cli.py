@@ -63,6 +63,17 @@ def _build_parser() -> argparse.ArgumentParser:
         "stack in memory (no out-of-core streaming with this flag); the "
         "measured shifts land in the JSON summary under 'registration'.",
     )
+    p.add_argument(
+        "--flat", default=None,
+        help="Flat-field image or stack (mean-reduced) — applies "
+        "(I-D)/(F-D)·scale before the analysis (same semantics as "
+        "barc4dip-speckles -f). Loads the stack in memory.",
+    )
+    p.add_argument(
+        "--dark", default=None,
+        help="Dark image or stack (mean-reduced) for the flat-field "
+        "correction (same semantics as barc4dip-speckles -d).",
+    )
     return p
 
 
@@ -137,6 +148,8 @@ def main(argv: list[str] | None = None) -> int:
 
     inputs = _expand_inputs(args.input)
     missing = [p for p in inputs if not Path(p).is_file()]
+    missing += [p for p in (args.flat, args.dark)
+                if p is not None and not Path(p).is_file()]
     if missing:
         what = "no files match" if any(ch in m for m in missing for ch in "*?[") \
             else "input file(s) not found"
@@ -158,19 +171,31 @@ def main(argv: list[str] | None = None) -> int:
         )
 
     reg_shifts = None
-    if args.register:
-        # drift correction needs the frames in memory (the aligned stack
-        # feeds the pipeline), so the streaming paths are bypassed
+    if args.register or args.flat or args.dark:
+        # calibration / drift correction need the frames in memory (the
+        # corrected stack feeds the pipeline), so streaming is bypassed
         from ..io import read_h5, read_image
-        from ..preprocessing import register_stack
 
         stack = read_h5(inputs[0]) if single_h5 else read_image(inputs)
-        aligned, reg_shifts = register_stack(
-            np.asarray(stack, dtype=np.float32), reference=args.register,
-            frame_chunk=args.frame_chunk,
-        )
+        stack = np.asarray(stack, dtype=np.float32)
+        if args.flat or args.dark:
+            from ..preprocessing import flat_field_correction
+
+            stack = flat_field_correction(
+                stack,
+                flats=np.asarray(read_image(args.flat), np.float32)
+                if args.flat else None,
+                darks=np.asarray(read_image(args.dark), np.float32)
+                if args.dark else None,
+            )
+        if args.register:
+            from ..preprocessing import register_stack
+
+            stack, reg_shifts = register_stack(
+                stack, reference=args.register, frame_chunk=args.frame_chunk
+            )
         out = pipe(
-            np.ascontiguousarray(aligned), checkpoint_dir=args.checkpoint_dir
+            np.ascontiguousarray(stack), checkpoint_dir=args.checkpoint_dir
         )
     elif args.kind == "sharpness":
         if single_h5:

@@ -269,6 +269,53 @@ def test_batch_cli_register_removes_drift(tmp_path):
     assert "registration" not in outs["raw"]
 
 
+def test_batch_cli_flat_field(tmp_path):
+    """--flat/--dark apply the calibration before analysis: a gain-field
+    distortion of the visibility disappears after correction."""
+    import json
+
+    from barc4dip_tpu.report.batch_cli import main as batch_main
+
+    rng = np.random.default_rng(46)
+    base = make_speckle(rng, shape=(160, 160), grain_px=6.0).astype(np.float32)
+    yy = np.linspace(0.5, 2.0, 160, dtype=np.float32)[:, None]
+    gain = np.broadcast_to(yy, (160, 160)).copy()  # strong row-wise gain
+    # detector-count levels so the TIFF uint16 conversion takes the
+    # lossless clip path (mean > counts_threshold), not contrast-stretch
+    dark = np.full((160, 160), 700.0, np.float32)
+    stack = np.stack([base * (1 + 0.01 * t) * gain + dark for t in range(3)])
+    save_h5(stack, tmp_path / "run.h5")
+    save_tiff(gain * 100.0 + dark, tmp_path / "flat.tif")
+    save_tiff(dark, tmp_path / "dark.tif")
+
+    outs = {}
+    for tag, extra in (
+        ("raw", []),
+        ("cal", ["--flat", str(tmp_path / "flat.tif"),
+                 "--dark", str(tmp_path / "dark.tif")]),
+    ):
+        out_json = tmp_path / f"{tag}.json"
+        rc = batch_main([
+            str(tmp_path / "run.h5"), "--metrics", "amplitude,stats",
+            "--no-tiles", "--frame-chunk", "2", "--out", str(out_json),
+        ] + extra)
+        assert rc == 0
+        outs[tag] = json.loads(out_json.read_text())
+
+    vis_raw = outs["raw"]["metric_series"]["amplitude.visibility"]["mean"]
+    vis_cal = outs["cal"]["metric_series"]["amplitude.visibility"]["mean"]
+    # the gain field inflates apparent visibility; the correction removes it
+    vis_true = float(base.std() / base.mean())
+    assert abs(vis_cal - vis_true) < 0.02
+    assert abs(vis_raw - vis_true) > 0.1
+
+    # a missing calibration file is a clean rc=2, not a traceback
+    rc = batch_main([
+        str(tmp_path / "run.h5"), "--flat", str(tmp_path / "nope.tif"),
+    ])
+    assert rc == 2
+
+
 def test_logbook_wavefront_kinds(rng):
     """The extension kinds (displacement_field / wavefront_scan) format
     through the registry with displacement, quality, and wavefront blocks."""
