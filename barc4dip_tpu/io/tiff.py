@@ -64,13 +64,24 @@ def read_tiff(image_path: str | Sequence[str]) -> np.ndarray:
     return np.stack(frames, axis=0)
 
 
-def save_tiff(data: np.ndarray, output_path: str | Path) -> None:
+def save_tiff(data: np.ndarray, output_path: str | Path, *,
+              dtype: str = "uint16") -> None:
     """Write a 2D image as one TIFF, or each frame of a 3D stack as
-    ``<stem>_0000.tif``, ``<stem>_0001.tif``, ... (uint16 on disk)."""
+    ``<stem>_0000.tif``, ``<stem>_0001.tif``, ...
+
+    ``dtype="uint16"`` (default) converts through :func:`to_uint16`
+    (reference contract, reference io/tiff.py:119 — note its
+    counts-vs-normalized heuristic contrast-STRETCHES data whose mean is
+    below ~10 counts, which silently rescales e.g. constant calibration
+    frames). ``dtype="float32"`` (extension) writes the values verbatim
+    as a 32-bit float TIFF — lossless for darks/flats and analysis
+    products."""
     if not isinstance(data, np.ndarray):
         raise TypeError("expected a numpy.ndarray to write")
     if data.ndim not in (2, 3):
         raise ValueError(f"data must be 2D or 3D, got ndim={data.ndim}")
+    if dtype not in ("uint16", "float32"):
+        raise ValueError("dtype must be 'uint16' or 'float32'")
 
     target = Path(output_path)
     if not target.name:
@@ -84,7 +95,8 @@ def save_tiff(data: np.ndarray, output_path: str | Path) -> None:
     suffix = target.suffix.lower()
     if suffix not in (".tif", ".tiff"):
         suffix = ".tif"
-    as_u16 = to_uint16(data)
+    out = (to_uint16(data) if dtype == "uint16"
+           else np.asarray(data, dtype=np.float32))
 
     def _write(frame: np.ndarray, where: Path) -> None:
         try:
@@ -93,8 +105,8 @@ def save_tiff(data: np.ndarray, output_path: str | Path) -> None:
             raise OSError(f"could not write TIFF file {where}") from e
 
     if data.ndim == 2:
-        _write(as_u16, target.with_suffix(suffix))
+        _write(out, target.with_suffix(suffix))
         return
     stem = target.with_suffix("")
-    for i, frame in enumerate(as_u16):
+    for i, frame in enumerate(out):
         _write(frame, stem.parent / f"{stem.name}_{i:04d}{suffix}")

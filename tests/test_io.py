@@ -194,6 +194,28 @@ def test_tiff_stack_one_file_per_frame(tmp_path):
     np.testing.assert_array_equal(loaded, stack)
 
 
+def test_tiff_float32_dtype_is_lossless(tmp_path):
+    """dtype="float32" (extension) writes values verbatim — the uint16
+    default would contrast-stretch this low-mean calibration frame
+    (to_uint16's counts heuristic) and destroy its scale."""
+    dark = np.full((16, 20), 7.25, np.float32) + np.linspace(
+        0, 0.5, 20, dtype=np.float32
+    )
+    out = tmp_path / "dark.tif"
+    save_tiff(dark, out, dtype="float32")
+    loaded = read_image(str(out))
+    assert loaded.dtype == np.float32
+    np.testing.assert_array_equal(loaded, dark)
+    # stacks too
+    save_tiff(np.stack([dark, dark * 2]), tmp_path / "dk.tif", dtype="float32")
+    loaded = read_image([str(tmp_path / "dk_0000.tif"), str(tmp_path / "dk_0001.tif")])
+    np.testing.assert_array_equal(loaded[1], dark * 2)
+    import pytest
+
+    with pytest.raises(ValueError, match="dtype"):
+        save_tiff(dark, out, dtype="int8")
+
+
 def test_h5_roundtrip_and_frame_select(tmp_path):
     stack = np.random.default_rng(3).normal(size=(4, 8, 8)).astype(np.float32)
     out = tmp_path / "d.h5"
