@@ -332,6 +332,36 @@ def test_leaf_rel_err_semantics():
     assert bench._leaf_rel_err(z, z) == 0.0
 
 
+def test_resolve_golden_keys_speckle_and_sharpness_separately(tmp_path):
+    # the two value gates share one cache file; the kind suffix must keep
+    # their entries from shadowing each other
+    import importlib
+    import json
+
+    import numpy as np
+
+    import bench
+
+    importlib.reload(bench)
+    bench.METRIC_GOLDEN_CACHE = tmp_path / "golden.json"
+    stack = np.arange(2 * 8 * 8, dtype=np.uint16).reshape(2, 8, 8)
+    key = bench._stack_golden_key(stack, bench.GOLDEN_K)
+    bench.METRIC_GOLDEN_CACHE.write_text(json.dumps({
+        key: {"leaves": {"full.grain.lx": [1.0, 2.0]},
+              "git_rev": "aaa", "computed_utc": "t1"},
+        key + "-sharpness": {"leaves": {"full.gradient.tenengrad": [3.0, 4.0]},
+                             "git_rev": "bbb", "computed_utc": "t2"},
+    }))
+    g_s, src_s = bench._resolve_golden(stack, 2, "speckle")
+    g_h, src_h = bench._resolve_golden(stack, 2, "sharpness")
+    assert list(g_s) == ["full.grain.lx"] and "aaa" in src_s
+    assert list(g_h) == ["full.gradient.tenengrad"] and "bbb" in src_h
+    # a different stack content misses both
+    other = stack + 1
+    bench.STATE["link_degraded"] = True  # forbid a recompute attempt
+    assert bench._resolve_golden(other, 2, "speckle") == (None, None)
+
+
 def test_compare_leaves_snrdb_uses_log_unit_semantics():
     # SNRdB legitimately passes through zero (mean == std), so normalizing
     # its error by its own magnitude amplifies benign f32 scatter; the
