@@ -3,11 +3,12 @@
 
 Reading prefers the in-repo C++ codec (native/dipio.cpp, enabled with
 BARC4DIP_TPU_NATIVE_IO=1) for baseline uncompressed grayscale files and
-silently falls back to PIL for everything else. Writing always converts
-to uint16 first (detector convention, via utils.to_uint16); a 3D stack
-becomes one numbered file per frame — the documented intent of the
-reference, whose own loop re-writes the whole array each slice
-(reference io/tiff.py:129-133, SURVEY §2.12.1).
+silently falls back to PIL for everything else. Writing converts to
+uint16 by default (detector convention, via utils.to_uint16) or stores
+float32 verbatim with ``dtype="float32"``; a 3D stack becomes one
+numbered file per frame — the documented intent of the reference, whose
+own loop re-writes the whole array each slice (reference
+io/tiff.py:129-133, SURVEY §2.12.1).
 """
 from __future__ import annotations
 

@@ -64,7 +64,8 @@ def _visibility_program(shape: tuple[int, int], window: int, stride: int):
     return jax.jit(jax.vmap(one))
 
 
-def visibility_map(image, *, window: int = 16, stride: int = 1):
+def visibility_map(image, *, window: int = 16, stride: int = 1,
+                   frame_chunk: int = 8):
     """Sliding-window speckle visibility (contrast) map, ``std/mean`` over
     every (window, window) patch (valid mode, population std — the same
     definition as the full-frame/tile ``visibility`` metric).
@@ -77,6 +78,10 @@ def visibility_map(image, *, window: int = 16, stride: int = 1):
         Patch side in pixels.
     stride : int
         Output decimation (1 = every valid position).
+    frame_chunk : int
+        Frames per device program for stacks (bounds device memory like
+        every other stack API; NumPy stacks get the prefetch-overlapped
+        chunk loop, device stacks are sliced on device).
 
     Returns
     -------
@@ -105,12 +110,19 @@ def visibility_map(image, *, window: int = 16, stride: int = 1):
     device_in = isinstance(image, jax.Array)
     single = image.ndim == 2
     frames = image[None] if single else image
-    frames = (
-        frames.astype(jnp.float32)
-        if device_in
-        else jnp.asarray(np.asarray(frames, dtype=np.float32))
+    T = int(frames.shape[0])
+    B = max(1, min(int(frame_chunk), T))
+    program = _visibility_program((H, W), window, stride)
+
+    if device_in:
+        frames = frames.astype(jnp.float32)
+        pieces = [program(frames[c0 : c0 + B]) for c0 in range(0, T, B)]
+        out = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=0)
+        return out[0] if single else out
+
+    from .common import run_stack_program
+
+    out = run_stack_program(
+        np.asarray(frames, dtype=np.float32), program, frame_chunk=B
     )
-    out = _visibility_program((H, W), window, stride)(frames)
-    if single:
-        out = out[0]
-    return out if device_in else np.asarray(out)
+    return out[0] if single else out

@@ -214,6 +214,8 @@ def shift_stack(
         raise ValueError(
             f"stack must be 2D (H, W) or 3D (T, H, W); got ndim={stack.ndim}"
         )
+    if frames.shape[0] < 1:
+        raise ValueError("stack must contain at least one frame.")
     device_in = isinstance(frames, jax.Array)
     if not device_in:
         frames = np.asarray(frames, dtype=np.float32)
@@ -290,6 +292,8 @@ def register_stack(
         raise ValueError(
             f"stack must be a 3D array with shape (T, H, W); got ndim={stack.ndim}"
         )
+    if stack.shape[0] < 1:
+        raise ValueError("stack must contain at least one frame.")
 
     t0 = now()
     device_in = isinstance(stack, jax.Array)

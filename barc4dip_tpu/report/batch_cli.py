@@ -65,14 +65,14 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--flat", default=None,
-        help="Flat-field image or stack (mean-reduced) — applies "
-        "(I-D)/(F-D)·scale before the analysis (same semantics as "
-        "barc4dip-speckles -f). Loads the stack in memory.",
+        help="Flat-field image, stack, or glob of files (mean-reduced) — "
+        "applies (I-D)/(F-D)·scale before the analysis (same semantics "
+        "as barc4dip-speckles -f). Loads the stack in memory.",
     )
     p.add_argument(
         "--dark", default=None,
-        help="Dark image or stack (mean-reduced) for the flat-field "
-        "correction (same semantics as barc4dip-speckles -d).",
+        help="Dark image, stack, or glob of files (mean-reduced) for the "
+        "flat-field correction (same semantics as barc4dip-speckles -d).",
     )
     return p
 
@@ -147,9 +147,13 @@ def main(argv: list[str] | None = None) -> int:
             mesh = frame_mesh()
 
     inputs = _expand_inputs(args.input)
+    # calibration paths accept globs too (multi-file flats/darks stack and
+    # mean-reduce inside flat_field_correction, like the positional input)
+    flats = _expand_inputs([args.flat]) if args.flat else None
+    darks = _expand_inputs([args.dark]) if args.dark else None
     missing = [p for p in inputs if not Path(p).is_file()]
-    missing += [p for p in (args.flat, args.dark)
-                if p is not None and not Path(p).is_file()]
+    missing += [p for group in (flats, darks) if group
+                for p in group if not Path(p).is_file()]
     if missing:
         what = "no files match" if any(ch in m for m in missing for ch in "*?[") \
             else "input file(s) not found"
@@ -178,15 +182,17 @@ def main(argv: list[str] | None = None) -> int:
 
         stack = read_h5(inputs[0]) if single_h5 else read_image(inputs)
         stack = np.asarray(stack, dtype=np.float32)
-        if args.flat or args.dark:
+        if flats or darks:
             from ..preprocessing import flat_field_correction
+
+            def _load(group):
+                paths = group[0] if len(group) == 1 else group
+                return np.asarray(read_image(paths), np.float32)
 
             stack = flat_field_correction(
                 stack,
-                flats=np.asarray(read_image(args.flat), np.float32)
-                if args.flat else None,
-                darks=np.asarray(read_image(args.dark), np.float32)
-                if args.dark else None,
+                flats=_load(flats) if flats else None,
+                darks=_load(darks) if darks else None,
             )
         if args.register:
             from ..preprocessing import register_stack

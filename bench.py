@@ -975,6 +975,18 @@ def check_hardware_sharpness(stack: np.ndarray) -> None:
         return
     import barc4dip_tpu as dip
 
+    # resolve the golden FIRST (a cache-file read when it hits): on a miss
+    # with too little budget to recompute, the ~10 s device run below would
+    # be spent for a gate that can only report "golden unavailable"
+    golden, source = _resolve_golden(stack, GOLDEN_K, "sharpness")
+    if golden is None:
+        STATE["sharpness_gate"] = {
+            "checked": False,
+            "note": "golden unavailable (cache miss and no budget to "
+                    "compute it)",
+        }
+        return
+
     try:
         t0 = time.perf_counter()
         out = dip.sharpness_stack_stats(stack[:GOLDEN_K],
@@ -992,14 +1004,6 @@ def check_hardware_sharpness(stack: np.ndarray) -> None:
             "note": f"device sharpness run raised: {exc!r}"[:300],
         }
         log(f"sharpness gate: device run RAISED (gate unchecked): {exc!r}")
-        return
-    golden, source = _resolve_golden(stack, GOLDEN_K, "sharpness")
-    if golden is None:
-        STATE["sharpness_gate"] = {
-            "checked": False,
-            "note": "golden unavailable (cache miss and no budget to "
-                    "compute it)",
-        }
         return
     _record_value_gate("sharpness_gate", "sharpness gate", run_leaves,
                        golden, source)
