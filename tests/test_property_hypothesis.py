@@ -356,3 +356,50 @@ def test_cbf_decode_truncated_raises(n_vals, data):
     # bytes into plausible deltas (byte-offset is not self-synchronising),
     # so the sound property is: no hang, no crash, full-length output
     assert out.shape == (n_vals,)
+
+
+@given(
+    st.integers(min_value=-30, max_value=30),
+    st.integers(min_value=-30, max_value=30),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(**COMMON)
+def test_register_stack_roll_roundtrip_property(dy, dx, seed):
+    """register_stack recovers ANY integer roll exactly in roll mode
+    (wrap ambiguity aside: |shift| < N/2 keeps the measurement unique)."""
+    from barc4dip_tpu.preprocessing import register_stack
+
+    rng = np.random.default_rng(seed)
+    ref = (rng.random((64, 64)).astype(np.float32) + 0.25) * 100.0
+    stack = np.stack([ref, np.roll(ref, (dy, dx), axis=(0, 1))])
+    aligned, shifts = register_stack(
+        stack, subpixel=False, shift_mode="roll", frame_chunk=2
+    )
+    assert shifts["dy"][1] == dy and shifts["dx"][1] == dx
+    np.testing.assert_array_equal(aligned[1], ref)
+
+
+@given(
+    st.integers(min_value=2, max_value=12),
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(**COMMON)
+def test_visibility_map_matches_brute_force_property(window, stride, seed):
+    """Dense visibility equals the per-window std/mean for arbitrary
+    window/stride/content (incl. zero-mean windows -> NaN)."""
+    from barc4dip_tpu.metrics import visibility_map
+
+    rng = np.random.default_rng(seed)
+    img = rng.random((window + 11, window + 7)).astype(np.float32) * 50.0
+    img[: window // 2] = 0.0  # force some zero-mean windows
+    got = visibility_map(img, window=window, stride=stride)
+    img64 = img.astype(np.float64)
+    for i in range(got.shape[0]):
+        for j in range(got.shape[1]):
+            p = img64[i * stride : i * stride + window,
+                      j * stride : j * stride + window]
+            m = p.mean()
+            want = p.std() / m if m > 0 else np.nan
+            np.testing.assert_allclose(got[i, j], want, rtol=5e-4,
+                                       atol=1e-7, equal_nan=True)
