@@ -9,11 +9,13 @@ from .sharpness import (
     spectral_entropy,
     tenengrad,
 )
+from .frc import fourier_ring_correlation
 from .maps import visibility_map
 from .speckles import amplitude, bandwidth, grain, speckle_stack_stats, speckle_stats
 from .statistics import distribution_moments
 
 __all__ = [
+    "fourier_ring_correlation",
     "visibility_map",
     "speckle_stats",
     "speckle_stack_stats",
