@@ -75,6 +75,16 @@ def main(out_dir=None):
     print(f"visibility_map: {vis.shape} map, contrast "
           f"{np.nanmin(vis):.3f}..{np.nanmax(vis):.3f}")
 
+    # achieved-resolution estimation from two acquisitions (extension):
+    # FRC of two independently-noisy copies of the same field
+    noise = sharp.std() * 0.08
+    acq = [sharp + rng.normal(size=sharp.shape).astype(np.float32) * noise
+           for _ in range(2)]
+    frc = dip.metrics.fourier_ring_correlation(acq[0], acq[1])
+    print(f"fourier_ring_correlation: resolution "
+          f"{frc['resolution_cyc_per_px']:.4f} cyc/px "
+          f"({frc['resolution_px']:.2f} px) at threshold {frc['threshold']}")
+
     if out_dir:
         from barc4dip_tpu.plotting import plt_image, savefig
 
